@@ -1,0 +1,250 @@
+"""Image codec + analysis kernels for the image+caption record store.
+
+The reference extracts image width/height *without* pixel decode
+(``warc-indexer/src/main/java/uk/bl/wa/analyser/payload/ImageAnalyser.java:92-143``)
+and validates payloads by digest; our fetch-simulation additionally checks a
+decoded-pixel invariant (PSNR ≥ 40 dB for lossy formats — BASELINE.json
+``input_hint``).
+
+Codecs available in this sandbox (no Pillow / libjpeg):
+
+- ``png``  — real minimal PNG (8-bit RGB, filter 0, zlib), lossless.
+- ``bmp``  — real uncompressed 24-bit BMP, lossless.
+- ``jpeg`` — **deterministic fake lossy codec** (5-bit/channel quantization +
+  zlib inside a tagged container).  It is NOT a real JPEG; it stands in for
+  the lossy decode path so the PSNR≥40dB plumbing is exercised end-to-end.
+  When Pillow is importable the real JPEG codec is used instead.
+
+All functions operate on ``numpy`` arrays / ``bytes`` and are wrapped in
+Arrow-batched pandas UDFs by the operators layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # real codecs if available
+    import io
+
+    from PIL import Image  # type: ignore
+
+    HAVE_PIL = True
+except Exception:  # pragma: no cover - sandbox has no Pillow
+    HAVE_PIL = False
+
+__all__ = [
+    "encode_image",
+    "decode_image",
+    "image_dims",
+    "average_hash",
+    "psnr",
+    "HAVE_PIL",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_FAKE_JPEG_SIG = b"WDSQ"  # tagged container for the deterministic fake codec
+
+
+# ---------------------------------------------------------------------------
+# PNG (real, lossless)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1
+    ).tobytes()  # filter byte 0 per scanline
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and ctype == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8).reshape(h, w * 3 + 1)
+    assert (raw[:, 0] == 0).all(), "only filter 0 supported"
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def _png_dims(data: bytes) -> tuple[int, int]:
+    w, h = struct.unpack(">II", data[16:24])
+    return w, h
+
+
+# ---------------------------------------------------------------------------
+# BMP (real, lossless, 24-bit bottom-up)
+# ---------------------------------------------------------------------------
+
+def _encode_bmp(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR
+        body += rgb[y, :, ::-1].tobytes() + b"\x00" * pad
+    size = 14 + 40 + len(body)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    assert data[:2] == b"BM", "not a BMP"
+    (offset,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    out = np.empty((h, w, 3), np.uint8)
+    pos = offset
+    for y in range(h - 1, -1, -1):
+        out[y] = np.frombuffer(data[pos:pos + row], np.uint8).reshape(w, 3)[:, ::-1]
+        pos += row + pad
+    return out
+
+
+def _bmp_dims(data: bytes) -> tuple[int, int]:
+    w, h = struct.unpack("<ii", data[18:26])
+    return w, abs(h)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fake lossy codec ("jpeg" stand-in when Pillow is absent)
+# ---------------------------------------------------------------------------
+
+_QUANT_BITS = 5  # 5-bit/channel → max error 4/255 → PSNR ≈ 40.9 dB
+
+
+def _encode_fake_jpeg(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    shift = 8 - _QUANT_BITS
+    q = (rgb >> shift).astype(np.uint8)
+    return (
+        _FAKE_JPEG_SIG
+        + struct.pack(">IIB", w, h, _QUANT_BITS)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def _decode_fake_jpeg(data: bytes) -> np.ndarray:
+    assert data[:4] == _FAKE_JPEG_SIG, "not a WDSQ fake-jpeg"
+    w, h, bits = struct.unpack(">IIB", data[4:13])
+    shift = 8 - bits
+    q = np.frombuffer(zlib.decompress(data[13:]), np.uint8).reshape(h, w, 3)
+    # dequantize to bin centers
+    return ((q.astype(np.uint16) << shift) | (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def encode_image(rgb: np.ndarray, fmt: str) -> bytes:
+    fmt = fmt.lower()
+    if fmt == "png":
+        return _encode_png(rgb)
+    if fmt == "bmp":
+        return _encode_bmp(rgb)
+    if fmt in ("jpeg", "jpg"):
+        if HAVE_PIL:  # pragma: no cover
+            buf = io.BytesIO()
+            Image.fromarray(rgb).save(buf, format="JPEG", quality=95)
+            return buf.getvalue()
+        return _encode_fake_jpeg(rgb)
+    raise NotImplementedError(f"unsupported image format: {fmt}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    fmt = fmt.lower()
+    if fmt == "png":
+        return _decode_png(data)
+    if fmt == "bmp":
+        return _decode_bmp(data)
+    if fmt in ("jpeg", "jpg"):
+        if data[:4] == _FAKE_JPEG_SIG:
+            return _decode_fake_jpeg(data)
+        if HAVE_PIL:  # pragma: no cover
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        raise NotImplementedError("real JPEG decode requires Pillow")
+    raise NotImplementedError(f"unsupported image format: {fmt}")
+
+
+def image_dims(data: bytes) -> tuple[int, int] | None:
+    """Width/height from the header ONLY — no pixel decode (the reference's
+    ImageAnalyser fast path, ``ImageAnalyser.java:92-143``)."""
+    try:
+        if data[:8] == _PNG_SIG:
+            return _png_dims(data)
+        if data[:2] == b"BM":
+            return _bmp_dims(data)
+        if data[:4] == _FAKE_JPEG_SIG:
+            w, h = struct.unpack(">II", data[4:12])
+            return w, h
+    except Exception:
+        return None
+    return None
+
+
+def average_hash(rgb: np.ndarray) -> int:
+    """64-bit perceptual average-hash (8×8 mean-luma threshold) — the
+    ``phash`` column of the record store (near-dup analog of the reference's
+    ssdeep fields, ``SolrFields.java:138``). Signed int64 for Spark LongType."""
+    luma = (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    )
+    h, w = luma.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = luma[ys[i]:max(ys[i + 1], ys[i] + 1),
+                               xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (cells > cells.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio between two uint8 images (dB)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -1,0 +1,98 @@
+"""Arrow-batched pandas UDF wrappers over the pure canonicalization kernels.
+
+These are the *only* Python-side scalar functions in the engine's hot path;
+everything else (hashing, filtering, aggregation, ordering) stays JVM-side in
+built-in ``pyspark.sql.functions``.  Each UDF processes whole Arrow batches
+(pandas Series.map over a batch — one Python↔JVM round-trip per ~10k rows,
+not per row), matching the reference's per-record scalar semantics
+(``Normalisation.java:136-275``, ``LinkExtractor.java:58-234``) at columnar
+throughput.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from . import normalisation as N
+from . import surt as S
+
+__all__ = [
+    "canonicalise_url_udf",
+    "canonicalise_url_ambiguous_udf",
+    "canonicalise_host_udf",
+    "host_surts_udf",
+    "public_suffix_udf",
+    "private_suffix_udf",
+    "resolve_relative_udf",
+    "surt_key_udf",
+    "url_hash64",
+]
+
+
+def _safe(fn):
+    def inner(v):
+        if v is None:
+            return None
+        try:
+            return fn(v)
+        except Exception:
+            return None
+    return inner
+
+
+@F.pandas_udf(StringType())
+def canonicalise_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(_safe(N.canonicalise_url))
+
+
+@F.pandas_udf(StringType())
+def canonicalise_url_ambiguous_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(_safe(lambda u: N.canonicalise_url(u, True, False)))
+
+
+@F.pandas_udf(StringType())
+def canonicalise_host_udf(hosts: pd.Series) -> pd.Series:
+    return hosts.map(_safe(N.canonicalise_host))
+
+
+@F.pandas_udf(StringType())
+def surt_key_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(_safe(S.surt_key))
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def host_surts_udf(hosts: pd.Series) -> pd.Series:
+    return hosts.map(lambda h: S.host_surts(h) if h is not None else None)
+
+
+@F.pandas_udf(StringType())
+def public_suffix_udf(hosts: pd.Series) -> pd.Series:
+    return hosts.map(_safe(S.extract_public_suffix))
+
+
+@F.pandas_udf(StringType())
+def private_suffix_udf(hosts: pd.Series) -> pd.Series:
+    return hosts.map(_safe(S.extract_private_suffix))
+
+
+@F.pandas_udf(StringType())
+def resolve_relative_udf(base: pd.Series, rel: pd.Series) -> pd.Series:
+    out = []
+    for b, r in zip(base, rel):
+        if b is None or r is None:
+            out.append(None)
+            continue
+        try:
+            out.append(N.resolve_relative(b, r))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def url_hash64(col):
+    """64-bit URL-seen key — JVM-side ``xxhash64`` on the canonical URL
+    column (the engine's replacement for the reference's md5-of-URL record id,
+    ``WARCIndexer.java:519-524``, per the north rule)."""
+    return F.xxhash64(col)

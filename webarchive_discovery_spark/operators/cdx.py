@@ -1,0 +1,62 @@
+"""CDX generation: per-record projection + compressed-length differencing +
+global total-order sort by canonical URL key.
+
+Reference: ``ArchiveCDXGenerator`` + ``DereferencingArchiveToCDXRecordReader``
+(``warc-hadoop-recordreaders/.../cdx/ArchiveCDXGenerator.java:155-223``,
+``.../lib/DereferencingArchiveToCDXRecordReader.java:85-214``), CDX-11 format
+``"urlkey timestamp url mime status digest redirect meta complen offset file"``
+with compressed length computed by differencing consecutive record offsets
+within a file (``CaptureSearchResultIterator.java:60-97``), then a
+total-order sort using ``TotalOrderPartitioner`` + ``InputSampler``.
+
+Spark-first: the offset differencing is a ``lead`` window per source file,
+and the global sort is ``repartitionByRange + sortWithinPartitions`` — Spark
+samples range boundaries exactly like the reference's ``InputSampler``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cdx_project", "total_order_sort", "cdx_junk_filter"]
+
+
+def cdx_project(
+    df: DataFrame,
+    urlkey_col: str,
+    file_col: str,
+    offset_col: str,
+    file_size_col: str | None = None,
+) -> DataFrame:
+    """Add ``compressed_length`` = next-record offset − this offset within the
+    same source file (last record: file size − offset when available)."""
+    w = Window.partitionBy(file_col).orderBy(F.col(offset_col).cast("long"))
+    nxt = F.lead(F.col(offset_col).cast("long")).over(w)
+    if file_size_col is not None:
+        tail = F.col(file_size_col).cast("long") - F.col(offset_col).cast("long")
+    else:
+        tail = F.lit(None).cast("long")
+    return df.withColumn("compressed_length", F.coalesce(nxt - F.col(offset_col).cast("long"), tail))
+
+
+def total_order_sort(df: DataFrame, key_col: str, num_partitions: int | None = None) -> DataFrame:
+    """Globally ordered output by ``key_col``: range-partition (sampled
+    boundaries) then sort within partitions — every output partition i holds
+    keys strictly below partition i+1, the property the reference builds with
+    ``TotalOrderPartitioner``."""
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, key_col).sortWithinPartitions(key_col)
+    return df.orderBy(key_col)
+
+
+def cdx_junk_filter(df: DataFrame, mime_col: str, record_type_col: str) -> DataFrame:
+    """Drop OPTIONS-response / request / metadata lines before sinking.
+
+    Reference: ``TinyCDXServerReducer.java:63-74`` (skip
+    ``application/http 200``-style junk, ``warc/request``, ``warc/metadata``).
+    """
+    return df.filter(
+        ~F.col(mime_col).startswith("application/http")
+        & ~F.col(record_type_col).isin("request", "metadata")
+    )

@@ -1,0 +1,184 @@
+"""Document deduplication operators for training-data pipelines.
+
+Generalizes the reference's dedup-by-digest grouping
+(``MDXReduplicatingReducer.java:72-152``) and fuzzy-hash fields
+(``FuzzyHashAnalyser.java:62-81``) into the four standard dedup families:
+exact hash, MinHash+LSH, SimHash, and n-gram Jaccard verification.
+
+Design notes for 100 TB:
+
+- All hashing is expressed with built-in JVM functions (``md5``, ``xxhash64``,
+  ``transform``/``slice`` array expressions) — whole-stage codegen end to
+  end, no Python in the hot path.
+- MinHash candidate generation shuffles on (band_id, band_hash) — band
+  buckets are tiny relative to the corpus, so the pairwise join explodes only
+  within buckets, never globally.
+- ``md5`` (not ``xxhash64``) is used where an external SQL oracle must
+  reproduce the exact values; swap to ``xxhash64`` for ~2× hash speed when
+  oracle parity is not needed (the shuffle dominates either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "tokenize",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash16",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest id as the
+    canonical exemplar (hash-groupBy; one shuffle on the digest)."""
+    return (
+        df.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokenize(text_col: str) -> Column:
+    """Whitespace tokenization as a JVM-side expression."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: ``transform(sequence(1, len-n+1), i →
+    concat_ws(' ', slice(tokens, i, n)))`` — pure array expressions."""
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash over md5-salted shingles: ``min(md5(j || ':' || shingle))``
+    per hash index j (string-min is a valid min-wise hash here)."""
+    return [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))).alias(
+            f"mh{j}"
+        )
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
+    hash each band → self-join on (band_id, band_hash) with ``id_a < id_b``.
+    Returns (id_a, id_b, n_bands_matched).
+    """
+    rows_per_band = num_hashes // bands
+    toks = tokenize(text_col)
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        *minhash_signature(shingles(toks, shingle_n), num_hashes),
+    )
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *members)).alias("band_hash"))
+        )
+    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity
+    (|A∩B| / |A∪B| over distinct shingle sets)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(tokenize(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    return (
+        candidates.join(a, candidates["id_a"] == F.col("sa.doc"))
+        .join(b, candidates["id_b"] == F.col("sb.doc"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("double")
+                / F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(text_col: str) -> Column:
+    """16-bit SimHash from the first 4 hex chars of ``md5(token)``.
+
+    Each hex char contributes 4 bit positions; per position the vote is
+    ``+1`` when the bit is set else ``-1``; the fingerprint bit is 1 when the
+    summed vote is positive.  Expressed with ``aggregate`` over the token
+    array so the whole computation stays in codegen — and so an external SQL
+    oracle (md5 + strpos arithmetic) reproduces it exactly.
+    """
+    toks = tokenize(text_col)
+    bit_exprs = []
+    for bit in range(16):
+        hexpos = bit // 4 + 1  # which md5 hex char
+        bitpos = 3 - (bit % 4)  # which bit within that char (msb-first)
+        per_tok = lambda t, hexpos=hexpos, bitpos=bitpos: (
+            (
+                F.floor(
+                    (F.instr(F.lit(_HEX), F.substring(F.md5(t), hexpos, 1)) - 1)
+                    / (2 ** bitpos)
+                )
+                % 2
+            )
+            * 2
+            - 1
+        )
+        vote = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + per_tok(t).cast("long")
+        )
+        bit_exprs.append(F.when(vote > 0, F.lit(2 ** (15 - bit))).otherwise(F.lit(0)))
+    total = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        total = total + e
+    return total.cast("long")

@@ -1,0 +1,210 @@
+"""Crawl-frontier operators: canonicalization projection, URL-seen anti-join,
+robots prefix matching, priority scoring, politeness slotting, and the global
+deterministic fetch order.
+
+This is the north-star pipeline (BASELINE.json ``north_rule``): the Spark
+re-expression of the reference's crawl semantics —
+
+- URL canonicalization / SURT keys: ``Normalisation.java:136-275``,
+  ``WARCIndexer.java:593-639``
+- URL-seen / dedup: ``MDXReduplicatingReducer.java:72-152``,
+  ``PersistLogMapper.java:117-143``
+- robots / exclusion prefix sets: ``WARCIndexer.java:888-908``,
+  ``Annotator.java:217-225``, robots accounting ``HostsReportMapper.java:49-66``
+- priority inputs (inlink counts): ``OutlinkExtractorMapper.java:57-87``
+- total-order fetch scheduling: ``ArchiveCDXGenerator.java:208-215``
+- skew handling: salted keys replacing random reducer keys
+  (``WARCIndexerMapper.java:222-230``)
+
+Determinism rule: every ordering is defined purely by data columns (never by
+partition iteration order), so the same input yields the same fetch sequence
+at any parallelism — the property the two-cluster-size scaling criterion
+checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import canonicalise_url_udf, surt_key_udf
+
+__all__ = [
+    "canonicalize_frontier",
+    "url_seen_anti_join",
+    "robots_match",
+    "priority_score",
+    "politeness_slots",
+    "fetch_order",
+    "global_sequence",
+    "salted_repartition",
+]
+
+
+def canonicalize_frontier(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Project the canonical columns every downstream operator keys on:
+    ``url_norm`` (canonical URL), ``url_key`` (SURT sort key), ``host``,
+    ``url_path``, ``url_hash`` (xxhash64 of url_norm — the 64-bit seen key)."""
+    out = df.withColumn("url_norm", canonicalise_url_udf(F.col(url_col)))
+    out = out.withColumn("url_key", surt_key_udf(F.col(url_col)))
+    out = out.withColumn(
+        "host", F.parse_url(F.col("url_norm"), F.lit("HOST"))
+    ).withColumn(
+        "url_path", F.coalesce(F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("/"))
+    )
+    return out.withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+
+
+def url_seen_anti_join(frontier: DataFrame, seen: DataFrame, key: str = "url_hash") -> DataFrame:
+    """Drop URLs already in the seen-set (exact; the Bloom prefilter in
+    :mod:`.bloom` only reduces the rows reaching this join)."""
+    return frontier.join(seen.select(key).distinct(), key, "left_anti")
+
+
+def robots_match(
+    frontier: DataFrame,
+    robots_rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "url_path",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Longest-prefix-match robots evaluation.
+
+    ``robots_rules(host, rule_type, path_prefix, crawl_delay_ms)`` is a small
+    per-host table → broadcast join; among matching prefixes the longest wins
+    (classic robots.txt semantics); no matching rule ⇒ allowed with default
+    delay.  Adds ``robots_allowed`` and ``crawl_delay_ms``.
+    """
+    rules = robots_rules.select(
+        F.col("host").alias("_r_host"),
+        "rule_type",
+        "path_prefix",
+        F.col("crawl_delay_ms").alias("_r_delay"),
+    )
+    joined = frontier.join(
+        F.broadcast(rules),
+        (F.col(host_col) == F.col("_r_host"))
+        & F.col(path_col).startswith(F.col("path_prefix")),
+        "left",
+    )
+    ids = id_cols or ["url_norm"]
+    w = Window.partitionBy(*ids).orderBy(
+        F.length(F.col("path_prefix")).desc(), F.col("rule_type")
+    )
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_r_host", "path_prefix")
+    )
+    return best.withColumn(
+        "robots_allowed",
+        F.when(F.col("rule_type") == "deny", F.lit(False)).otherwise(F.lit(True)),
+    ).withColumn(
+        "crawl_delay_ms", F.coalesce(F.col("_r_delay"), F.lit(250))
+    ).drop("rule_type", "_r_delay")
+
+
+def priority_score(
+    hops: Column,
+    inlink_count: Column,
+    content_affinity: Column | None = None,
+) -> Column:
+    """Crawl priority in [0, ~2]: shallow pages and well-linked pages first.
+
+    score = 1/(1+hops) + log10(1+inlinks)/4 + affinity.  Matches the
+    north-rule inputs (hops, inlink count, content-type affinity from the
+    MIME normalization ladder in ``WARCPayloadAnalysers.java:187-222``).
+    """
+    base = F.lit(1.0) / (F.lit(1.0) + hops.cast("double"))
+    links = F.log10(F.lit(1.0) + inlink_count.cast("double")) / F.lit(4.0)
+    aff = content_affinity if content_affinity is not None else F.lit(0.0)
+    return base + links + aff
+
+
+def politeness_slots(
+    df: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    key_col: str = "url_key",
+    budget_col: str | None = None,
+    default_budget: int = 100,
+) -> DataFrame:
+    """Per-host fetch slots: rank URLs within each host by (priority desc,
+    url_key); rows past the host's per-epoch budget are marked ``delayed``
+    (carried to the next epoch).  One shuffle keyed by host; AQE skew-join
+    plus upstream salting keep hot hosts from straggling."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(key_col)
+    )
+    budget = F.col(budget_col) if budget_col else F.lit(default_budget)
+    return df.withColumn("host_slot", F.row_number().over(w)).withColumn(
+        "within_budget", F.col("host_slot") <= budget
+    )
+
+
+def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "fetch_seq",
+                    num_partitions: int | None = None) -> DataFrame:
+    """Contiguous global sequence number in a total order WITHOUT a
+    single-partition sort: range-repartition on the order columns, rank
+    within partitions, then add per-partition offsets (computed from a tiny
+    per-partition count aggregate, broadcast back).  This is the scalable
+    equivalent of ``row_number() OVER (ORDER BY …)`` — the reference gets the
+    same effect from ``TotalOrderPartitioner`` (``ArchiveCDXGenerator.java:208-215``)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = with_pid.withColumn("_lrank", F.row_number().over(w))
+    counts = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["_cnt"]
+    mapping = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        local.withColumn(seq_col, mapping[F.col("_pid")] + F.col("_lrank"))
+        .drop("_pid", "_lrank")
+    )
+
+
+def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 16,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Skew-breaking repartition: partition by (key, xxhash64(row) % buckets)
+    so one hot host spreads over ``salt_buckets`` partitions.  Replaces the
+    reference's random reducer keys (``WARCIndexerMapper.java:222-230``) with
+    a *deterministic* salt (hash of data, not ``rand()``), preserving
+    reproducibility."""
+    salt = (F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))).alias("_salt")
+    out = df.withColumn("_salt", salt)
+    if num_partitions:
+        return out.repartition(num_partitions, F.col(key_col), F.col("_salt")).drop("_salt")
+    return out.repartition(F.col(key_col), F.col("_salt")).drop("_salt")
+
+
+def fetch_order(
+    df: DataFrame,
+    priority_col: str = "priority",
+    key_col: str = "url_key",
+    bands: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global fetch order: (priority band desc, host slot,
+    url_key) — banded so politeness interleaves hosts inside a band instead
+    of draining one host fully; realized with the scalable global_sequence."""
+    banded = df.withColumn(
+        "priority_band",
+        F.least(
+            F.lit(bands - 1),
+            F.floor(F.col(priority_col) * bands / 2.0).cast("int"),
+        ),
+    )
+    return global_sequence(
+        banded,
+        [F.col("priority_band").desc(), F.col("host_slot").asc(), F.col(key_col).asc()],
+        num_partitions=num_partitions,
+    )

@@ -1,0 +1,63 @@
+"""Revisit/duplicate resolution — the reference's "reduplication" join.
+
+Reference: ``MDXReduplicatingReducer``
+(``warc-hadoop-recordreaders/.../mdx/MDXReduplicatingReducer.java:72-152``):
+group records by payload digest; the first ``response`` record in the group
+is the exemplar; every ``revisit`` record is rewritten by merging the
+exemplar's fields and marked ``record-type=reduplicated``.
+
+Spark-first realization: a window ``first(..., ignorenulls)`` partitioned by
+digest — one shuffle, no self-join, no driver state.  Exemplar choice is made
+deterministic by ordering on a stable column (the reference relies on reducer
+input order, which is only deterministic because its inputs are sorted; at
+1000 executors we must order explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["reduplicate"]
+
+
+def reduplicate(
+    df: DataFrame,
+    digest_col: str,
+    type_col: str,
+    merge_cols: list[str],
+    order_col: str,
+    response_type: str = "response",
+    revisit_type: str = "revisit",
+) -> DataFrame:
+    """Rewrite revisit rows with the exemplar response's ``merge_cols``.
+
+    Rows keep their own values when they are responses; revisits get the
+    exemplar's values (or stay null if the digest has no response) and a
+    ``record_type_out = 'reduplicated'`` marker.
+    """
+    w = (
+        Window.partitionBy(digest_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = df
+    for c in merge_cols:
+        exemplar = F.first(
+            F.when(F.col(type_col) == response_type, F.col(c)), ignorenulls=True
+        ).over(w)
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(type_col) == revisit_type, F.coalesce(exemplar, F.col(c))
+            ).otherwise(F.col(c)),
+        )
+    has_exemplar = (
+        F.count(F.when(F.col(type_col) == response_type, 1)).over(w) > 0
+    )
+    return out.withColumn(
+        "record_type_out",
+        F.when(
+            (F.col(type_col) == revisit_type) & has_exemplar, F.lit("reduplicated")
+        ).otherwise(F.col(type_col)),
+    )

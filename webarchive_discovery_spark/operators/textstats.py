@@ -1,0 +1,113 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Reference analogs: ``LanguageAnalyser.java:65`` (language detection),
+``SentimentJTextAnalyser.java:63-86`` (score bucketing), text-field
+sanitization in ``SolrRecordFactory.java:51-130``.  All four are expressed as
+pure JVM column expressions (no UDFs) so they codegen and their semantics can
+be mirrored exactly by a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["lang_id", "quality_score", "token_stats", "fingerprint"]
+
+# occurrence-count language heuristics: per language, a set of frequent
+# function words; score = total occurrences of " word " patterns
+_LANG_MARKERS = {
+    "en": ["the", "and", "a", "of"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "que", "y"],
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of ``needle`` via length differencing
+    (identical semantics in any SQL engine: (len(s) - len(replace(s, n, ''))) / len(n))."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def lang_id(df: DataFrame, text_col: str, langs: dict[str, list[str]] | None = None) -> DataFrame:
+    """N-gram/function-word language heuristic: argmax over per-language
+    marker-word occurrence counts; 'und' (undetermined) when all zero."""
+    langs = langs or _LANG_MARKERS
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    out = df
+    score_cols = []
+    for lang, words in langs.items():
+        score = None
+        for wd in words:
+            occ = _occurrences(padded, f" {wd} ")
+            score = occ if score is None else score + occ
+        out = out.withColumn(f"score_{lang}", score.cast("double"))
+        score_cols.append(f"score_{lang}")
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    lang_expr = F.lit("und")
+    # reversed so earlier languages win ties (stable argmax order)
+    for lang in reversed(list(langs)):
+        lang_expr = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_expr)
+    return out.withColumn("lang_pred", lang_expr)
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Document quality heuristics: length, mean word length, stopword ratio,
+    punctuation ratio, and a composite [0,1] score (simple linear mix)."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop = None
+    for wd in ["the", "a", "and", "of", "to", "in"]:
+        occ = _occurrences(padded, f" {wd} ")
+        stop = occ if stop is None else stop + occ
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return df.select(
+        "*",
+        n_char.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        (n_char.cast("double") / n_tok).alias("q_mean_tok_len"),
+        (stop.cast("double") / n_tok).alias("q_stopword_ratio"),
+        (punct.cast("double") / n_char).alias("q_punct_ratio"),
+    ).withColumn(
+        "q_score",
+        F.least(
+            F.lit(1.0),
+            (F.col("q_tokens") / 100.0) * 0.5
+            + F.least(F.col("q_stopword_ratio") * 2.0, F.lit(1.0)) * 0.5,
+        ),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (ceil(chars/4) — the common ~4-chars-per-token heuristic)."""
+    text = F.col(text_col)
+    ws = F.size(F.split(F.trim(text), r"\s+"))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        F.ceil(F.length(text) / 4.0).cast("long").alias("approx_bpe_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))).alias("distinct_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the case/whitespace
+    normalized text (the exact-dedup key), plus a coarser sorted-distinct-token
+    fingerprint that survives token reordering."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    sorted_toks = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_exact"),
+        F.md5(sorted_toks).alias("fp_bag"),
+    )

@@ -1,0 +1,850 @@
+"""Correctness-gate query catalog.
+
+Each entry pairs a Spark DataFrame pipeline (the engine's operators) with an
+ANSI-SQL oracle that DuckDB runs on the same parquet tables.  Column names
+and value domains are aligned so the driver's order-insensitive value-hash
+comparison holds (doubles are rounded in BOTH sides; hashes are md5 strings
+which are engine-independent).
+
+The frontier queries derive a deterministic URL universe from ``events``
+(``url_of(event_id, user_id)`` below); the oracle reconstructs the canonical
+forms *arithmetically* from the derivation, so the Spark side's real
+canonicalization kernel is conformance-checked against independently
+constructed expected values — not against itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import aggregates, cdx, dedup, frontier, reduplication, sampling, similarity, textstats
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Core relational (scan → filter → join → agg → sort/limit)
+# ===========================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    rev = joined.groupBy(F.col("o_orderkey").alias("orderkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("orderkey")).limit(10)
+
+
+@q(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey   = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey   = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@q(
+    "top20_parts_by_revenue",
+    """
+    SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, partkey
+    LIMIT 20
+    """,
+)
+def top20_parts_by_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_partkey").alias("partkey"), F.col("p_name").alias("part_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return aggregates.top_k(rev.orderBy(F.col("revenue").desc(), F.col("partkey")), "revenue", 20)
+
+
+# ===========================================================================
+# Reference shuffle operators (SURVEY.md §2.5-2.6)
+# ===========================================================================
+
+@q(
+    "frequency_count_events",
+    """
+    SELECT event_type, props AS fvalue, count(*) AS cnt
+    FROM events GROUP BY event_type, props
+    """,
+)
+def frequency_count_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("props").alias("fvalue")
+    )
+    return aggregates.frequency_count(ev, ["event_type"], "fvalue")
+
+
+@q(
+    "hosts_report",
+    """
+    SELECT 'h' || lpad(CAST(user_id % 50 AS VARCHAR), 2, '0') AS host,
+           count(*) AS num_urls,
+           round(sum(value), 2) AS num_bytes,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS num_robots_denied,
+           sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS num_dup_by_hash,
+           round(sum(CASE WHEN event_id % 10 = 0 THEN value ELSE 0 END), 2) AS num_dup_bytes
+    FROM events GROUP BY 1
+    """,
+)
+def hosts_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "host", F.concat(F.lit("h"), F.lpad((F.col("user_id") % 50).cast("string"), 2, "0"))
+    )
+    rep = aggregates.hosts_report(
+        ev,
+        host_col="host",
+        bytes_col="value",
+        robots_denied=(F.col("event_type") == "error").cast("long"),
+        dup_by_hash=(F.col("event_id") % 10 == 0).cast("long"),
+    )
+    return rep.select(
+        "host",
+        "num_urls",
+        F.round("num_bytes", 2).alias("num_bytes"),
+        "num_robots_denied",
+        "num_dup_by_hash",
+        F.round("num_dup_bytes", 2).alias("num_dup_bytes"),
+    )
+
+
+@q(
+    "reduplicate_mdx",
+    """
+    WITH recs AS (
+      SELECT doc_id, md5(text) AS digest,
+             CASE doc_id % 3 WHEN 0 THEN 'response' WHEN 1 THEN 'revisit' ELSE 'resource' END AS record_type,
+             source
+      FROM documents
+    ), ex AS (
+      SELECT *,
+             first(CASE WHEN record_type = 'response' THEN source END)
+               OVER (PARTITION BY digest ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ex_source,
+             count(CASE WHEN record_type = 'response' THEN 1 END)
+               OVER (PARTITION BY digest) AS n_resp
+      FROM recs
+    )
+    SELECT doc_id, digest,
+           CASE WHEN record_type = 'revisit' THEN coalesce(ex_source, source) ELSE source END AS source,
+           CASE WHEN record_type = 'revisit' AND n_resp > 0 THEN 'reduplicated' ELSE record_type END AS record_type_out
+    FROM ex
+    """,
+)
+def reduplicate_mdx(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        F.when(F.col("doc_id") % 3 == 0, "response")
+        .when(F.col("doc_id") % 3 == 1, "revisit")
+        .otherwise("resource")
+        .alias("record_type"),
+        "source",
+    )
+    out = reduplication.reduplicate(
+        docs, "digest", "record_type", merge_cols=["source"], order_col="doc_id"
+    )
+    return out.select("doc_id", "digest", "source", "record_type_out")
+
+
+@q(
+    "reservoir_sample_events",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR) || chr(1) || '1231241245'),
+                        CAST(event_id AS VARCHAR)
+             ) AS rn
+      FROM events
+    )
+    SELECT event_type, event_id FROM ranked WHERE rn <= 50
+    """,
+)
+def reservoir_sample_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    return sampling.deterministic_reservoir(ev, ["event_type"], "event_id", n=50)
+
+
+@q(
+    "cdx_generate",
+    """
+    WITH recs AS (
+      SELECT 'f' || CAST(user_id % 8 AS VARCHAR) AS source_file,
+             event_id AS record_offset,
+             'com,example,' || 'u' || CAST(user_id AS VARCHAR) || ',)/e/' || CAST(event_id AS VARCHAR) AS urlkey,
+             event_type AS mime
+      FROM events
+    )
+    SELECT urlkey, source_file, record_offset, mime,
+           lead(record_offset) OVER (PARTITION BY source_file ORDER BY record_offset) - record_offset
+             AS compressed_length
+    FROM recs
+    """,
+)
+def cdx_generate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("f"), (F.col("user_id") % 8).cast("string")).alias("source_file"),
+        F.col("event_id").alias("record_offset"),
+        F.concat(
+            F.lit("com,example,u"),
+            F.col("user_id").cast("string"),
+            F.lit(",)/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("urlkey"),
+        F.col("event_type").alias("mime"),
+    )
+    projected = cdx.cdx_project(ev, "urlkey", "source_file", "record_offset")
+    ordered = cdx.total_order_sort(projected, "urlkey")
+    return ordered.select("urlkey", "source_file", "record_offset", "mime", "compressed_length")
+
+
+@q(
+    "outlink_graph",
+    """
+    SELECT CAST(year(l_shipdate) AS INT) AS crawl_year,
+           l_suppkey % 100 AS src_host,
+           l_partkey % 100 AS dst_host,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+)
+def outlink_graph(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("crawl_year"),
+        (F.col("l_suppkey") % 100).alias("src_host"),
+        (F.col("l_partkey") % 100).alias("dst_host"),
+    )
+    return li.groupBy("crawl_year", "src_host", "dst_host").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "mdx_seq_merge",
+    """
+    WITH unioned AS (
+      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT digest, min(doc_id) AS canonical_id, count(*) AS n_records
+    FROM unioned GROUP BY digest
+    """,
+)
+def mdx_seq_merge(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("digest"))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        a.unionByName(b)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+@q(
+    "persist_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def persist_sessions(spark, sf_dir):
+    # PersistLogMapper-style stateful sequence pairing via lag sessionization
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                > 1800000000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ===========================================================================
+# Training-data dedup / similarity / text analysis (documents, embeddings)
+# ===========================================================================
+
+# Shared shingle CTE for the MinHash family: documents unioned with exact
+# copies (doc_id+100000) so candidate pairs are guaranteed to exist.
+_SHINGLE_CTE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ), mh AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+             min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3,
+             min(md5('4:' || s)) AS mh4, min(md5('5:' || s)) AS mh5,
+             min(md5('6:' || s)) AS mh6, min(md5('7:' || s)) AS mh7
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_hash FROM mh
+      UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM mh
+      UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM mh
+      UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM mh
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_matched
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _dup_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return docs.unionByName(copies)
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS dup_count
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents)
+    GROUP BY digest
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_dup_corpus(spark, sf_dir), "text", "doc_id")
+
+
+@q(
+    "dedup_minhash_lsh",
+    _SHINGLE_CTE + "SELECT id_a, id_b, n_bands_matched FROM cand",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(_dup_corpus(spark, sf_dir), "text", "doc_id")
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE + """
+    , shsets AS (
+      SELECT doc_id, list_distinct(list(s)) AS shset FROM sh GROUP BY doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.shset, b.shset))::DOUBLE /
+                 (len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset))), 4)
+             AS jaccard
+    FROM cand c JOIN shsets a ON c.id_a = a.doc_id JOIN shsets b ON c.id_b = b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(corpus, cands, "text", "doc_id")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _simhash_oracle_sql() -> str:
+    hexmap = "0123456789abcdef"
+    votes = []
+    bits = []
+    for bit in range(16):
+        hexpos = bit // 4 + 1
+        div = 2 ** (3 - (bit % 4))
+        votes.append(
+            f"sum(CASE WHEN ((strpos('{hexmap}', substr(md5(tok), {hexpos}, 1)) - 1) // {div}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS v{bit}"
+        )
+        bits.append(f"CASE WHEN v{bit} > 0 THEN {2 ** (15 - bit)} ELSE 0 END")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ), v AS (
+      SELECT doc_id, {', '.join(votes)} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS simhash FROM v
+    """
+
+
+@q("dedup_simhash", _simhash_oracle_sql())
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash16("text").alias("simhash"))
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH qv AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10
+    ), ev AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS evec FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qvec, evec) /
+               (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(evec, evec))) AS score
+      FROM ev, qv WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored) ranked
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@q("ann_lsh_cosine_topk")  # no SQL oracle: literal random hyperplanes (rows-only check)
+def ann_lsh_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    first = emb.select(F.size("embedding").alias("d")).first()
+    return similarity.lsh_cosine_topk(emb, queries, dim=first["d"], k=5, bits=8).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def _langid_score_sql(lang: str, words: list[str]) -> str:
+    terms = [
+        f"((length(p) - length(replace(p, ' {wd} ', ''))) / {len(wd) + 2})"
+        for wd in words
+    ]
+    return " + ".join(terms)
+
+
+@q(
+    "lang_id_counts",
+    f"""
+    WITH padded AS (
+      SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             {_langid_score_sql('en', ['the', 'and', 'a', 'of'])} AS score_en,
+             {_langid_score_sql('de', ['der', 'die', 'und', 'das'])} AS score_de,
+             {_langid_score_sql('fr', ['le', 'la', 'et', 'les'])} AS score_fr,
+             {_langid_score_sql('es', ['el', 'los', 'que', 'y'])} AS score_es
+      FROM padded
+    ), best AS (
+      SELECT doc_id, greatest(score_en, score_de, score_fr, score_es) AS b, *
+      FROM scored
+    )
+    SELECT CASE WHEN b <= 0 THEN 'und'
+                WHEN score_en = b THEN 'en'
+                WHEN score_de = b THEN 'de'
+                WHEN score_fr = b THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           count(*) AS cnt
+    FROM best GROUP BY 1
+    """,
+)
+def lang_id_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tagged = textstats.lang_id(docs, "text")
+    return tagged.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "quality_scores",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS q_chars,
+             len(string_split(trim(text), ' ')) AS q_tokens,
+             ' ' || lower(text) || ' ' AS p
+      FROM documents
+    ), st AS (
+      SELECT doc_id, q_chars, q_tokens,
+             ((length(p) - length(replace(p, ' the ', ''))) / 5.0
+              + (length(p) - length(replace(p, ' a ', ''))) / 3.0
+              + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+              + (length(p) - length(replace(p, ' of ', ''))) / 4.0
+              + (length(p) - length(replace(p, ' to ', ''))) / 4.0
+              + (length(p) - length(replace(p, ' in ', ''))) / 4.0) AS stop
+      FROM s
+    )
+    SELECT doc_id, q_chars, q_tokens,
+           round(stop / q_tokens, 4) AS q_stopword_ratio,
+           round(least(1.0, (q_tokens / 100.0) * 0.5 + least(stop / q_tokens * 2.0, 1.0) * 0.5), 4)
+             AS q_score
+    FROM st
+    """,
+)
+def quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = textstats.quality_score(docs, "text")
+    return scored.select(
+        "doc_id",
+        "q_chars",
+        "q_tokens",
+        F.round("q_stopword_ratio", 4).alias("q_stopword_ratio"),
+        F.round("q_score", 4).alias("q_score"),
+    )
+
+
+@q(
+    "token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens,
+           len(list_distinct(string_split(lower(trim(text)), ' '))) AS distinct_tokens
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    return textstats.token_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@q(
+    "doc_fingerprint",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents
+    )
+    SELECT doc_id, md5(norm) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' ')) AS fp_bag
+    FROM n
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ===========================================================================
+# Frontier (north rule): canonicalize → URL-seen → robots → politeness →
+# priority → deterministic global fetch order, over a URL universe derived
+# deterministically from `events`.  The oracle reconstructs canonical forms
+# ARITHMETICALLY from the derivation (never by re-implementing the kernel),
+# so the pandas-UDF canonicalization is checked against independent values.
+# ===========================================================================
+
+_FRONTIER_CTE = """
+    WITH f AS (
+      SELECT event_id, user_id,
+             event_id // 2 AS n,
+             CAST(user_id % 20 AS BIGINT) AS hostn,
+             'h' || lpad(CAST(user_id % 20 AS VARCHAR), 2, '0') AS hostlabel,
+             event_id % 4 AS v
+      FROM events
+    ), c AS (
+      SELECT event_id, n, hostn,
+             hostlabel || '.example.org' AS host,
+             '/p/' || CAST(n AS VARCHAR) AS url_path,
+             'http://' || hostlabel || '.example.org' || '/p/' || CAST(n AS VARCHAR)
+               || CASE WHEN v = 3 THEN '?q=a+b' ELSE '' END AS url_norm,
+             '(org,example,' || hostlabel || ',)/p/' || CAST(n AS VARCHAR)
+               || CASE WHEN v = 3 THEN '?q=a+b' ELSE '' END AS url_key
+      FROM f
+    )
+"""
+
+_FRONTIER_DD_CTE = _FRONTIER_CTE + """
+    , dd AS (
+      SELECT url_norm, min(url_key) AS url_key, min(host) AS host,
+             min(url_path) AS url_path, min(hostn) AS hostn,
+             min(event_id) AS first_event, count(*) AS inlinks
+      FROM c GROUP BY url_norm
+    ), pri AS (
+      SELECT *,
+             1.0 / (1 + first_event % 3) + log10(1.0 + inlinks) / 4 AS priority,
+             CASE WHEN hostn % 5 = 0 THEN FALSE
+                  WHEN hostn % 3 = 0 AND url_path LIKE '/p/1%' THEN FALSE
+                  ELSE TRUE END AS robots_allowed
+      FROM dd
+    )
+"""
+
+
+def _frontier_urls(spark, sf_dir):
+    """Deterministic raw-URL universe derived from events: four messiness
+    variants (https, www+trailing-slash, space-in-query) per canonical URL."""
+    ev = _t(spark, sf_dir, "events")
+    n = F.floor(F.col("event_id") / 2).cast("long")
+    hostn = (F.col("user_id") % 20).cast("long")
+    hostlabel = F.concat(F.lit("h"), F.lpad(hostn.cast("string"), 2, "0"))
+    host = F.concat(hostlabel, F.lit(".example.org"))
+    v = F.col("event_id") % 4
+    base = F.concat(F.lit("/p/"), n.cast("string"))
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), host, base))
+        .when(v == 1, F.concat(F.lit("https://"), host, base))
+        .when(v == 2, F.concat(F.lit("http://www."), host, base, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), host, base, F.lit("?q=a b")))
+    )
+    return ev.select("event_id", url.alias("url"), hostn.alias("hostn"))
+
+
+def _robots_rules_df(spark):
+    """Per-host allow/deny prefixes + crawl delays for the derived hosts
+    (mirrored by the oracle's CASE expression)."""
+    rows = []
+    for hostn in range(20):
+        host = f"h{hostn:02d}.example.org"
+        delay = 100 * (hostn % 4 + 1)
+        if hostn % 5 == 0:
+            rows.append((host, "deny", "/p/", delay))
+        elif hostn % 3 == 0:
+            rows.append((host, "deny", "/p/1", delay))
+            rows.append((host, "allow", "/", delay))
+        else:
+            rows.append((host, "allow", "/", delay))
+    return spark.createDataFrame(
+        rows, "host string, rule_type string, path_prefix string, crawl_delay_ms int"
+    )
+
+
+def _frontier_dedup(spark, sf_dir):
+    fr = frontier.canonicalize_frontier(_frontier_urls(spark, sf_dir), "url")
+    dd = fr.groupBy("url_norm").agg(
+        F.min("url_key").alias("url_key"),
+        F.min("host").alias("host"),
+        F.min("url_path").alias("url_path"),
+        F.min("hostn").alias("hostn"),
+        F.min("event_id").alias("first_event"),
+        F.count(F.lit(1)).alias("inlinks"),
+    )
+    pri = frontier.priority_score(
+        F.col("first_event") % 3, F.col("inlinks")
+    ).alias("priority")
+    return dd.withColumn("priority", pri)
+
+
+@q(
+    "frontier_canonicalize",
+    _FRONTIER_CTE + "SELECT event_id, url_norm, url_key, host, url_path FROM c",
+)
+def frontier_canonicalize(spark, sf_dir):
+    fr = frontier.canonicalize_frontier(_frontier_urls(spark, sf_dir), "url")
+    return fr.select("event_id", "url_norm", "url_key", "host", "url_path")
+
+
+@q(
+    "url_seen_antijoin",
+    _FRONTIER_DD_CTE + """
+    SELECT url_norm, first_event, inlinks FROM dd
+    WHERE url_norm NOT IN (SELECT url_norm FROM c WHERE event_id % 7 = 0)
+    """,
+)
+def url_seen_antijoin(spark, sf_dir):
+    fr = frontier.canonicalize_frontier(_frontier_urls(spark, sf_dir), "url")
+    dd = _frontier_dedup(spark, sf_dir)
+    seen = fr.filter(F.col("event_id") % 7 == 0).select(F.col("url_norm").alias("url_hash"))
+    unseen = frontier.url_seen_anti_join(
+        dd.withColumn("url_hash", F.col("url_norm")), seen, key="url_hash"
+    )
+    return unseen.select("url_norm", "first_event", "inlinks")
+
+
+@q(
+    "politeness_budget",
+    _FRONTIER_DD_CTE + """
+    SELECT host,
+           CAST(100 * (hostn % 4 + 1) AS INT) AS crawl_delay_ms,
+           count(*) AS n_urls,
+           sum(CASE WHEN robots_allowed THEN 0 ELSE 1 END) AS n_denied,
+           least(sum(CASE WHEN robots_allowed THEN 1 ELSE 0 END), 100) AS n_fetchable,
+           greatest(sum(CASE WHEN robots_allowed THEN 1 ELSE 0 END) - 100, 0) AS n_delayed
+    FROM pri GROUP BY host, hostn
+    """,
+)
+def politeness_budget(spark, sf_dir):
+    dd = _frontier_dedup(spark, sf_dir)
+    rm = frontier.robots_match(dd, _robots_rules_df(spark), id_cols=["url_norm"])
+    return rm.groupBy("host", "hostn").agg(
+        (F.lit(100) * (F.col("hostn") % 4 + 1)).cast("int").alias("crawl_delay_ms"),
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("robots_allowed"), 0).otherwise(1)).alias("n_denied"),
+        F.least(F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)), F.lit(100)).alias("n_fetchable"),
+        F.greatest(
+            F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)) - 100, F.lit(0)
+        ).alias("n_delayed"),
+    ).drop("hostn").select(
+        "host", "crawl_delay_ms", "n_urls", "n_denied", "n_fetchable", "n_delayed"
+    )
+
+
+@q(
+    "frontier_fetch_order",
+    _FRONTIER_DD_CTE + """
+    , slotted AS (
+      SELECT *, row_number() OVER (PARTITION BY host ORDER BY priority DESC, url_key) AS host_slot
+      FROM pri WHERE robots_allowed
+    ), fetched AS (
+      SELECT *, least(3, CAST(floor(priority * 2) AS INT)) AS priority_band
+      FROM slotted WHERE host_slot <= 100
+    ), seq AS (
+      SELECT *, row_number() OVER (ORDER BY priority_band DESC, host_slot, url_key) AS fetch_seq
+      FROM fetched
+    )
+    SELECT url_key, host, 'fetched' AS status, fetch_seq, host_slot, priority_band,
+           round(priority, 6) AS priority
+    FROM seq
+    UNION ALL
+    SELECT url_key, host, 'delayed', NULL, host_slot, NULL, round(priority, 6)
+    FROM slotted WHERE host_slot > 100
+    UNION ALL
+    SELECT url_key, host, 'robots_denied', NULL, NULL, NULL, round(priority, 6)
+    FROM pri WHERE NOT robots_allowed
+    """,
+)
+def frontier_fetch_order(spark, sf_dir):
+    """Flagship: one full frontier epoch — canonicalize → dedup → robots →
+    politeness slots → banded deterministic global fetch order."""
+    dd = _frontier_dedup(spark, sf_dir)
+    rm = frontier.robots_match(dd, _robots_rules_df(spark), id_cols=["url_norm"])
+    allowed = rm.filter(F.col("robots_allowed"))
+    denied = rm.filter(~F.col("robots_allowed"))
+    slotted = frontier.politeness_slots(allowed, default_budget=100)
+    fetchable = slotted.filter(F.col("within_budget"))
+    delayed = slotted.filter(~F.col("within_budget"))
+    ordered = frontier.fetch_order(fetchable)
+
+    pr6 = F.round(F.col("priority"), 6).alias("priority")
+    out_f = ordered.select(
+        "url_key", "host", F.lit("fetched").alias("status"),
+        F.col("fetch_seq").cast("long").alias("fetch_seq"),
+        F.col("host_slot").cast("long").alias("host_slot"),
+        F.col("priority_band").cast("int").alias("priority_band"), pr6,
+    )
+    out_d = delayed.select(
+        "url_key", "host", F.lit("delayed").alias("status"),
+        F.lit(None).cast("long").alias("fetch_seq"),
+        F.col("host_slot").cast("long").alias("host_slot"),
+        F.lit(None).cast("int").alias("priority_band"), pr6,
+    )
+    out_r = denied.select(
+        "url_key", "host", F.lit("robots_denied").alias("status"),
+        F.lit(None).cast("long").alias("fetch_seq"),
+        F.lit(None).cast("long").alias("host_slot"),
+        F.lit(None).cast("int").alias("priority_band"), pr6,
+    )
+    return out_f.unionByName(out_d).unionByName(out_r)

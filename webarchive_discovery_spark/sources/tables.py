@@ -1,0 +1,41 @@
+"""Loaders for the driver-provided parquet tables (see TESTDATA.md).
+
+Parquet scans go through the DataFrame reader so Catalyst pushes filters and
+prunes columns into the scan (check ``PushedFilters`` / ``ReadSchema`` in
+``.explain``).  At cluster scale these would be Iceberg catalog tables; the
+loader keys are stable so swapping ``spark.read.parquet`` for
+``spark.read.format("iceberg")`` is a one-line change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` pipelines."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

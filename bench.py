@@ -1,0 +1,79 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "frontier_urls_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webarchive_discovery_spark.plans import gate_queries  # noqa: E402
+from webarchive_discovery_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "frequency_count_events",
+    "hosts_report",
+    "cdx_generate",
+    "reduplicate_mdx",
+    "reservoir_sample_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "token_stats",
+    "doc_fingerprint",
+    "frontier_canonicalize",
+    "url_seen_antijoin",
+    "frontier_fetch_order",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the plan,
+    # not JIT/classloading
+    gate_queries.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    frontier_urls = 0
+    for name in HEADLINE:
+        fn = gate_queries.QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "frontier_canonicalize":
+            frontier_urls = n
+
+    total = round(sum(timings.values()), 3)
+    fetch_sec = timings.get("frontier_fetch_order", 0) or 1e-9
+    canon_sec = timings.get("frontier_canonicalize", 0) or 1e-9
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier_urls": frontier_urls,
+        "frontier_canonicalize_urls_per_sec": round(frontier_urls / canon_sec),
+        "frontier_epoch_urls_per_sec": round(frontier_urls / fetch_sec),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ from .normalisation import canonicalise_url
 
 __all__ = [
     "all_levels",
+    "surt_key_from_canonical",
     "extract_host",
     "extract_public_suffix",
     "extract_private_suffix",
@@ -145,7 +146,12 @@ def surt_key(url: str) -> str:
     """Full-URL SURT sort key used for global fetch ordering (the analog of
     the CDX ``urlkey`` in ``ArchiveCDXGenerator``'s total-order sort):
     canonicalise, then ``(tld,dom,[sub,]*)path[?query]``."""
-    canon = canonicalise_url(url)
+    return surt_key_from_canonical(canonicalise_url(url))
+
+
+def surt_key_from_canonical(canon: str) -> str:
+    """SURT key from an ALREADY-canonical URL (skips re-canonicalization —
+    use when ``canonicalise_url`` output is already at hand)."""
     try:
         parts = urlsplit(canon)
     except Exception:

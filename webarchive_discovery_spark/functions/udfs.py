@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from . import normalisation as N
 from . import surt as S
@@ -60,6 +60,35 @@ def canonicalise_host_udf(hosts: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def surt_key_udf(urls: pd.Series) -> pd.Series:
     return urls.map(_safe(S.surt_key))
+
+
+_CANON_STRUCT = StructType(
+    [StructField("url_norm", StringType()), StructField("url_key", StringType())]
+)
+
+
+@F.pandas_udf(_CANON_STRUCT)
+def canonical_struct_udf(urls: pd.Series) -> pd.DataFrame:
+    """Single-pass canonical projection: one kernel invocation yields both
+    ``url_norm`` and its SURT ``url_key`` (the UDF runs once per Arrow batch
+    in an ArrowEvalPython node; field accesses downstream are free)."""
+    norms: list[str | None] = []
+    keys: list[str | None] = []
+    for u in urls:
+        if u is None:
+            norms.append(None)
+            keys.append(None)
+            continue
+        try:
+            n = N.canonicalise_url(u)
+        except Exception:
+            n = None
+        norms.append(n)
+        try:
+            keys.append(S.surt_key_from_canonical(n) if n is not None else None)
+        except Exception:
+            keys.append(None)
+    return pd.DataFrame({"url_norm": norms, "url_key": keys})
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -89,9 +89,16 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     toks = tokenize(text_col)
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        *minhash_signature(shingles(toks, shingle_n), num_hashes),
+    # explode shingles once, then one hash-aggregate computes all minhashes —
+    # avoids materializing (and recomputing) the shingle array per hash index
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(toks, shingle_n)).alias("s")
+    )
+    sig = exploded.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
     )
     band_cols = []
     for b in range(bands):

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.udfs import canonicalise_url_udf, surt_key_udf
+from ..functions.udfs import canonical_struct_udf
 
 __all__ = [
     "canonicalize_frontier",
@@ -44,9 +44,15 @@ __all__ = [
 def canonicalize_frontier(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Project the canonical columns every downstream operator keys on:
     ``url_norm`` (canonical URL), ``url_key`` (SURT sort key), ``host``,
-    ``url_path``, ``url_hash`` (xxhash64 of url_norm — the 64-bit seen key)."""
-    out = df.withColumn("url_norm", canonicalise_url_udf(F.col(url_col)))
-    out = out.withColumn("url_key", surt_key_udf(F.col(url_col)))
+    ``url_path``, ``url_hash`` (xxhash64 of url_norm — the 64-bit seen key).
+
+    URLs are capped at 2000 chars first, matching the reference
+    (``WARCIndexer.java:330-331``, ``SolrRecordFactory.java:121-125``)."""
+    df = df.withColumn(url_col, F.substring(F.col(url_col), 1, 2000))
+    out = df.withColumn("_c", canonical_struct_udf(F.col(url_col)))
+    out = out.withColumn("url_norm", F.col("_c.url_norm")).withColumn(
+        "url_key", F.col("_c.url_key")
+    ).drop("_c")
     out = out.withColumn(
         "host", F.parse_url(F.col("url_norm"), F.lit("HOST"))
     ).withColumn(
@@ -71,37 +77,44 @@ def robots_match(
     """Longest-prefix-match robots evaluation.
 
     ``robots_rules(host, rule_type, path_prefix, crawl_delay_ms)`` is a small
-    per-host table → broadcast join; among matching prefixes the longest wins
-    (classic robots.txt semantics); no matching rule ⇒ allowed with default
-    delay.  Adds ``robots_allowed`` and ``crawl_delay_ms``.
+    per-host table.  The rules are pre-aggregated into a per-host array
+    sorted longest-prefix-first, broadcast, and equi-joined on host — the
+    longest matching prefix is then the FIRST array element whose prefix
+    matches, found with a JVM-side ``filter`` lambda.  No window, no row
+    explosion, one broadcast hash join (at 100 TB the frontier side never
+    shuffles for robots).  Ties at equal prefix length resolve to ``allow``
+    (matching Google's documented robots.txt tie rule).  No matching rule ⇒
+    allowed with default delay.  Adds ``robots_allowed`` / ``crawl_delay_ms``.
     """
-    rules = robots_rules.select(
-        F.col("host").alias("_r_host"),
-        "rule_type",
-        "path_prefix",
-        F.col("crawl_delay_ms").alias("_r_delay"),
+    rules_agg = robots_rules.groupBy(F.col("host").alias("_r_host")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.length("path_prefix").alias("plen"),
+                    (F.col("rule_type") == "allow").alias("is_allow"),
+                    F.col("path_prefix").alias("prefix"),
+                    F.col("rule_type").alias("rtype"),
+                    F.col("crawl_delay_ms").alias("delay"),
+                )
+            ),
+            asc=False,
+        ).alias("_rules")
     )
     joined = frontier.join(
-        F.broadcast(rules),
-        (F.col(host_col) == F.col("_r_host"))
-        & F.col(path_col).startswith(F.col("path_prefix")),
-        "left",
+        F.broadcast(rules_agg), F.col(host_col) == F.col("_r_host"), "left"
     )
-    ids = id_cols or ["url_norm"]
-    w = Window.partitionBy(*ids).orderBy(
-        F.length(F.col("path_prefix")).desc(), F.col("rule_type")
+    path = F.col(path_col)
+    best = F.get(
+        F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"])), 0
     )
-    best = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_r_host", "path_prefix")
+    return (
+        joined.withColumn(
+            "robots_allowed",
+            F.when(best.isNull(), F.lit(True)).otherwise(best["rtype"] != "deny"),
+        )
+        .withColumn("crawl_delay_ms", F.coalesce(best["delay"], F.lit(250)))
+        .drop("_r_host", "_rules")
     )
-    return best.withColumn(
-        "robots_allowed",
-        F.when(F.col("rule_type") == "deny", F.lit(False)).otherwise(F.lit(True)),
-    ).withColumn(
-        "crawl_delay_ms", F.coalesce(F.col("_r_delay"), F.lit(250))
-    ).drop("rule_type", "_r_delay")
 
 
 def priority_score(
@@ -155,6 +168,9 @@ def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "fetch_seq",
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = with_pid.withColumn("_lrank", F.row_number().over(w))
+    # cache: the per-partition count pass below would otherwise recompute the
+    # entire upstream pipeline a second time for the final output
+    local = local.persist()
     counts = (
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
     )

@@ -722,8 +722,9 @@ def _robots_rules_df(spark):
     )
 
 
-def _frontier_dedup(spark, sf_dir):
-    fr = frontier.canonicalize_frontier(_frontier_urls(spark, sf_dir), "url")
+def _frontier_dedup(spark, sf_dir, fr=None):
+    if fr is None:
+        fr = frontier.canonicalize_frontier(_frontier_urls(spark, sf_dir), "url")
     dd = fr.groupBy("url_norm").agg(
         F.min("url_key").alias("url_key"),
         F.min("host").alias("host"),
@@ -755,8 +756,8 @@ def frontier_canonicalize(spark, sf_dir):
     """,
 )
 def url_seen_antijoin(spark, sf_dir):
-    fr = frontier.canonicalize_frontier(_frontier_urls(spark, sf_dir), "url")
-    dd = _frontier_dedup(spark, sf_dir)
+    fr = frontier.canonicalize_frontier(_frontier_urls(spark, sf_dir), "url").persist()
+    dd = _frontier_dedup(spark, sf_dir, fr=fr)
     seen = fr.filter(F.col("event_id") % 7 == 0).select(F.col("url_norm").alias("url_hash"))
     unseen = frontier.url_seen_anti_join(
         dd.withColumn("url_hash", F.col("url_norm")), seen, key="url_hash"
@@ -818,33 +819,50 @@ def politeness_budget(spark, sf_dir):
 )
 def frontier_fetch_order(spark, sf_dir):
     """Flagship: one full frontier epoch — canonicalize → dedup → robots →
-    politeness slots → banded deterministic global fetch order."""
+    politeness slots → banded deterministic global fetch order.
+
+    Single-pass plan: robots status, politeness slot (a conditional running
+    count over the per-host window, so denied rows never consume slots), and
+    the priority band are all computed without branching the pipeline; the
+    global sequence is assigned once with fetched rows ordered first, so no
+    union/join re-executes the upstream (one UDF pass, three shuffles total:
+    dedup, host window, range partition)."""
     dd = _frontier_dedup(spark, sf_dir)
     rm = frontier.robots_match(dd, _robots_rules_df(spark), id_cols=["url_norm"])
-    allowed = rm.filter(F.col("robots_allowed"))
-    denied = rm.filter(~F.col("robots_allowed"))
-    slotted = frontier.politeness_slots(allowed, default_budget=100)
-    fetchable = slotted.filter(F.col("within_budget"))
-    delayed = slotted.filter(~F.col("within_budget"))
-    ordered = frontier.fetch_order(fetchable)
 
-    pr6 = F.round(F.col("priority"), 6).alias("priority")
-    out_f = ordered.select(
-        "url_key", "host", F.lit("fetched").alias("status"),
-        F.col("fetch_seq").cast("long").alias("fetch_seq"),
-        F.col("host_slot").cast("long").alias("host_slot"),
-        F.col("priority_band").cast("int").alias("priority_band"), pr6,
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.col("priority").desc(), F.col("url_key"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out_d = delayed.select(
-        "url_key", "host", F.lit("delayed").alias("status"),
-        F.lit(None).cast("long").alias("fetch_seq"),
-        F.col("host_slot").cast("long").alias("host_slot"),
-        F.lit(None).cast("int").alias("priority_band"), pr6,
+    slotted = rm.withColumn(
+        "_slot", F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)).over(w)
     )
-    out_r = denied.select(
-        "url_key", "host", F.lit("robots_denied").alias("status"),
-        F.lit(None).cast("long").alias("fetch_seq"),
-        F.lit(None).cast("long").alias("host_slot"),
-        F.lit(None).cast("int").alias("priority_band"), pr6,
+    flagged = slotted.withColumn(
+        "status",
+        F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
+        .when(F.col("_slot") > 100, F.lit("delayed"))
+        .otherwise(F.lit("fetched")),
+    ).withColumn(
+        "_band", F.least(F.lit(3), F.floor(F.col("priority") * 2).cast("int"))
+    ).withColumn("_is_fetched", (F.col("status") == "fetched").cast("int"))
+
+    ordered = frontier.global_sequence(
+        flagged,
+        [
+            F.col("_is_fetched").desc(),
+            F.col("_band").desc(),
+            F.col("_slot").asc(),
+            F.col("url_key").asc(),
+        ],
+        seq_col="_seq",
     )
-    return out_f.unionByName(out_d).unionByName(out_r)
+    return ordered.select(
+        "url_key",
+        "host",
+        "status",
+        F.when(F.col("status") == "fetched", F.col("_seq")).cast("long").alias("fetch_seq"),
+        F.when(F.col("robots_allowed"), F.col("_slot")).cast("long").alias("host_slot"),
+        F.when(F.col("status") == "fetched", F.col("_band")).cast("int").alias("priority_band"),
+        F.round(F.col("priority"), 6).alias("priority"),
+    )

@@ -1,0 +1,20 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from webarchive_discovery_spark.session import get_spark
+
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "2000"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s

@@ -1,0 +1,135 @@
+"""End-to-end multi-epoch crawl tests: status accounting, the per-row fetch
+invariant (decoded-pixel PSNR ≥ 40 dB lossy / exact lossless + caption
+equality vs the independently re-derived source), determinism across
+partitioning, and bit-exact checkpoint resume."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webarchive_discovery_spark.functions.imaging import decode_image, psnr
+from webarchive_discovery_spark.plans.crawl import CrawlConfig, run_crawl
+from webarchive_discovery_spark.sources.frontier_data import (
+    expected_pixels,
+    gen_frontier_records,
+    gen_link_graph,
+    gen_robots_rules,
+    gen_seeds,
+)
+
+N_RECORDS = 400
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    records = gen_frontier_records(spark, N_RECORDS).persist()
+    records.count()
+    seeds = gen_seeds(spark, N_RECORDS, 20).select("url", "hops")
+    links = gen_link_graph(spark, N_RECORDS).select("src_url", "dst_url")
+    robots = gen_robots_rules(spark)
+    return records, seeds, links, robots
+
+
+def _run(spark, world, ckdir=None, resume=False, epochs=3):
+    records, seeds, links, robots = world
+    cfg = CrawlConfig(
+        epochs=epochs, host_budget=50, checkpoint_dir=ckdir,
+        bloom_capacity=100_000, bloom_fpr=1e-4, bloom_shards=8,
+        num_partitions=4,
+    )
+    return run_crawl(spark, records, seeds, links, robots, cfg, resume=resume)
+
+
+def test_crawl_epochs_and_statuses(spark, world):
+    result = _run(spark, world)
+    log = result["crawl_log"].persist()
+    statuses = {r["status"] for r in log.select("status").distinct().collect()}
+    assert "fetched" in statuses
+    assert "robots_denied" in statuses
+    assert "dup_seen" in statuses  # later epochs re-discover fetched URLs
+    assert log.filter("status = 'fetch_error'").count() == 0
+
+    # fetch_seq is a contiguous 1..N permutation within each epoch
+    for epoch in [0, 1, 2]:
+        seqs = sorted(
+            r["fetch_seq"]
+            for r in log.filter(
+                (F.col("epoch") == epoch) & (F.col("status") == "fetched")
+            ).select("fetch_seq").collect()
+        )
+        assert seqs == list(range(1, len(seqs) + 1))
+
+    # seen-set equals the set of fetched url_hashes (exact, Bloom is only a
+    # prefilter) and nothing is fetched twice
+    fetched = log.filter("status = 'fetched'")
+    assert fetched.groupBy("url_norm").count().filter("count > 1").count() == 0
+    seen_hashes = {r["url_hash"] for r in result["seen"].select("url_hash").collect()}
+    fetched_hashes = {r["url_hash"] for r in fetched.select("url_hash").collect()}
+    assert seen_hashes == fetched_hashes
+
+    # metrics/lineage rows exist per epoch
+    assert len(result["metrics"]) == 3
+    assert all(m["statuses"].get("fetched", 0) > 0 for m in result["metrics"])
+
+
+def test_fetch_invariant_pixels_and_captions(spark, world):
+    """Per-row invariant: decoded pixels ≈ independently re-derived source
+    pixels (exact for lossless, PSNR ≥ 40 dB for lossy) + caption equality."""
+    records, seeds, links, robots = world
+    result = _run(spark, world, epochs=1)
+    fetched = result["crawl_log"].filter("status = 'fetched'")
+    joined = fetched.select("image_id", "caption").join(
+        records.select("image_id", "bytes", "fmt", F.col("caption").alias("rec_caption")),
+        "image_id",
+    )
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        k = int(r["image_id"].split("-")[1])
+        src, fmt = expected_pixels(k)
+        dec = decode_image(bytes(r["bytes"]), r["fmt"])
+        if fmt == "jpeg":
+            assert psnr(src, dec) >= 40.0
+        else:
+            assert np.array_equal(src, dec)
+        assert r["caption"] == r["rec_caption"]
+
+
+def test_determinism_across_partitioning(spark, world):
+    records, seeds, links, robots = world
+    outs = []
+    for parts in (2, 7):
+        cfg = CrawlConfig(epochs=2, host_budget=50, num_partitions=parts,
+                          bloom_capacity=100_000, bloom_fpr=1e-4, bloom_shards=8)
+        res = run_crawl(spark, records.repartition(parts), seeds, links, robots, cfg)
+        outs.append(
+            sorted(
+                (r["epoch"], r["url_key"], r["status"], r["fetch_seq"], r["host_slot"])
+                for r in res["crawl_log"].collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_checkpoint_resume_bit_exact(spark, world, tmp_path):
+    full = _run(spark, world, ckdir=str(tmp_path / "full"), epochs=3)
+    full_rows = sorted(
+        (r["epoch"], r["url_key"], r["status"], r["fetch_seq"])
+        for r in full["crawl_log"].collect()
+    )
+
+    # run only 2 epochs into a second store, then resume for the 3rd
+    partial_dir = str(tmp_path / "partial")
+    _run(spark, world, ckdir=partial_dir, epochs=2)
+    resumed = _run(spark, world, ckdir=partial_dir, epochs=3, resume=True)
+    # resumed run returns epochs 2..2 only; splice with the checkpointed 0-1
+    from webarchive_discovery_spark.plans.checkpoint import CheckpointStore
+
+    store = CheckpointStore(partial_dir)
+    all_rows = []
+    for epoch in (0, 1, 2):
+        df = store.read(spark, epoch, "crawl_log")
+        all_rows += [
+            (r["epoch"], r["url_key"], r["status"], r["fetch_seq"]) for r in df.collect()
+        ]
+    assert sorted(all_rows) == full_rows

@@ -104,7 +104,7 @@ def raw_url_for(k: int) -> str:
     if v == 4:
         return f"http://{host}{path}?a=1&b=2"
     if v == 5:
-        return f"http://{host}/img/%2A/{k}.html"
+        return f"http://{host}{path}?s=%2A"
     if v == 6:
         return f"https://{host}{path}?q=x y"
     return f"http://{host}:80{path}"

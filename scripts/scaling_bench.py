@@ -1,0 +1,172 @@
+"""Two-cluster-size scaling evidence (north rule): run the identical frontier
+job at local[N] and local[4N] on the same input and report throughput at both
+plus scaling efficiency = speedup / (4N/N).
+
+No real cluster exists in this sandbox (BASELINE.md), so parallelism levels
+stand in for executor counts, each in its own subprocess/JVM.  Two measured
+properties of this VM shape the methodology (see BENCH/BASELINE.md):
+
+- the 32 advertised vCPUs saturate at ~20 effective cores (raw multiprocess
+  scaling: 1→4 3.8×, 4→16 3.6×, 16→32 1.4×), so the N→4N pair is 4→16 —
+  both inside the real capacity;
+- wall time fluctuates ~2× run-to-run (shared host), so each level runs
+  TRIALS times and the minimum (least-interference run) is reported.
+
+The job: canonicalize (Arrow UDF) → dedup → robots → politeness → banded
+global total-order sequence over the events-derived URL universe replicated
+REPLICATION× (hosts scale with volume — real frontiers have hosts ≫ cores).
+A full-shape warm-up at 2% compiles codegen/JIT and spawns Python workers
+outside the measured window (steady-state throughput).
+
+Usage: python scripts/scaling_bench.py [small] [large] [replication] [trials]
+Writes BENCH/BASELINE.md + BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+JOB = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F, Window
+from webarchive_discovery_spark.session import get_spark
+from webarchive_discovery_spark.operators import frontier
+
+cores = int(os.environ["CORES"])
+repl = int(os.environ["REPLICATION"])
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+
+ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+rep = ev.crossJoin(spark.range(repl).withColumnRenamed("id", "rep"))
+hostn = (F.col("user_id") % 20) * repl + F.col("rep")
+hostlabel = F.concat(F.lit("h"), F.lpad(hostn.cast("string"), 5, "0"))
+host = F.concat(hostlabel, F.lit(".example.org"))
+n = F.floor(F.col("event_id") / 2).cast("long")
+v = F.col("event_id") % 4
+basep = F.concat(F.lit("/p/"), n.cast("string"))
+url = (
+    F.when(v == 0, F.concat(F.lit("http://"), host, basep))
+    .when(v == 1, F.concat(F.lit("https://"), host, basep))
+    .when(v == 2, F.concat(F.lit("http://www."), host, basep, F.lit("/")))
+    .otherwise(F.concat(F.lit("https://"), host, basep, F.lit("?q=a b")))
+)
+urls = rep.select(
+    (F.col("event_id") * repl + F.col("rep")).alias("event_id"),
+    url.alias("url"), hostn.alias("hostn"),
+).repartition(cores * 2).localCheckpoint()
+
+rules = spark.range(20 * repl).selectExpr(
+    "concat('h', lpad(cast(id as string), 5, '0'), '.example.org') as host",
+    "case when id % 5 = 0 then 'deny' else 'allow' end as rule_type",
+    "case when id % 5 = 0 then '/p/' else '/' end as path_prefix",
+    "cast(100 * (id % 4 + 1) as int) as crawl_delay_ms",
+)
+
+def build(u):
+    fr = frontier.canonicalize_frontier(u, "url")
+    dd = fr.groupBy("url_norm").agg(
+        F.min("url_key").alias("url_key"), F.min("host").alias("host"),
+        F.min("url_path").alias("url_path"),
+        F.min("event_id").alias("first_event"), F.count(F.lit(1)).alias("inlinks"))
+    pri = dd.withColumn("priority",
+        frontier.priority_score(F.col("first_event") % 3, F.col("inlinks")))
+    rm = frontier.robots_match(pri, rules)
+    w = (Window.partitionBy("host")
+         .orderBy(F.col("priority").desc(), F.col("url_key"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    sl = rm.withColumn("slot",
+        F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)).over(w))
+    band = sl.withColumn("band", F.least(F.lit(3), F.floor(F.col("priority") * 2).cast("int")))
+    return frontier.global_sequence(
+        band, [F.col("band").desc(), F.col("slot").asc(), F.col("url_key").asc()],
+        num_partitions=cores)
+
+build(urls.sample(0.02, seed=1)).count()  # full-shape warm-up
+
+t0 = time.time()
+n_out = build(urls).count()
+sec = time.time() - t0
+print(json.dumps({"cores": cores, "urls": n_out, "sec": round(sec, 2),
+                  "urls_per_sec": round(n_out / sec)}))
+"""
+
+
+def run_level(cores: int, repl: int, trials: int) -> dict:
+    env = dict(os.environ, CORES=str(cores), REPLICATION=str(repl),
+               SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+               REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    runs = []
+    for _ in range(trials):
+        out = subprocess.run(
+            [sys.executable, "-c", JOB], env=env, capture_output=True, text=True,
+            timeout=1800,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"no output at cores={cores}:\n{out.stderr[-2000:]}")
+        runs.append(json.loads(lines[-1]))
+    best = min(runs, key=lambda r: r["sec"])
+    best["all_secs"] = [r["sec"] for r in runs]
+    return best
+
+
+def main():
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    large = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    repl = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    r_small = run_level(small, repl, trials)
+    r_large = run_level(large, repl, trials)
+    speedup = r_large["urls_per_sec"] / r_small["urls_per_sec"]
+    ideal = large / small
+    efficiency = speedup / ideal
+    report = {
+        "job": "frontier canonicalize→dedup→robots→politeness→global order",
+        "input_urls": r_small["urls"],
+        "levels": [r_small, r_large],
+        "trials": trials,
+        "speedup": round(speedup, 3),
+        "ideal_speedup": ideal,
+        "scaling_efficiency": round(efficiency, 3),
+        "criterion": ">= 0.8",
+        "pass": efficiency >= 0.8,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(report, f, indent=2)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — two-cluster-size scaling evidence\n\n"
+            "No real cluster exists in this sandbox (see BASELINE.md): the\n"
+            "north rule's N→4N executor criterion is evidenced by running the\n"
+            "IDENTICAL frontier job at two local parallelism levels on the same\n"
+            "input, each level in its own JVM, after a full-shape warm-up\n"
+            "(steady-state; codegen/JIT/Python-worker spawn excluded).\n\n"
+            "## Hardware reality of this sandbox (measured)\n\n"
+            "- 32 advertised vCPUs saturate at ~20 effective cores: raw\n"
+            "  multiprocess CPU scaling measured 1→4 = 3.8×, 4→16 = 3.6×,\n"
+            "  16→32 = 1.4×.  The N→4N pair is therefore 4→16 cores, both\n"
+            "  inside the real capacity.\n"
+            "- Wall time fluctuates up to ~2× run-to-run (shared host);\n"
+            "  each level runs {trials}× and the minimum is reported.\n\n".format(trials=trials)
+            + f"Job: {report['job']}\n\n"
+            "| cores | URLs | wall sec (min) | all trials | URLs/sec |\n|---|---|---|---|---|\n"
+            + "".join(
+                f"| local[{r['cores']}] | {r['urls']:,} | {r['sec']} | {r['all_secs']} | {r['urls_per_sec']:,} |\n"
+                for r in report["levels"]
+            )
+            + f"\nSpeedup {small}→{large} cores: **{report['speedup']}×** "
+            f"(ideal {ideal}×) → scaling efficiency **{report['scaling_efficiency']}** "
+            f"({'PASS' if report['pass'] else 'FAIL'} vs ≥0.8 criterion).\n"
+        )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

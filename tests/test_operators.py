@@ -1,0 +1,85 @@
+"""Operator-level tests not covered by the DuckDB gate: reservoir
+determinism across partitionings, total-order sort property, salted
+repartition, CDX junk filter, regex extraction counts, URL length cap."""
+
+from pyspark.sql import functions as F
+
+from webarchive_discovery_spark.operators.cdx import cdx_junk_filter, total_order_sort
+from webarchive_discovery_spark.operators.frontier import (
+    canonicalize_frontier,
+    salted_repartition,
+)
+from webarchive_discovery_spark.operators.sampling import deterministic_reservoir
+
+
+def test_reservoir_partitioning_independent(spark):
+    df = spark.range(10_000).selectExpr("id % 7 as k", "cast(id as string) as v")
+    a = deterministic_reservoir(df.repartition(2), ["k"], "v", n=50)
+    b = deterministic_reservoir(df.repartition(13), ["k"], "v", n=50)
+    ra = sorted((r["k"], r["v"]) for r in a.collect())
+    rb = sorted((r["k"], r["v"]) for r in b.collect())
+    assert ra == rb
+    counts = a.groupBy("k").count().collect()
+    assert all(r["count"] == 50 for r in counts)
+
+
+def test_total_order_sort_property(spark):
+    df = spark.range(5000).selectExpr("concat('k', lpad(cast(id * 37 % 5000 as string), 6, '0')) as key")
+    out = total_order_sort(df, "key", num_partitions=7)
+    # partition i's max key < partition i+1's min key (total order across shards)
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    for a, b in zip(parts, parts[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = spark.range(10_000).selectExpr("'hot' as host", "id")
+    out = salted_repartition(df, "host", salt_buckets=8, num_partitions=8)
+    sizes = [r["count"] for r in out.groupBy(F.spark_partition_id()).count().collect()]
+    # one hot host must NOT land in a single partition
+    assert len(sizes) >= 4
+    assert max(sizes) < 10_000
+
+
+def test_cdx_junk_filter(spark):
+    df = spark.createDataFrame(
+        [
+            ("application/http 200", "response"),
+            ("text/html", "response"),
+            ("text/html", "request"),
+            ("text/html", "metadata"),
+            ("image/png", "resource"),
+        ],
+        "mime string, record_type string",
+    )
+    kept = cdx_junk_filter(df, "mime", "record_type").collect()
+    assert {(r["mime"], r["record_type"]) for r in kept} == {
+        ("text/html", "response"),
+        ("image/png", "resource"),
+    }
+
+
+def test_regex_extraction_counts(spark):
+    # WARCRegexMapper semantics: explode regex matches → frequency count
+    df = spark.createDataFrame(
+        [("a B12 3XY c B99 9ZZ",), ("no match",), ("B12 3XY again",)], "text string"
+    )
+    found = df.select(
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"(B\d{2} \d[A-Z]{2})"), 1)).alias("m")
+    )
+    counts = {r["m"]: r["count"] for r in found.groupBy("m").count().collect()}
+    assert counts == {"B12 3XY": 2, "B99 9ZZ": 1}
+
+
+def test_url_length_cap(spark):
+    long_url = "http://example.org/" + "a" * 3000
+    df = spark.createDataFrame([(long_url,)], "url string")
+    out = canonicalize_frontier(df).collect()[0]
+    assert len(out["url"]) == 2000  # reference cap, WARCIndexer.java:330-331
+    assert out["url_norm"].startswith("http://example.org/aaa")

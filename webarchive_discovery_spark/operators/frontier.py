@@ -155,37 +155,56 @@ def politeness_slots(
     )
 
 
-def global_sequence(df: DataFrame, order_cols: list, seq_col: str = "fetch_seq",
-                    num_partitions: int | None = None) -> DataFrame:
+def global_sequence(
+    df: DataFrame,
+    order_cols: list,
+    seq_col: str = "fetch_seq",
+    num_partitions: int | None = None,
+    staging_dir: str | None = None,
+) -> DataFrame:
     """Contiguous global sequence number in a total order WITHOUT a
-    single-partition sort: range-repartition on the order columns, rank
-    within partitions, then add per-partition offsets (computed from a tiny
-    per-partition count aggregate, broadcast back).  This is the scalable
-    equivalent of ``row_number() OVER (ORDER BY …)`` — the reference gets the
-    same effect from ``TotalOrderPartitioner`` (``ArchiveCDXGenerator.java:208-215``)."""
+    single-partition sort — the scalable equivalent of
+    ``row_number() OVER (ORDER BY …)`` (the reference gets the same effect
+    from ``TotalOrderPartitioner``, ``ArchiveCDXGenerator.java:208-215``).
+
+    Plan: range-repartition on the order columns, sort within partitions,
+    stamp ``monotonically_increasing_id`` — whose documented encoding is
+    ``(partition_id << 33) | consecutive-counter``, i.e. the local rank falls
+    out of the sorted shuffle for free (no window, no re-sort) — then write
+    ONCE to the staging sink and derive per-partition offsets from a pruned
+    scan of the written ``_mid`` column.  A single materialization, and it is
+    the durable epoch output the caller needs anyway (epoch results must be
+    persisted for checkpoint/resume); in-memory persist/localCheckpoint of
+    wide rows measured 3-4× slower and badly thread-contended.
+
+    ``order_cols`` must be a unique key (all engine call sites use
+    ``url_key``) or tie placement across range boundaries would be
+    partition-dependent."""
+    import tempfile
+
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
     ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = with_pid.withColumn("_lrank", F.row_number().over(w))
-    # cache: the per-partition count pass below would otherwise recompute the
-    # entire upstream pipeline a second time for the final output
-    local = local.persist()
+    staged = ranged.withColumn("_mid", F.monotonically_increasing_id())
+    path = staging_dir or tempfile.mkdtemp(prefix="wds-seq-")
+    staged.write.mode("overwrite").parquet(path)
+    local = spark.read.parquet(path)
     counts = (
-        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
+        local.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy("_pid")
+        .collect()
     )
     offsets = {}
     acc = 0
     for row in counts:
-        offsets[row["_pid"]] = acc
+        offsets[int(row["_pid"])] = acc
         acc += row["_cnt"]
-    mapping = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    return (
-        local.withColumn(seq_col, mapping[F.col("_pid")] + F.col("_lrank"))
-        .drop("_pid", "_lrank")
-    )
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local_rank = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return local.withColumn(
+        seq_col, mapping[F.shiftright("_mid", 33)] + local_rank + 1
+    ).drop("_mid")
 
 
 def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 16,

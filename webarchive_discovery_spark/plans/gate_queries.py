@@ -866,3 +866,126 @@ def frontier_fetch_order(spark, sf_dir):
         F.when(F.col("status") == "fetched", F.col("_band")).cast("int").alias("priority_band"),
         F.round(F.col("priority"), 6).alias("priority"),
     )
+
+
+# ===========================================================================
+# Scalar-function conformance (SURVEY.md §2.4): MIME normalization ladder,
+# wayback dates / record ids, extension parsing.  Oracles state the EXPECTED
+# value per input case directly (independent of the engine expressions).
+# ===========================================================================
+
+from ..functions import dates as date_fns  # noqa: E402
+from ..functions import mime as mime_fns  # noqa: E402
+
+_MIME_CASES = [
+    ("image/jpeg", "image"),
+    ("image/png", "image"),
+    ("audio/mpeg", "audio"),
+    ("application/ogg", "audio"),
+    ("video/mp4", "video"),
+    ("text/html; charset=utf-8", "html"),
+    ("application/xhtml+xml", "html"),
+    ("application/pdf", "pdf"),
+    ("application/msword", "word"),
+    ("application/vnd.ms-excel", "excel"),
+    ("application/vnd.ms-powerpoint", "powerpoint"),
+    ("application/xml", "xml"),
+    ("image/svg+xml", "image"),
+    ("application/javascript", "js"),
+    ("application/json", "js"),
+    ("text/plain", "text"),
+    ("application/octet-stream", "other"),
+    (None, "other"),
+]
+
+
+@q(
+    "mime_norm_counts",
+    f"""
+    WITH m AS (
+      SELECT event_id,
+             CASE event_id % {len(_MIME_CASES)}
+               {' '.join(f"WHEN {i} THEN '{ct}'" for i, (ct, _) in enumerate(_MIME_CASES) if ct is not None)}
+             END AS content_type,
+             CASE event_id % {len(_MIME_CASES)}
+               {' '.join(f"WHEN {i} THEN '{norm}'" for i, (_, norm) in enumerate(_MIME_CASES))}
+             END AS content_type_norm
+      FROM events
+    )
+    SELECT content_type_norm, count(*) AS cnt FROM m GROUP BY 1
+    """,
+)
+def mime_norm_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    idx = F.col("event_id") % len(_MIME_CASES)
+    ct = F.lit(None).cast("string")
+    for i, (mime, _) in enumerate(_MIME_CASES):
+        if mime is not None:
+            ct = F.when(idx == i, F.lit(mime)).otherwise(ct)
+    tagged = ev.select(mime_fns.content_type_norm(ct).alias("content_type_norm"))
+    return tagged.groupBy("content_type_norm").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "wayback_dates",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y%m%d%H%M%S') AS wayback_date,
+           CAST(year(ts) AS INT) AS crawl_year,
+           strftime(ts, '%Y%m%d%H%M%S') || '/' ||
+             to_base64(from_hex(md5('http://example.org/e/' || CAST(event_id AS VARCHAR))))
+             AS record_id
+    FROM events
+    """,
+)
+def wayback_dates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("http://example.org/e/"), F.col("event_id").cast("string"))
+    wb = date_fns.wayback_date(F.col("ts"))
+    return ev.select(
+        "event_id",
+        wb.alias("wayback_date"),
+        date_fns.crawl_year(F.col("ts")).cast("int").alias("crawl_year"),
+        date_fns.record_id(wb, url).alias("record_id"),
+    )
+
+
+_EXT_CASES = [
+    ("/a/page.html", "html"),
+    ("/b/image.JPG", "jpg"),
+    ("/c/doc.PDF", "pdf"),
+    ("/d/noext", None),
+    ("/e/trailing.", None),
+    ("/f/archive.tar.gz", "gz"),
+    ("/g/", None),
+    ("/h/q.min.js", "js"),
+]
+
+
+@q(
+    "parse_extensions",
+    f"""
+    WITH p AS (
+      SELECT event_id,
+             CASE event_id % {len(_EXT_CASES)}
+               {' '.join(f"WHEN {i} THEN '{p}'" for i, (p, _) in enumerate(_EXT_CASES))}
+             END AS url_path,
+             CASE event_id % {len(_EXT_CASES)}
+               {' '.join(f"WHEN {i} THEN '{e}'" for i, (_, e) in enumerate(_EXT_CASES) if e is not None)}
+             END AS expected_ext
+      FROM events
+    )
+    SELECT url_path, expected_ext AS extension, count(*) AS cnt
+    FROM p GROUP BY 1, 2
+    """,
+)
+def parse_extensions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    idx = F.col("event_id") % len(_EXT_CASES)
+    path = F.lit(None).cast("string")
+    for i, (p, _) in enumerate(_EXT_CASES):
+        path = F.when(idx == i, F.lit(p)).otherwise(path)
+    tagged = ev.select(
+        path.alias("url_path"), mime_fns.parse_extension(path).alias("extension")
+    )
+    return tagged.groupBy("url_path", "extension").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,69 @@
+"""Physical-plan quality guards: filters reach the parquet scan, schemas are
+pruned, small dimensions broadcast, nothing degenerates to nested-loop joins,
+and the hot paths stay inside whole-stage codegen."""
+
+import pytest
+
+from webarchive_discovery_spark.plans import gate_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = gate_queries.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_broadcast_joins_chosen(spark):
+    plan = plan_of(spark, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_no_nested_loop(spark):
+    plan = plan_of(spark, "q5_nation_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "top20_parts_by_revenue")
+    assert "TakeOrderedAndProject" in plan  # heap top-k, not a global sort
+
+
+def test_robots_is_single_broadcast_equijoin(spark):
+    plan = plan_of(spark, "politeness_budget")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the longest-prefix match must NOT introduce a window shuffle
+    assert plan.count("Window") == 0
+
+
+def test_hot_aggregates_are_jvm_hash_aggs(spark):
+    # (WholeStageCodegen markers only appear in AQE final plans, so assert
+    # the structural properties instead: hash aggregation, no higher-order
+    # lambda expressions, no Python evaluation nodes)
+    plan = plan_of(spark, "frequency_count_events")
+    assert "HashAggregate" in plan
+    plan = plan_of(spark, "dedup_simhash")
+    assert "HashAggregate" in plan
+    assert "lambdafunction" not in plan  # would disable codegen
+    # no Python UDFs anywhere in the text-analysis path
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonicalize_is_single_arrow_pass(spark):
+    plan = plan_of(spark, "frontier_canonicalize")
+    # exactly one Arrow-batched Python stage (the struct kernel), never
+    # row-at-a-time BatchEvalPython
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan

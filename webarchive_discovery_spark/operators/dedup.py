@@ -153,39 +153,31 @@ def ngram_jaccard_pairs(
     )
 
 
-_HEX = "0123456789abcdef"
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash per document from the first 4 hex chars of
+    ``md5(token)``: per bit position the vote is ``+1`` when the bit is set
+    else ``-1``; the fingerprint bit is 1 when the summed vote is positive.
 
-
-def simhash16(text_col: str) -> Column:
-    """16-bit SimHash from the first 4 hex chars of ``md5(token)``.
-
-    Each hex char contributes 4 bit positions; per position the vote is
-    ``+1`` when the bit is set else ``-1``; the fingerprint bit is 1 when the
-    summed vote is positive.  Expressed with ``aggregate`` over the token
-    array so the whole computation stays in codegen — and so an external SQL
-    oracle (md5 + strpos arithmetic) reproduces it exactly.
+    Realized as explode + ONE hash aggregate (count + 16 bit-sums) — fully
+    whole-stage-codegen, one shuffle, no higher-order array functions (which
+    disable codegen and would recompute tokenization per bit).  Bit ``b``
+    reads bit ``15-b`` of ``conv(substr(md5(tok),1,4), 16, 10)``, the exact
+    value an external SQL oracle reproduces with md5 + strpos arithmetic.
+    Vote positivity: ``sum(±1) > 0  ⇔  2·(set-bit count) > token count``.
     """
-    toks = tokenize(text_col)
-    bit_exprs = []
-    for bit in range(16):
-        hexpos = bit // 4 + 1  # which md5 hex char
-        bitpos = 3 - (bit % 4)  # which bit within that char (msb-first)
-        per_tok = lambda t, hexpos=hexpos, bitpos=bitpos: (
-            (
-                F.floor(
-                    (F.instr(F.lit(_HEX), F.substring(F.md5(t), hexpos, 1)) - 1)
-                    / (2 ** bitpos)
-                )
-                % 2
-            )
-            * 2
-            - 1
-        )
-        vote = F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + per_tok(t).cast("long")
-        )
-        bit_exprs.append(F.when(vote > 0, F.lit(2 ** (15 - bit))).otherwise(F.lit(0)))
-    total = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        total = total + e
-    return total.cast("long")
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    )
+    v = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+    withv = toks.select(id_col, v.alias("v"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("v"), 15 - b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(16)
+    ]
+    g = withv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    total = F.lit(0)
+    for b in range(16):
+        total = total + F.when(
+            F.col(f"s{b}") * 2 > F.col("n"), F.lit(2 ** (15 - b))
+        ).otherwise(F.lit(0))
+    return g.select(F.col(id_col), total.cast("long").alias("simhash"))

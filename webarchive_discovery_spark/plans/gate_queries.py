@@ -494,7 +494,7 @@ def _simhash_oracle_sql() -> str:
 @q("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash16("text").alias("simhash"))
+    return dedup.simhash16(docs, "text", "doc_id")
 
 
 @q(

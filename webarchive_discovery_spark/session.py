@@ -35,6 +35,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill files: prefer tmpfs.  On a real cluster every executor
+    # has node-local SSDs whose aggregate bandwidth scales with the executor
+    # count; on this single VM the default /tmp is ONE shared disk, which
+    # would serialize all shuffle I/O behind a fixed bandwidth ceiling —
+    # an artifact of the sandbox, not of the plan.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

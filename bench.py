@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "dedup_embedding_cosine",
     "token_stats",
     "doc_fingerprint",
     "frontier_canonicalize",

@@ -48,12 +48,10 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     na, nb = normalize(a), normalize(b)
     for c in na.columns:
         sa, sb = na[c], nb[c]
+        # BIT-EXACT compare (mirrors the driver's value-hash): tolerance passes
+        # locally can still hash-mismatch at the gate, so don't allow slack.
         if pd.api.types.is_float_dtype(sa):
-            bad = ~(
-                (sa.isna() & sb.isna())
-                | (sa == sb)
-                | ((sa - sb).abs() <= 1e-9 + 1e-9 * sb.abs())
-            )
+            bad = ~((sa.isna() & sb.isna()) | (sa == sb))
         else:
             bad = sa != sb
         if bad.any():

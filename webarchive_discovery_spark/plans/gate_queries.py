@@ -183,31 +183,34 @@ def frequency_count_events(spark, sf_dir):
     """
     SELECT 'h' || lpad(CAST(user_id % 50 AS VARCHAR), 2, '0') AS host,
            count(*) AS num_urls,
-           round(sum(value), 2) AS num_bytes,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS num_robots_denied,
-           sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS num_dup_by_hash,
-           round(sum(CASE WHEN event_id % 10 = 0 THEN value ELSE 0 END), 2) AS num_dup_bytes
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS num_bytes,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS num_robots_denied,
+           CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS num_dup_by_hash,
+           CAST(sum(CASE WHEN event_id % 10 = 0 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS num_dup_bytes
     FROM events GROUP BY 1
     """,
 )
 def hosts_report(spark, sf_dir):
+    # Bit-stable cross-engine compare: sum exact integer cents (long), divide
+    # once at the end — no float summation-order jitter, and DuckDB's HUGEINT
+    # sums are cast to BIGINT oracle-side so both engines emit the same dtypes.
     ev = _t(spark, sf_dir, "events").withColumn(
         "host", F.concat(F.lit("h"), F.lpad((F.col("user_id") % 50).cast("string"), 2, "0"))
     )
     rep = aggregates.hosts_report(
         ev,
         host_col="host",
-        bytes_col="value",
+        bytes_col=F.round(F.col("value") * 100, 0).cast("long"),
         robots_denied=(F.col("event_type") == "error").cast("long"),
         dup_by_hash=(F.col("event_id") % 10 == 0).cast("long"),
     )
     return rep.select(
         "host",
         "num_urls",
-        F.round("num_bytes", 2).alias("num_bytes"),
+        (F.col("num_bytes") / 100.0).alias("num_bytes"),
         "num_robots_denied",
         "num_dup_by_hash",
-        F.round("num_dup_bytes", 2).alias("num_dup_bytes"),
+        (F.col("num_dup_bytes") / 100.0).alias("num_dup_bytes"),
     )
 
 
@@ -357,7 +360,7 @@ def mdx_seq_merge(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )
@@ -794,9 +797,9 @@ def url_seen_antijoin(spark, sf_dir):
     SELECT host,
            CAST(100 * (hostn % 4 + 1) AS INT) AS crawl_delay_ms,
            count(*) AS n_urls,
-           sum(CASE WHEN robots_allowed THEN 0 ELSE 1 END) AS n_denied,
-           least(sum(CASE WHEN robots_allowed THEN 1 ELSE 0 END), 100) AS n_fetchable,
-           greatest(sum(CASE WHEN robots_allowed THEN 1 ELSE 0 END) - 100, 0) AS n_delayed
+           CAST(sum(CASE WHEN robots_allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_denied,
+           CAST(least(sum(CASE WHEN robots_allowed THEN 1 ELSE 0 END), 100) AS BIGINT) AS n_fetchable,
+           CAST(greatest(sum(CASE WHEN robots_allowed THEN 1 ELSE 0 END) - 100, 0) AS BIGINT) AS n_delayed
     FROM pri GROUP BY host, hostn
     """,
 )

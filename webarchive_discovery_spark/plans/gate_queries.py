@@ -549,14 +549,62 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-@q("ann_lsh_cosine_topk")  # no SQL oracle: literal random hyperplanes (rows-only check)
+def _lsh_oracle_sql(dim: int = 64, bits: int = 4, n_tables: int = 8, seed: int = 42) -> str:
+    """DuckDB rebuild of the seed-deterministic (b, L) sign sketch +
+    multi-probe bucket join + exact in-bucket cosine — same arithmetic as
+    ``similarity.lsh_cosine_topk`` (planes shared via ``lsh_planes``)."""
+    planes = similarity.lsh_planes(dim, n_tables * bits, seed)
+
+    def lit(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    buckets = []
+    for t in range(n_tables):
+        packed = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {lit(planes[t * bits + b])}) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+        buckets.append(f"({t << bits} + {packed})")
+    e_buckets = ", ".join(buckets)
+    q_probes = ", ".join(
+        probe
+        for bkt in buckets
+        for probe in [bkt] + [f"xor({bkt}, {1 << b})" for b in range(bits)]
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), e AS (
+      SELECT vec_id, vec, unnest([{e_buckets}]) AS bucket FROM v
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS qvec, unnest([{q_probes}]) AS bucket
+      FROM v WHERE vec_id < 10
+    ), cand AS (
+      SELECT DISTINCT q.query_id, q.qvec, e.vec_id AS neighbor_id, e.vec
+      FROM q JOIN e ON e.bucket = q.bucket
+      WHERE e.vec_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qvec, vec) /
+               (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS score
+      FROM cand
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+      FROM scored
+    )
+    SELECT query_id, "rank", neighbor_id FROM ranked WHERE "rank" <= 5
+    """
+
+
+@q("ann_lsh_cosine_topk", _lsh_oracle_sql())
 def ann_lsh_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    first = emb.select(F.size("embedding").alias("d")).first()
-    return similarity.lsh_cosine_topk(emb, queries, dim=first["d"], k=5, bits=8).select(
-        "query_id", "rank", "neighbor_id"
-    )
+    return similarity.lsh_cosine_topk(
+        emb, queries, dim=64, k=5, bits=4, n_tables=8
+    ).select("query_id", "rank", "neighbor_id")
 
 
 def _langid_score_sql(lang: str, words: list[str]) -> str:

@@ -101,6 +101,24 @@ print(json.dumps({"cores": cores, "urls": n_out, "sec": round(sec, 2),
 """
 
 
+def _reap_dead_tmpfs():
+    """Backstop cleanup for crashed JVMs only: live sessions clean their own
+    per-pid dirs at exit (session.py atexit + frontier.release_staging), so
+    only remove spark-local-<pid> dirs whose process is gone — never another
+    running session's live shuffle files."""
+    import glob as _glob
+    import shutil as _shutil
+
+    for d in _glob.glob("/dev/shm/wds-seq-*"):
+        pid = d.rsplit("/", 1)[-1].split("-")[2] if d.count("-") >= 2 else ""
+        if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+            _shutil.rmtree(d, ignore_errors=True)
+    for d in _glob.glob("/dev/shm/spark-local-*"):
+        pid = d.rsplit("-", 1)[-1]
+        if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+            _shutil.rmtree(d, ignore_errors=True)
+
+
 def run_level(cores: int, repl: int, trials: int) -> dict:
     # Heap scales with cores (3 GiB/core, floor 6): a real cluster adds
     # executor memory with every executor, so a fixed heap at both levels
@@ -119,11 +137,7 @@ def run_level(cores: int, repl: int, trials: int) -> dict:
         if not lines:
             raise RuntimeError(f"no output at cores={cores}:\n{out.stderr[-2000:]}")
         runs.append(json.loads(lines[-1]))
-        # reclaim tmpfs staging from the finished JVM before the next trial
-        import glob as _glob
-        import shutil as _shutil
-        for d in _glob.glob("/dev/shm/wds-seq-*") + _glob.glob("/dev/shm/spark-local/*"):
-            _shutil.rmtree(d, ignore_errors=True)
+        _reap_dead_tmpfs()
     best = min(runs, key=lambda r: r["sec"])
     best["all_secs"] = [r["sec"] for r in runs]
     return best
@@ -134,15 +148,33 @@ def main():
     large = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     repl = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    # full-envelope disclosure: also measure the next N→4N pair up so readers
+    # see where this VM's effective-core ceiling bends the curve, not only the
+    # passing pair (both pairs in the table; criterion applies to small→large)
+    envelope = (
+        [int(x) for x in sys.argv[5].split(",")] if len(sys.argv) > 5
+        else [small * 2, large * 2]
+    )
     r_small = run_level(small, repl, trials)
     r_large = run_level(large, repl, trials)
     speedup = r_large["urls_per_sec"] / r_small["urls_per_sec"]
     ideal = large / small
     efficiency = speedup / ideal
+    env_levels = [run_level(c, repl, max(2, trials - 1)) for c in envelope]
+    env_pairs = []
+    for a, b in zip(env_levels, env_levels[1:]):
+        s = b["urls_per_sec"] / a["urls_per_sec"]
+        env_pairs.append({
+            "pair": f"{a['cores']}->{b['cores']}",
+            "speedup": round(s, 3),
+            "efficiency": round(s / (b["cores"] / a["cores"]), 3),
+        })
     report = {
         "job": "frontier canonicalize→dedup→robots→politeness→global order",
         "input_urls": r_small["urls"],
         "levels": [r_small, r_large],
+        "envelope_levels": env_levels,
+        "envelope_pairs": env_pairs,
         "trials": trials,
         "speedup": round(speedup, 3),
         "ideal_speedup": ideal,
@@ -177,11 +209,21 @@ def main():
             "| cores | URLs | wall sec (min) | all trials | URLs/sec |\n|---|---|---|---|---|\n"
             + "".join(
                 f"| local[{r['cores']}] | {r['urls']:,} | {r['sec']} | {r['all_secs']} | {r['urls_per_sec']:,} |\n"
-                for r in report["levels"]
+                for r in report["levels"] + report["envelope_levels"]
             )
             + f"\nSpeedup {small}→{large} cores: **{report['speedup']}×** "
             f"(ideal {ideal}×) → scaling efficiency **{report['scaling_efficiency']}** "
-            f"({'PASS' if report['pass'] else 'FAIL'} vs ≥0.8 criterion).\n"
+            f"({'PASS' if report['pass'] else 'FAIL'} vs ≥0.8 criterion).\n\n"
+            "Full envelope (same job, same input — shows where this VM's\n"
+            "effective-core ceiling bends the curve; 8→32 measured ~0.09 in\n"
+            "round 1, consistent with 32 advertised vCPUs saturating ~16\n"
+            "effective cores):\n\n"
+            "| pair | speedup | efficiency |\n|---|---|---|\n"
+            + "".join(
+                f"| {p['pair']} | {p['speedup']}× | {p['efficiency']} |\n"
+                for p in [{"pair": f"{small}->{large}", "speedup": report["speedup"],
+                           "efficiency": report["scaling_efficiency"]}] + report["envelope_pairs"]
+            )
         )
     print(json.dumps(report))
 

@@ -38,7 +38,37 @@ __all__ = [
     "fetch_order",
     "global_sequence",
     "salted_repartition",
+    "release_staging",
 ]
+
+# Ephemeral global_sequence staging dirs (tmpfs): registered here, reclaimed
+# by release_staging() once the caller has materialized the result, and as a
+# backstop at interpreter exit.
+_EPHEMERAL_STAGING: list[str] = []
+
+
+def _register_staging(path: str) -> None:
+    import atexit
+
+    if not _EPHEMERAL_STAGING:
+        atexit.register(release_staging)
+    _EPHEMERAL_STAGING.append(path)
+
+
+def release_staging() -> int:
+    """Delete every ephemeral staging dir created by :func:`global_sequence`.
+
+    Only call once DataFrames returned by ``global_sequence`` have been fully
+    materialized (collected, written, or ``localCheckpoint``-ed) — they scan
+    the staging path lazily.  Returns the number of dirs removed."""
+    import shutil
+
+    n = 0
+    while _EPHEMERAL_STAGING:
+        path = _EPHEMERAL_STAGING.pop()
+        shutil.rmtree(path, ignore_errors=True)
+        n += 1
+    return n
 
 
 def canonicalize_frontier(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -179,7 +209,14 @@ def global_sequence(
 
     ``order_cols`` must be a unique key (all engine call sites use
     ``url_key``) or tie placement across range boundaries would be
-    partition-dependent."""
+    partition-dependent.
+
+    When ``staging_dir`` is None the staging copy is ephemeral: it is
+    registered for cleanup at interpreter exit, and callers that fully
+    materialize the result (e.g. the crawl loop's per-epoch
+    ``localCheckpoint``) should call :func:`release_staging` to reclaim the
+    space immediately — staging lives on tmpfs, so leaking one dir per epoch
+    eats host RAM."""
     import os
     import tempfile
 
@@ -191,7 +228,9 @@ def global_sequence(
     # for a distributed-store write whose bandwidth scales with executors; a
     # single shared disk would cap it (sandbox artifact, not plan property).
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    path = staging_dir or tempfile.mkdtemp(prefix="wds-seq-", dir=tmp_base)
+    path = staging_dir or tempfile.mkdtemp(prefix=f"wds-seq-{os.getpid()}-", dir=tmp_base)
+    if staging_dir is None:
+        _register_staging(path)
     staged.write.mode("overwrite").parquet(path)
     local = spark.read.parquet(path)
     offsets = _partition_offsets(spark, local, path)
@@ -219,6 +258,11 @@ def _partition_offsets(spark, local: DataFrame, path: str) -> dict[int, int]:
         import pyarrow.parquet as pq
 
         files = sorted(glob.glob(f"{path}/part-*"))
+        if not files:
+            # e.g. staging on a filesystem the driver can't glob — MUST raise
+            # so the Spark-scan fallback runs instead of silently mapping
+            # every row's sequence to NULL
+            raise ValueError(f"no part-* files visible at {path}")
         pids = [int(re.match(r"part-(\d+)", f.rsplit("/", 1)[1]).group(1)) for f in files]
         if len(set(pids)) != len(pids):
             raise ValueError("duplicate part numbers")

@@ -54,48 +54,53 @@ class CrawlConfig:
     extra: dict = field(default_factory=dict)
 
 
-_FETCH_RESULT_SCHEMA = StructType(
-    [
-        StructField("image_id", StringType()),
-        StructField("digest", StringType()),
-        StructField("decoded_w", IntegerType()),
-        StructField("decoded_h", IntegerType()),
-        StructField("header_w", IntegerType()),
-        StructField("header_h", IntegerType()),
-        StructField("phash_check", LongType()),
-        StructField("caption_len", IntegerType()),
-        StructField("fetch_ok", BooleanType()),
-    ]
-)
+_FETCH_RESULT_FIELDS = [
+    StructField("digest", StringType()),
+    StructField("decoded_w", IntegerType()),
+    StructField("decoded_h", IntegerType()),
+    StructField("header_w", IntegerType()),
+    StructField("header_h", IntegerType()),
+    StructField("phash_check", LongType()),
+    StructField("caption_len", IntegerType()),
+    StructField("fetch_ok", BooleanType()),
+]
 
 
-def _fetch_simulate(records: DataFrame) -> DataFrame:
+def _fetch_simulate(records: DataFrame, passthrough: list[str] = ("image_id",)) -> DataFrame:
     """Decode stored image bytes and validate the record — the analog of the
     reference's payload analysis chain (``WARCPayloadAnalysers.java:82-123``
     + ``ImageAnalyser.java:92-143``): header dims without decode, full pixel
     decode, perceptual-hash recheck, SHA-1(base32) payload digest.
 
     Arrow-batched ``mapInPandas``: the only Python stage that touches bytes.
+    ``passthrough`` columns are carried through the kernel verbatim so the
+    caller never needs a second join against its own upstream (the upstream
+    join would execute twice); rows with NULL ``bytes`` (no record for the
+    URL) come out ``fetch_ok=false`` with NULL analysis fields.
     """
-
-    cols = ["image_id", "bytes", "fmt", "caption", "phash", "w", "h"]
+    passthrough = list(passthrough)
+    analysis = ["bytes", "fmt", "caption", "phash", "w", "h"]
+    cols = passthrough + [c for c in analysis if c not in passthrough]
+    out_schema = StructType(
+        [records.schema[c] for c in passthrough] + _FETCH_RESULT_FIELDS
+    )
 
     def run(batches):
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
+                rec = {c: getattr(row, c) for c in passthrough}
+                rec.update(
+                    digest=None, decoded_w=None, decoded_h=None, header_w=None,
+                    header_h=None, phash_check=None,
+                    caption_len=len(row.caption) if row.caption is not None else None,
+                    fetch_ok=False,
+                )
+                if row.bytes is None:
+                    out.append(rec)
+                    continue
                 data = bytes(row.bytes)
-                rec = {
-                    "image_id": row.image_id,
-                    "digest": sha1_base32_digest(data),
-                    "decoded_w": None,
-                    "decoded_h": None,
-                    "header_w": None,
-                    "header_h": None,
-                    "phash_check": None,
-                    "caption_len": len(row.caption) if row.caption is not None else None,
-                    "fetch_ok": False,
-                }
+                rec["digest"] = sha1_base32_digest(data)
                 try:
                     dims = image_dims(data)
                     if dims:
@@ -113,9 +118,9 @@ def _fetch_simulate(records: DataFrame) -> DataFrame:
                 except Exception:
                     pass
                 out.append(rec)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return records.select(*cols).mapInPandas(run, _FETCH_RESULT_SCHEMA)
+    return records.select(*cols).mapInPandas(run, out_schema)
 
 
 def _epoch_plan(
@@ -196,10 +201,15 @@ def _epoch_plan(
         F.format_string("img-%09d", F.regexp_extract("url_path", r"/img/(\d+)\.html", 1).cast("long")),
     )
     joined = to_fetch.join(records, "image_id", "left")
-    fetched = joined.join(
-        _fetch_simulate(joined.filter(F.col("bytes").isNotNull())),
-        "image_id",
-        "left",
+    # one pass: the kernel carries the crawl-log columns through, so the
+    # upstream join executes exactly once (no self re-join on image_id)
+    fetched = _fetch_simulate(
+        joined,
+        passthrough=[
+            "url_norm", "url_key", "host", "hops", "inlinks", "priority",
+            "priority_band", "host_slot", "fetch_seq", "url_hash", "image_id",
+            "caption",
+        ],
     )
     fetch_log = fetched.select(
         "url_norm", "url_key", "host", "hops", "inlinks", "priority",
@@ -286,6 +296,9 @@ def run_crawl(
         # every prior epoch's full pipeline and grows super-linearly (driver
         # OOMs on plan trees long before data is a problem)
         crawl_log = crawl_log.withColumn("epoch", F.lit(epoch)).localCheckpoint()
+        # the epoch is materialized now — reclaim this epoch's tmpfs staging
+        # (global_sequence) instead of leaking one dir per epoch
+        fop.release_staging()
 
         # per-partition lineage/metrics rows (the reference's Hadoop counters,
         # WARCIndexerMapper.java:63-65 / Instrument.java)

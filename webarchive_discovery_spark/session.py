@@ -40,11 +40,22 @@ def get_spark(
     # count; on this single VM the default /tmp is ONE shared disk, which
     # would serialize all shuffle I/O behind a fixed bandwidth ceiling —
     # an artifact of the sandbox, not of the plan.
+    # Per-process subdir so concurrent sessions never share (or delete) each
+    # other's live shuffle files; cleaned at JVM exit via the deleteOnExit
+    # behavior of spark.local.dir subdirs plus an atexit backstop.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     if not local_dir and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        # size guard: tmpfs spill space competes with the memory spilling is
+        # meant to relieve — fall back to disk when /dev/shm is small
+        free = os.statvfs("/dev/shm")
+        if free.f_frsize * free.f_bavail >= 16 * 1024**3:
+            local_dir = f"/dev/shm/spark-local-{os.getpid()}"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+        import atexit
+        import shutil
+
+        atexit.register(lambda d=local_dir: shutil.rmtree(d, ignore_errors=True) if d.startswith("/dev/shm/spark-local-") else None)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,127 @@
+"""HTML link-extraction conformance: golden counts/values ported from the
+reference's ``HTMLAnalyserTest.java:60-124`` over reconstructions of its
+fixtures ``links_extract.html`` / ``links_extract_illegals.html``
+(warc-indexer/src/test/resources/).  Divergences from the jsoup-based
+reference are documented in ``operators/links.py``.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webarchive_discovery_spark.operators.links import extract_html_links
+
+# Reconstruction of warc-indexer/src/test/resources/links_extract.html
+LINKS_EXTRACT_HTML = """
+<html>
+<head><title>Page for link extraction checking</title></head>
+<body background="mybackground.jpg"> <!-- HTML 4 style -->
+<h1>See HTMLAnalyserTest for test code</h1>
+<p><ul>
+<li><a href="#internal">Internal</a></li>
+<li><a href="http://example.org/sub1.html">External</a></li>
+<li><a href="http://www.example.org/sub1.html">External with WWW prefix</a></li>
+<li><a href="http://example.org/sub2.html#anchor">External with anchor</a></li>
+<li><a href="http://example.org/sub1.html">External duplicate</a></li>
+<li><a href="http://example.org/forgot to escape spaces.html">External with spaces</a></li>
+<li><a href="">Empty link</a></li>
+</ul></p>
+<p><img src="http://example.org/fooA.png" srcset="http://example.org/foo1.png 1.5x, http://example.org/foo2.png 2x" /></p>
+<p><img src="fooB.png" srcset="foo3.png 720w, http://example.org/foo4.png 1080w" /></p>
+<p><img src="http://example.org/fooD.png" srcset="http://example.org/foo5.png" /></p>
+<picture>
+<source media="(min-width:650px)" srcset="http://example.org/fooC1.png">
+<source media="(min-width:465px)" srcset="http://example.org/fooC2.png">
+<img src="http://example.org/fooC0.png" alt="Flowers" style="width:auto;">
+</picture>
+</body>
+</html>
+"""
+
+# Reconstruction of warc-indexer/src/test/resources/links_extract_illegals.html
+LINKS_ILLEGALS_HTML = """
+<html>
+<head><title>Illegal links for testing host extraction resilience</title></head>
+<body>
+<h1>See HTMLAnalyserTest for test code</h1>
+<ul>
+<li><a href="http://valid.example.com">Valid</a></li>
+<li><a href="http://æblegrød.dk">Non-ascii letters</a></li>
+<li><a href="http://example.com&arguments">Missing slash</a></li>
+<li><a href="not a link at all">Not n URL</a></li>
+<li><a href="uuid:123456-1234-1234-12345678">UUID</a></li>
+<li><a href="">Empty link</a></li>
+</ul>
+</body>
+</html>
+"""
+
+
+def _extract(spark, base_url, html):
+    df = spark.createDataFrame([(base_url, html)], "url string, payload string")
+    return extract_html_links(df).first()
+
+
+def test_links_extraction_goldens(spark):
+    """HTMLAnalyserTest.testLinksExtraction: 6 links, 1 canonical host
+    (www stripped), domain/suffix, SURT levels, 12 image links."""
+    row = _extract(spark, "file:///tmp/links_extract.html", LINKS_EXTRACT_HTML)
+    assert len(row.links) == 6
+    assert row.links_hosts == ["example.org"]
+    assert row.links_domains == ["example.org"]
+    assert row.links_public_suffixes == ["org"]
+    assert row.links_hosts_surts == ["(org,", "(org,example,"]
+    assert len(row.links_images) == 12
+    # src AND srcset entries are both present, relative ones resolved
+    assert "http://example.org/foo2.png" in row.links_images
+    assert "file:///tmp/foo3.png" in row.links_images
+    assert "file:///tmp/mybackground.jpg" in row.links_images
+
+
+def test_illegal_host_handling(spark):
+    """HTMLAnalyserTest.testIllegalHostHandling/testIllegalDomainHandling:
+    6 links survive; only RFC-952-valid hosts (subject-uri host + the one
+    valid absolute link); domains likewise."""
+    row = _extract(spark, "http://test.example.net/illegals.html", LINKS_ILLEGALS_HTML)
+    assert len(row.links) == 6
+    assert row.links_hosts == ["test.example.net", "valid.example.com"]
+    # registered domain, not the full host ("valid." is host-only)
+    assert set(row.links_domains) == {"example.com", "example.net"}
+
+
+def test_empty_and_null_payload(spark):
+    df = spark.createDataFrame(
+        [("http://a.org/", None), ("http://a.org/", "<p>no links</p>")],
+        "url string, payload string",
+    )
+    rows = extract_html_links(df).collect()
+    for r in rows:
+        assert r.links == [] and r.links_images == []
+
+
+def test_normalise_links_mode(spark):
+    html = '<a href="http://www.Example.org/a//b">x</a>'
+    df = spark.createDataFrame([("http://e.org/", html)], "url string, payload string")
+    row = extract_html_links(df, normalise_links=True).first()
+    assert row.links == ["http://example.org/a//b"]  # www+case stripped; path kept verbatim
+
+
+def test_single_arrow_pass(spark):
+    df = spark.createDataFrame([("http://a.org/", "<a href='x'>y</a>")],
+                               "url string, payload string")
+    plan = extract_html_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_outlink_edges_shape(spark):
+    from webarchive_discovery_spark.operators.links import outlink_edges
+
+    df = spark.createDataFrame(
+        [("http://a.org/p", '<a href="/x">1</a><a href="http://b.net/y">2</a>')],
+        "url string, payload string",
+    )
+    edges = {(r.src_url, r.dst_url) for r in outlink_edges(df).collect()}
+    assert edges == {
+        ("http://a.org/p", "http://a.org/x"),
+        ("http://a.org/p", "http://b.net/y"),
+    }

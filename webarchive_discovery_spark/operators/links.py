@@ -1,0 +1,183 @@
+"""HTML link / feature extraction over payload columns.
+
+Spark re-expression of the reference's most-used payload analyser:
+``warc-indexer/src/main/java/uk/bl/wa/parsers/HtmlFeatureParser.java:154-299``
+(a[href] links, img src/srcset + picture source srcset + HTML-4 background
+image links) combined with the field fan-out of
+``warc-indexer/src/main/java/uk/bl/wa/analyser/payload/HTMLAnalyser.java:110-217``
+(links, links_images, links_hosts, links_hosts_surts, links_domains,
+links_public_suffixes).  Conformance counts ported from
+``HTMLAnalyserTest.java:60-124`` into ``tests/test_links.py``.
+
+Design notes (Spark-first, not a jsoup port):
+
+- ONE vectorized Arrow UDF per row batch computes every output field —
+  a single ``ArrowEvalPython`` node in the plan, embarrassingly parallel,
+  no shuffle.  The parse is a bounded regex pass (comments/script/style
+  stripped first), not a DOM build: tolerant of broken markup, linear in
+  payload size, and orders of magnitude cheaper than a full parser at
+  100 TB.  Known divergence from jsoup: pathological JavaScript containing
+  literal ``<a href=`` inside string constants may yield extra links.
+- Link values follow the reference default ``links.normalise = false``
+  (``HtmlFeatureParser.DEFAULT_LINKS_NORMALISE``): raw absolute URLs after
+  base resolution.  Hosts ARE canonicalised (``WARCIndexer.CANONICALISE_HOST
+  = true`` path in ``HTMLAnalyser.java:170-181``).
+- The reference emits unordered ``Set`` values; we emit SORTED arrays so
+  results are parallelism-independent (determinism rule of this engine).
+- Empty / unresolvable references are dropped, matching Solr's discard of
+  empty field values; an empty ``href=""`` resolves to the base URL itself
+  (jsoup ``abs:href`` behavior).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from ..functions import normalisation as N
+from ..functions import surt as S
+
+__all__ = ["extract_html_links", "outlink_edges", "LINKS_STRUCT"]
+
+_COMMENTS = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_STYLE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_ATTR = r"""\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))"""
+_A_HREF = re.compile(r"<a\b[^>]*?\bhref" + _ATTR, re.I | re.S)
+_IMG_SRC = re.compile(r"<img\b[^>]*?\bsrc" + _ATTR, re.I | re.S)
+_IMG_SRCSET = re.compile(r"<(?:img|source)\b[^>]*?\bsrcset" + _ATTR, re.I | re.S)
+_BACKGROUND = re.compile(r"<(?:body|table|td)\b[^>]*?\bbackground" + _ATTR, re.I | re.S)
+
+LINKS_STRUCT = StructType(
+    [
+        StructField("links", ArrayType(StringType())),
+        StructField("links_images", ArrayType(StringType())),
+        StructField("links_hosts", ArrayType(StringType())),
+        StructField("links_hosts_surts", ArrayType(StringType())),
+        StructField("links_domains", ArrayType(StringType())),
+        StructField("links_public_suffixes", ArrayType(StringType())),
+    ]
+)
+
+
+def _attr_values(pattern: re.Pattern, html: str) -> list[str]:
+    return [next(g for g in m.groups() if g is not None) for m in pattern.finditer(html)]
+
+
+def _srcset_urls(srcset: str) -> list[str]:
+    """First token of each comma-separated srcset entry
+    (``HtmlFeatureParser.normaliseSrcsetLinks``)."""
+    out = []
+    for entry in srcset.split(","):
+        entry = entry.strip()
+        if entry:
+            out.append(entry.split()[0])
+    return out
+
+
+def _resolve(base: str, ref: str) -> str | None:
+    try:
+        resolved = urljoin(base, ref)
+    except Exception:
+        return None
+    return resolved or None
+
+
+def _extract_one(base_url: str, html: str, normalise_links: bool) -> dict:
+    cleaned = _SCRIPT_STYLE.sub(" ", _COMMENTS.sub(" ", html))
+    links: set[str] = set()
+    for href in _attr_values(_A_HREF, cleaned):
+        r = _resolve(base_url, href)
+        if r:
+            if normalise_links:
+                try:
+                    r = N.canonicalise_url(r)
+                except Exception:
+                    continue
+            links.add(r)
+    images: set[str] = set()
+    raw_imgs = _attr_values(_IMG_SRC, cleaned) + _attr_values(_BACKGROUND, cleaned)
+    for srcset in _attr_values(_IMG_SRCSET, cleaned):
+        raw_imgs.extend(_srcset_urls(srcset))
+    for src in raw_imgs:
+        r = _resolve(base_url, src)
+        if r:
+            if normalise_links:
+                try:
+                    r = N.canonicalise_url(r)
+                except Exception:
+                    continue
+            images.add(r)
+
+    hosts: set[str] = set()
+    domains: set[str] = set()
+    suffixes: set[str] = set()
+    for link in links:
+        h = S.extract_host(link)
+        if h == S.MALFORMED_HOST:
+            continue
+        try:
+            hosts.add(N.canonicalise_host(h))
+        except Exception:
+            hosts.add(h)
+        d = S.extract_private_suffix(h)
+        if d:
+            domains.add(d)
+        p = S.extract_public_suffix(h)
+        if p:
+            suffixes.add(p)
+    host_surts: set[str] = set()
+    for h in hosts:
+        host_surts.update(S.host_surts(h))
+
+    return {
+        "links": sorted(links),
+        "links_images": sorted(images),
+        "links_hosts": sorted(hosts),
+        "links_hosts_surts": sorted(host_surts),
+        "links_domains": sorted(domains),
+        "links_public_suffixes": sorted(suffixes),
+    }
+
+
+def extract_html_links(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "payload",
+    normalise_links: bool = False,
+) -> DataFrame:
+    """Append the six multi-valued link fields to ``df`` — one Arrow batch
+    pass, no shuffle; see module docstring for semantics and divergences."""
+
+    @F.pandas_udf(LINKS_STRUCT)
+    def kernel(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
+        rows = []
+        for u, h in zip(urls, htmls):
+            if h is None:
+                rows.append({f.name: [] for f in LINKS_STRUCT.fields})
+                continue
+            rows.append(_extract_one(u or "", h, normalise_links))
+        return pd.DataFrame(rows, columns=[f.name for f in LINKS_STRUCT.fields])
+
+    out = df.withColumn("_links", kernel(F.col(url_col), F.col(html_col)))
+    for f in LINKS_STRUCT.fields:
+        out = out.withColumn(f.name, F.col(f"_links.{f.name}"))
+    return out.drop("_links")
+
+
+def outlink_edges(
+    df: DataFrame, url_col: str = "url", html_col: str = "payload"
+) -> DataFrame:
+    """``(src_url, dst_url)`` edge list derived from page payloads — the
+    shape ``plans.crawl.run_crawl`` takes as its ``link_graph`` input, so a
+    crawl can expand its frontier from fetched HTML instead of a pre-built
+    graph (the reference derives its link graph the same way:
+    ``OutlinkExtractorMapper.java:57-87`` over ``HtmlFeatureParser`` output)."""
+    ex = extract_html_links(df, url_col, html_col)
+    return ex.select(
+        F.col(url_col).alias("src_url"), F.explode("links").alias("dst_url")
+    )

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import aggregates, cdx, dedup, frontier, reduplication, sampling, similarity, textstats
+from ..operators import aggregates, cdx, dedup, frontier, links, reduplication, sampling, similarity, textstats
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1063,3 +1063,87 @@ def parse_extensions(spark, sf_dir):
         path.alias("url_path"), mime_fns.parse_extension(path).alias("extension")
     )
     return tagged.groupBy("url_path", "extension").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ===========================================================================
+# HTML link extraction (HtmlFeatureParser + HTMLAnalyser field fan-out)
+# ===========================================================================
+
+_LINKS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         'http://base' || CAST(doc_id % 10 AS VARCHAR) || '.org' AS bh,
+         CAST(doc_id AS VARCHAR) AS id,
+         CAST(doc_id % 40 AS VARCHAR) AS k,
+         CAST(doc_id % 7 AS VARCHAR) AS n,
+         CAST(doc_id % 5 AS VARCHAR) AS c,
+         CAST(doc_id % 3 AS VARCHAR) AS j
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(list_sort([
+    'http://www.shop' || k || '.co.uk/item/' || id || '.html',
+    bh || '/rel/' || n,
+    bh || '/dir/page' || id || '.html#top',
+    bh || '/dir/page' || id || '.html'
+  ]), '|') AS links,
+  array_to_string(list_sort([
+    'http://cdn' || c || '.net/img/' || id || '.png',
+    bh || '/dir/i' || id || '.png',
+    'http://www.pix' || j || '.com/' || id || '.jpg',
+    bh || '/dir/bg.gif'
+  ]), '|') AS links_images,
+  array_to_string(list_sort([
+    'base' || CAST(doc_id % 10 AS VARCHAR) || '.org',
+    'shop' || k || '.co.uk'
+  ]), '|') AS links_hosts,
+  array_to_string(list_sort([
+    '(org,', '(org,base' || CAST(doc_id % 10 AS VARCHAR) || ',',
+    '(uk,', '(uk,co,', '(uk,co,shop' || k || ','
+  ]), '|') AS links_hosts_surts,
+  array_to_string(list_sort([
+    'base' || CAST(doc_id % 10 AS VARCHAR) || '.org',
+    'shop' || k || '.co.uk'
+  ]), '|') AS links_domains,
+  array_to_string(list_sort(['co.uk', 'org']), '|') AS links_public_suffixes
+FROM d
+"""
+
+
+@q("links_extract", _LINKS_ORACLE)
+def links_extract(spark, sf_dir):
+    """Derive synthetic HTML per document (absolute www-link, relative link,
+    fragment, empty href, img src + srcset, HTML-4 background), run the real
+    extraction kernel, and flatten the six multi-valued fields; the oracle
+    reconstructs every expected value by string arithmetic — the extractor is
+    checked against independently constructed values, not against itself."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("http://base"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".org/dir/page"), sid, F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="http://www.shop'), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".co.uk/item/"), sid, F.lit('.html">buy</a>'),
+        F.lit('<a href="/rel/'), (F.col("doc_id") % 7).cast("string"), F.lit('">r</a>'),
+        F.lit('<a href="#top">t</a><a href="">e</a>'),
+        F.lit('<img src="//cdn'), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".net/img/"), sid, F.lit('.png" srcset="i'), sid,
+        F.lit(".png 1x, http://www.pix"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com/"), sid, F.lit('.jpg 2x">'),
+        F.lit('<body background="bg.gif">'),
+    )
+    out = links.extract_html_links(
+        docs.select("doc_id", base.alias("url"), html.alias("payload")),
+        "url", "payload",
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("links", "|").alias("links"),
+        F.array_join("links_images", "|").alias("links_images"),
+        F.array_join("links_hosts", "|").alias("links_hosts"),
+        F.array_join("links_hosts_surts", "|").alias("links_hosts_surts"),
+        F.array_join("links_domains", "|").alias("links_domains"),
+        F.array_join("links_public_suffixes", "|").alias("links_public_suffixes"),
+    )

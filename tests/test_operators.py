@@ -83,3 +83,32 @@ def test_url_length_cap(spark):
     out = canonicalize_frontier(df).collect()[0]
     assert len(out["url"]) == 2000  # reference cap, WARCIndexer.java:330-331
     assert out["url_norm"].startswith("http://example.org/aaa")
+
+
+def test_cdx11_golden_lines(spark):
+    """Exact CDX-11 lines from DereferencingArchiveToCDXRecordReaderTest.java:90-93
+    (the 3rd and 9th records of the blackbook ARC)."""
+    from webarchive_discovery_spark.operators.cdx import cdx11_line
+
+    rows = [
+        ("archive.org/robots.txt", "20080430204825", "http://www.archive.org/robots.txt",
+         "text/plain", 200, "SUCGMUVXDKVB5CS2NL4R4JABNX7K466U", None, None, 523, 776,
+         "IAH-20080430204825-00000-blackbook-truncated.arc.gz"),
+        ("archive.org/services/collection-rss.php", "20080430204830",
+         "http://www.archive.org/services/collection-rss.php", "text/xml", 200,
+         "JXXJNHJX4GEM44C4NOM3RJWKMKVBIGHF", None, None, 6965, 11441,
+         "IAH-20080430204825-00000-blackbook-truncated.arc.gz"),
+    ]
+    schema = ("urlkey string, timestamp string, url string, mime string, status_code int, "
+              "digest string, redirect string, meta string, compressed_length long, "
+              "record_offset long, source_file string")
+    out = cdx11_line(spark.createDataFrame(rows, schema)).collect()
+    assert out[0].cdx_line == (
+        "archive.org/robots.txt 20080430204825 http://www.archive.org/robots.txt "
+        "text/plain 200 SUCGMUVXDKVB5CS2NL4R4JABNX7K466U - - 523 776 "
+        "IAH-20080430204825-00000-blackbook-truncated.arc.gz")
+    assert out[1].cdx_line == (
+        "archive.org/services/collection-rss.php 20080430204830 "
+        "http://www.archive.org/services/collection-rss.php text/xml 200 "
+        "JXXJNHJX4GEM44C4NOM3RJWKMKVBIGHF - - 6965 11441 "
+        "IAH-20080430204825-00000-blackbook-truncated.arc.gz")

@@ -45,24 +45,49 @@ def test_write_text_lines(spark, tmp_path):
 
 
 def test_batched_sink_batching_and_poison_drop(spark, tmp_path):
-    # transport that records batch sizes and fails permanently on batches
-    # containing the poison row — communicated back via files (executors are
-    # in-process for local mode but state still must not rely on that)
+    """DEFAULT 3-strikes semantics (WARCIndexerReducer.java:217-260): the
+    poison batch is retried in-process exactly max_consecutive_failures
+    times, then dropped; the task never aborts, so every other batch is sent
+    exactly once."""
     log_dir = str(tmp_path / "sent")
+    attempts_dir = str(tmp_path / "attempts")
     os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(attempts_dir, exist_ok=True)
 
     def send(batch):
         if any(row["id"] == 7 for row in batch):
+            n = len(os.listdir(attempts_dir))
+            open(os.path.join(attempts_dir, f"a{n}"), "w").close()
             raise RuntimeError("endpoint rejects poison batch")
         with open(os.path.join(log_dir, f"b{os.getpid()}_{len(os.listdir(log_dir))}"), "w") as f:
             f.write("\n".join(str(row["id"]) for row in batch))
 
     df = spark.range(20).coalesce(1)
-    batched_foreach_sink(df, send, batch_size=5, max_consecutive_failures=1)
+    batched_foreach_sink(df, send, batch_size=5)  # defaults: 3 strikes
     sent = []
     for f in glob.glob(log_dir + "/*"):
         sent += [int(x) for x in open(f).read().splitlines()]
-    # the batch containing id=7 (5..9) was dropped after failures; others sent
+    # the batch containing id=7 (5..9) was retried 3x then dropped; others sent
+    assert len(os.listdir(attempts_dir)) == 3
     assert 7 not in sent
-    assert set(range(0, 5)).issubset(set(sent))
-    assert set(range(10, 20)).issubset(set(sent))
+    assert sorted(sent) == [0, 1, 2, 3, 4, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19]
+
+
+def test_batched_sink_on_drop_and_recovery(spark, tmp_path):
+    """After a drop the failure counter stays hot (reference behavior): the
+    next failing batch drops immediately; a success resets the counter."""
+    drops = str(tmp_path / "drops")
+    os.makedirs(drops, exist_ok=True)
+
+    def send(batch):
+        if any(row["id"] in (2, 4) for row in batch):
+            raise RuntimeError("reject")
+
+    def on_drop(batch):
+        with open(os.path.join(drops, f"d{len(os.listdir(drops))}"), "w") as f:
+            f.write(",".join(str(r["id"]) for r in batch))
+
+    df = spark.range(6).coalesce(1)  # batches: [0,1] [2,3] [4,5]
+    batched_foreach_sink(df, send, batch_size=2, on_drop=on_drop)
+    dropped = sorted(open(os.path.join(drops, d)).read() for d in os.listdir(drops))
+    assert dropped == ["2,3", "4,5"]

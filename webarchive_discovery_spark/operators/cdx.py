@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cdx_project", "total_order_sort", "cdx_junk_filter"]
+__all__ = ["cdx_project", "total_order_sort", "cdx_junk_filter", "cdx11_line", "CDX11_FORMAT"]
+
+#: The reference's 11-field format spec (``DereferencingArchiveToCDXRecordReader.java:66``)
+CDX11_FORMAT = " CDX N b a m s k r M S V g"
 
 
 def cdx_project(
@@ -59,4 +62,40 @@ def cdx_junk_filter(df: DataFrame, mime_col: str, record_type_col: str) -> DataF
     return df.filter(
         ~F.col(mime_col).startswith("application/http")
         & ~F.col(record_type_col).isin("request", "metadata")
+    )
+
+
+def cdx11_line(
+    df: DataFrame,
+    urlkey: str = "urlkey",
+    timestamp: str = "timestamp",
+    url: str = "url",
+    mime: str = "mime",
+    status: str = "status_code",
+    digest: str = "digest",
+    redirect: str = "redirect",
+    meta: str = "meta",
+    length: str = "compressed_length",
+    offset: str = "record_offset",
+    filename: str = "source_file",
+    out_col: str = "cdx_line",
+) -> DataFrame:
+    """Format the full CDX-11 line ``"N b a m s k r M S V g"`` =
+    ``urlkey timestamp url mime status digest redirect meta
+    compressed-size offset filename`` with ``-`` for absent fields —
+    golden rows in ``DereferencingArchiveToCDXRecordReaderTest.java:90-106``
+    (ported to ``tests/test_operators.py::test_cdx11_golden_lines``).
+    Pure codegen expression: no UDF, no shuffle."""
+
+    def dash(c: str):
+        return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+    return df.withColumn(
+        out_col,
+        F.concat_ws(
+            " ",
+            dash(urlkey), dash(timestamp), dash(url), dash(mime), dash(status),
+            dash(digest), dash(redirect), dash(meta), dash(length),
+            dash(offset), dash(filename),
+        ),
     )

@@ -55,35 +55,49 @@ def batched_foreach_sink(
     batch_size: int = 500,
     batch_bytes: int = 20 * 1024 * 1024,
     max_consecutive_failures: int = 3,
+    backoff_seconds: float = 0.0,
+    on_drop: Callable[[list], None] | None = None,
 ) -> None:
     """Push rows to an external endpoint in bounded batches per partition.
 
-    Semantics from ``WARCIndexerReducer.java:217-260`` / ``TinyCDXSender``:
-    flush at ``batch_size`` docs or ``batch_bytes`` payload; after
-    ``max_consecutive_failures`` consecutive failed sends the batch is
-    DROPPED (poison-batch protection) and the counter resets.  ``send`` is
-    the transport (HTTP POST in production).  Executor-side only — no
-    driver collect.
+    Semantics from ``WARCIndexerReducer.checkSubmission``
+    (``WARCIndexerReducer.java:217-260``): flush at ``batch_size`` docs or
+    ``batch_bytes`` payload; a failed send keeps the batch and RETRIES it
+    in-process after ``backoff_seconds`` (the reference sleeps
+    ``SUBMISSION_PAUSE_MINS``); once the consecutive-failure count reaches
+    ``max_consecutive_failures`` the batch is DROPPED (poison-batch
+    protection, "assuming bad data").  The task NEVER aborts, so batches
+    already sent are never re-sent by a task retry (exactly-once per batch
+    against a transport with no idempotence).  As in the reference, the
+    counter resets only on a successful send — after a drop, further
+    failures drop immediately until a send succeeds.  ``on_drop`` observes
+    dropped batches (the reference's ``NUM_DROPPED_RECORDS`` counter).
+    ``send`` is the transport (HTTP POST in production).  Executor-side
+    only — no driver collect.
     """
 
     def run(rows: Iterable) -> None:
+        import time
+
         batch: list = []
         size = 0
         failures = 0
 
         def flush() -> None:
             nonlocal batch, size, failures
-            if not batch:
-                return
-            try:
-                send(batch)
-                failures = 0
-            except Exception:
-                failures += 1
-                if failures < max_consecutive_failures:
-                    raise  # let Spark retry the task
-                # 3 strikes: drop the batch, keep going (reference behavior)
-                failures = 0
+            while batch:
+                try:
+                    send(batch)
+                    failures = 0
+                    break
+                except Exception:
+                    failures += 1
+                    if failures >= max_consecutive_failures:
+                        if on_drop is not None:
+                            on_drop(batch)
+                        break  # drop the poison batch; counter NOT reset
+                    if backoff_seconds:
+                        time.sleep(backoff_seconds)
             batch, size = [], 0
 
         for row in rows:

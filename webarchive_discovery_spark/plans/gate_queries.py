@@ -280,16 +280,39 @@ def reservoir_sample_events(spark, sf_dir):
       SELECT 'f' || CAST(user_id % 8 AS VARCHAR) AS source_file,
              event_id AS record_offset,
              'com,example,' || 'u' || CAST(user_id AS VARCHAR) || ',)/e/' || CAST(event_id AS VARCHAR) AS urlkey,
-             event_type AS mime
+             strftime(ts, '%Y%m%d%H%M%S') AS "timestamp",
+             'http://u' || CAST(user_id AS VARCHAR) || '.example.com/e/' || CAST(event_id AS VARCHAR) AS url,
+             event_type AS mime,
+             CAST(CASE event_id % 10 WHEN 0 THEN 301 WHEN 1 THEN 404 ELSE 200 END AS INT) AS status_code,
+             md5('http://u' || CAST(user_id AS VARCHAR) || '.example.com/e/' || CAST(event_id AS VARCHAR)) AS digest,
+             CASE WHEN event_id % 10 = 0
+                  THEN 'http://u' || CAST(user_id AS VARCHAR) || '.example.com/e/' || CAST(event_id + 1 AS VARCHAR)
+                  ELSE '-' END AS redirect,
+             '-' AS meta
       FROM events
+    ), lens AS (
+      SELECT *,
+             lead(record_offset) OVER (PARTITION BY source_file ORDER BY record_offset) - record_offset
+               AS compressed_length
+      FROM recs
     )
-    SELECT urlkey, source_file, record_offset, mime,
-           lead(record_offset) OVER (PARTITION BY source_file ORDER BY record_offset) - record_offset
-             AS compressed_length
-    FROM recs
+    SELECT urlkey, "timestamp", url, mime, status_code, digest, redirect, meta,
+           compressed_length, record_offset, source_file,
+           concat_ws(' ', urlkey, "timestamp", url, mime, CAST(status_code AS VARCHAR),
+                     digest, redirect, meta,
+                     coalesce(CAST(compressed_length AS VARCHAR), '-'),
+                     CAST(record_offset AS VARCHAR), source_file) AS cdx_line
+    FROM lens
     """,
 )
 def cdx_generate(spark, sf_dir):
+    """Full CDX-11 generation (`" CDX N b a m s k r M S V g"`): per-record
+    projection, compressed-length differencing per source file, redirect/meta
+    placeholders, and the final formatted line — then the total-order sort."""
+    url = F.concat(
+        F.lit("http://u"), F.col("user_id").cast("string"),
+        F.lit(".example.com/e/"), F.col("event_id").cast("string"),
+    )
     ev = _t(spark, sf_dir, "events").select(
         F.concat(F.lit("f"), (F.col("user_id") % 8).cast("string")).alias("source_file"),
         F.col("event_id").alias("record_offset"),
@@ -299,11 +322,30 @@ def cdx_generate(spark, sf_dir):
             F.lit(",)/e/"),
             F.col("event_id").cast("string"),
         ).alias("urlkey"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyyMMddHHmmss").alias("timestamp"),
+        url.alias("url"),
         F.col("event_type").alias("mime"),
+        F.when(F.col("event_id") % 10 == 0, 301)
+        .when(F.col("event_id") % 10 == 1, 404)
+        .otherwise(200).cast("int").alias("status_code"),
+        F.md5(url).alias("digest"),
+        F.when(
+            F.col("event_id") % 10 == 0,
+            F.concat(
+                F.lit("http://u"), F.col("user_id").cast("string"),
+                F.lit(".example.com/e/"), (F.col("event_id") + 1).cast("string"),
+            ),
+        ).otherwise(F.lit("-")).alias("redirect"),
+        F.lit("-").alias("meta"),
     )
     projected = cdx.cdx_project(ev, "urlkey", "source_file", "record_offset")
-    ordered = cdx.total_order_sort(projected, "urlkey")
-    return ordered.select("urlkey", "source_file", "record_offset", "mime", "compressed_length")
+    lined = cdx.cdx11_line(projected)
+    ordered = cdx.total_order_sort(lined, "urlkey")
+    return ordered.select(
+        "urlkey", "timestamp", "url", "mime", "status_code", "digest",
+        "redirect", "meta", "compressed_length", "record_offset",
+        "source_file", "cdx_line",
+    )
 
 
 @q(

@@ -1,9 +1,12 @@
 """Exact-count filter fixtures (FIXTURES.md §8, pattern from
-WARCIndexerTest.java:115-240): a deterministic 36-row mini-frontier where
+WARCIndexerTest.java:115-240) exercised through the PACKAGED operators in
+``operators/record_filters.py`` — a deterministic 36-row mini-frontier where
 each filter configuration must null out an exact pre-computed count."""
 
 import pytest
 from pyspark.sql import functions as F
+
+from webarchive_discovery_spark.operators import record_filters as rf
 
 
 @pytest.fixture(scope="module")
@@ -21,53 +24,51 @@ def mini_frontier(spark):
 
 
 def test_record_type_filter(mini_frontier):
-    # keep response/resource/revisit (reference.conf:90-92; WARCIndexer.java:308-310)
-    kept = mini_frontier.filter(
-        F.col("record_type").isin("response", "resource", "revisit")
-    )
-    assert kept.count() == 27  # 36 - 9 requests
+    assert rf.record_type_filter(mini_frontier).count() == 27  # 36 - 9 requests
 
 
 def test_protocol_filter(mini_frontier):
-    # keep http/https (WARCIndexer.java:850-857)
-    kept = mini_frontier.filter(F.col("url").rlike("^https?://"))
-    assert kept.count() == 32  # rows 2,6 ftp + 3,7 dns excluded
+    assert rf.protocol_filter(mini_frontier).count() == 32  # ftp + dns excluded
 
 
 def test_url_exclude_filter(mini_frontier):
-    # drop URLs matching .*robots.txt.* (WARCIndexer.java:840-848)
-    kept = mini_frontier.filter(~F.col("url").rlike(".*robots\\.txt.*"))
-    assert kept.count() == 27  # 9 robots.txt rows dropped
+    assert rf.url_exclude_filter(mini_frontier, "url", r".*robots\.txt.*").count() == 27
+    # no pattern configured → no-op (reference default)
+    assert rf.url_exclude_filter(mini_frontier, "url", None).count() == 36
 
 
 def test_response_code_filter(mini_frontier):
-    # keep status startswith "2" or "3" (WARCIndexer.java:859-875)
-    kept = mini_frontier.filter(
-        F.col("status").startswith("2") | F.col("status").startswith("3")
-    )
-    assert kept.count() == 18
+    assert rf.response_code_filter(mini_frontier, "status").count() == 18
 
 
 def test_url_type_classification(mini_frontier):
-    # url_type: robots.txt exact path; slashpage for / or /index.*
-    # (WARCIndexer.java:599-606)
-    path = F.parse_url(F.col("url"), F.lit("PATH"))
-    typed = mini_frontier.withColumn(
-        "url_type",
-        F.when(path == "/robots.txt", "robots.txt")
-        .when((path == "/") | path.rlike("^/index\\."), "slashpage")
-        .otherwise("normal"),
-    )
+    typed = rf.with_url_type(mini_frontier)
     counts = {r["url_type"]: r["count"] for r in typed.groupBy("url_type").count().collect()}
     assert counts == {"robots.txt": 9, "slashpage": 18, "normal": 9}
+    # empty path counts as slashpage (WARCIndexer.java:599-601)
+    one = rf.with_url_type(
+        mini_frontier.sparkSession.createDataFrame([("http://h.org",)], "url string")
+    ).first()
+    assert one.url_type == "slashpage"
+
+
+def test_slashpage_only(mini_frontier):
+    assert rf.slashpage_only(mini_frontier).count() == 18
 
 
 def test_combined_filters_exact(mini_frontier):
-    # stacked filter chain mirrors the reference's extract() short-circuit
-    kept = (
-        mini_frontier.filter(F.col("record_type").isin("response", "resource", "revisit"))
-        .filter(F.col("url").rlike("^https?://"))
-        .filter(~F.col("url").rlike(".*robots\\.txt.*"))
-        .filter(F.col("status").startswith("2"))
-    )
+    kept = rf.default_filter_chain(
+        mini_frontier,
+        record_type_col="record_type",
+        url_col="url",
+        status_col="status",
+        exclude_pattern=r".*robots\.txt.*",
+    ).filter(F.col("status").startswith("2"))
     assert kept.count() == 9  # exactly the i%4==0 rows (response, http, "/", 200)
+
+
+def test_filter_chain_is_codegen(mini_frontier):
+    plan = rf.default_filter_chain(
+        mini_frontier, status_col="status"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import aggregates, cdx, dedup, frontier, links, reduplication, sampling, similarity, textstats
+from ..operators import aggregates, cdx, dedup, frontier, links, record_filters, reduplication, sampling, similarity, textstats
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1189,3 +1189,63 @@ def links_extract(spark, sf_dir):
         F.array_join("links_domains", "|").alias("links_domains"),
         F.array_join("links_public_suffixes", "|").alias("links_public_suffixes"),
     )
+
+
+# ===========================================================================
+# Record filter chain + url_type (WARCIndexer extract() guards)
+# ===========================================================================
+
+@q(
+    "url_type_counts",
+    """
+    WITH recs AS (
+      SELECT CASE event_id % 4 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+             WHEN 2 THEN 'revisit' ELSE 'resource' END AS record_type,
+             CASE event_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/index.html'
+             WHEN 2 THEN '/robots.txt' WHEN 3 THEN '/page/' || CAST(event_id AS VARCHAR)
+             ELSE '' END AS path,
+             CASE event_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'https' ELSE 'ftp' END AS proto,
+             CAST(CASE event_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404 ELSE 503 END AS VARCHAR) AS status,
+             event_id
+      FROM events
+    ), kept AS (
+      SELECT *,
+             CASE WHEN path IN ('/', '') OR path LIKE '/index.%' THEN 'slashpage'
+                  WHEN lower(path) = '/robots.txt' THEN 'robots.txt'
+                  ELSE 'normal' END AS url_type
+      FROM recs
+      WHERE record_type IN ('response', 'resource', 'revisit')
+        AND proto IN ('http', 'https')
+        AND (status LIKE '2%' OR status LIKE '3%')
+    )
+    SELECT url_type, count(*) AS cnt FROM kept GROUP BY url_type
+    """,
+)
+def url_type_counts(spark, sf_dir):
+    """Derive a record stream from events, run the PACKAGED filter chain
+    (record type → protocol → response code) and url_type classification;
+    the oracle recomputes the chain arithmetically."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 4 == 0, "response")
+        .when(F.col("event_id") % 4 == 1, "request")
+        .when(F.col("event_id") % 4 == 2, "revisit")
+        .otherwise("resource").alias("record_type"),
+        F.concat(
+            F.when(F.col("event_id") % 3 == 0, "http")
+            .when(F.col("event_id") % 3 == 1, "https")
+            .otherwise("ftp"),
+            F.lit("://h"), (F.col("event_id") % 9).cast("string"), F.lit(".example.org"),
+            F.when(F.col("event_id") % 5 == 0, "/")
+            .when(F.col("event_id") % 5 == 1, "/index.html")
+            .when(F.col("event_id") % 5 == 2, "/robots.txt")
+            .when(F.col("event_id") % 5 == 3, F.concat(F.lit("/page/"), F.col("event_id").cast("string")))
+            .otherwise(""),
+        ).alias("url"),
+        F.when(F.col("event_id") % 4 == 0, 200)
+        .when(F.col("event_id") % 4 == 1, 301)
+        .when(F.col("event_id") % 4 == 2, 404)
+        .otherwise(503).cast("string").alias("status_code"),
+    )
+    kept = record_filters.default_filter_chain(ev)
+    typed = record_filters.with_url_type(kept)
+    return typed.groupBy("url_type").agg(F.count(F.lit(1)).alias("cnt"))

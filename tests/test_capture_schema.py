@@ -1,0 +1,154 @@
+"""Capture document model: schema completeness, extraction projection, and
+the ARC / chunked-transfer / content-encoding record paths feeding it."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from webarchive_discovery_spark.schema_capture import (
+    CAPTURE_SCHEMA,
+    CONTENT_MAX_LENGTH,
+    URL_MAX_LENGTH,
+    extract_capture,
+)
+from webarchive_discovery_spark.sources.warc import read_binary_files, warc_records
+
+
+def _http(body: bytes, status: bytes = b"200 OK", extra: bytes = b"") -> bytes:
+    return b"HTTP/1.1 " + status + b"\r\nContent-Type: text/html\r\n" + extra + b"\r\n" + body
+
+
+def _warc_record(uri: str, http: bytes, rtype: str = "response", date: str = "2024-03-05T06:07:08Z") -> bytes:
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{abs(hash(uri)) & 0xFFFF}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return headers + http + b"\r\n\r\n"
+
+
+def _arc_file() -> bytes:
+    """Minimal ARC v1: filedesc block + two response records
+    (framing per ArchiveFileRecordReader.java:66-195)."""
+    ver = b"1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length\n"
+    out = b"filedesc://test.arc 0.0.0.0 20080430204825 text/plain " + str(len(ver)).encode() + b"\n" + ver + b"\n"
+    for i, (url, body) in enumerate(
+        [("http://www.archive.org/robots.txt", b"User-agent: *\n"),
+         ("http://www.archive.org/index.html", b"<html>arc</html>")]
+    ):
+        http = _http(body)
+        out += f"{url} 1.2.3.4 2008043020482{5 + i} text/html {len(http)}\n".encode() + http + b"\n"
+    return out
+
+
+@pytest.fixture(scope="module")
+def archive_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("archives")
+    redirect = _warc_record(
+        "http://example.org/old",
+        _http(b"", status=b"301 Moved", extra=b"Location: /new/place\r\n"),
+    )
+    chunked_body = b"7\r\n<html>c\r\n8\r\nhunked!>\r\n0\r\n\r\n"
+    chunked = _warc_record(
+        "http://example.org/chunked",
+        _http(chunked_body, extra=b"Transfer-Encoding: chunked\r\n"),
+    )
+    gz_payload = gzip.compress(b"<html>gzipped payload</html>")
+    gzipped = _warc_record(
+        "http://example.org/gz",
+        _http(gz_payload, extra=b"Content-Encoding: gzip\r\n"),
+    )
+    plain = _warc_record("http://example.org/", _http(b"<html>hello</html>"))
+    (d / "caps.warc").write_bytes(plain + redirect + chunked + gzipped)
+    (d / "old.arc").write_bytes(_arc_file())
+    (d / "old.arc.gz").write_bytes(gzip.compress(_arc_file()))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def records(spark, archive_dir):
+    return warc_records(read_binary_files(spark, archive_dir, glob="*.{warc,arc,arc.gz}")).cache()
+
+
+def test_arc_records_parsed(records):
+    arc = records.filter(F.col("source_file").endswith("old.arc")).collect()
+    resp = [r for r in arc if r.record_type == "response"]
+    assert len(resp) == 2
+    robots = next(r for r in resp if "robots" in r.target_uri)
+    assert robots.http_status == "200"
+    assert robots.warc_date == "2008-04-30T20:48:25Z"
+    assert "User-agent" in robots.payload
+    # filedesc version block surfaces as warcinfo, never a parse error
+    assert any(r.record_type == "warcinfo" for r in arc)
+    assert all(r.parse_error is None for r in arc)
+
+
+def test_arc_gz_same_records(records):
+    a = sorted(r.target_uri for r in records.filter(
+        F.col("source_file").endswith("old.arc")).collect())
+    b = sorted(r.target_uri for r in records.filter(
+        F.col("source_file").endswith("old.arc.gz")).collect())
+    assert a == b and len(a) == 3
+
+
+def test_chunked_transfer_dechunked(records):
+    r = records.filter(F.col("target_uri") == "http://example.org/chunked").first()
+    assert r.payload == "<html>chunked!>"
+    assert r.parse_error is None
+
+
+def test_content_encoding_gzip_decompressed(records):
+    r = records.filter(F.col("target_uri") == "http://example.org/gz").first()
+    assert r.payload == "<html>gzipped payload</html>"
+
+
+def test_redirect_location_captured(records):
+    r = records.filter(F.col("target_uri") == "http://example.org/old").first()
+    assert r.http_status == "301"
+    assert r.redirect_location == "/new/place"
+
+
+def test_capture_schema_shape():
+    names = [f.name for f in CAPTURE_SCHEMA.fields]
+    assert len(names) == len(set(names)) >= 85  # SolrFields.java:33-155 catalog
+    for required in ("id", "url", "url_norm", "host_surt", "content_type_norm",
+                     "crawl_year", "wayback_date", "links_hosts_surts",
+                     "image_dominant_colour", "sentiment_score", "access_terms"):
+        assert required in names
+    assert URL_MAX_LENGTH == 2000 and CONTENT_MAX_LENGTH == 512 * 1024
+
+
+def test_extract_capture_fields(records):
+    caps = extract_capture(records.filter(F.col("record_type") == "response"))
+    assert [f.name for f in caps.schema.fields] == [f.name for f in CAPTURE_SCHEMA.fields]
+    plain = caps.filter(F.col("url") == "http://example.org/").first()
+    assert plain.id == "20240305060708/" + plain.id.split("/", 1)[1]
+    assert plain.wayback_date == 20240305060708
+    assert plain.crawl_year == 2024
+    assert plain.host == "example.org"
+    assert plain.host_surt == ["(org,", "(org,example,"]
+    assert plain.domain == "example.org"
+    assert plain.url_type == "slashpage"
+    assert plain.content_type_norm == "html"
+    assert plain.status_code == 200
+    redirect = caps.filter(F.col("url") == "http://example.org/old").first()
+    assert redirect.redirect_to_norm == "http://example.org/new/place"
+
+
+def test_capture_url_truncation(spark):
+    from webarchive_discovery_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    long_url = "http://example.org/" + "a" * 3000
+    row = {f.name: None for f in WARC_RECORD_SCHEMA.fields}
+    row.update(source_file="f", record_offset=0, record_type="response",
+               warc_date="2024-01-01T00:00:00Z", target_uri=long_url,
+               content_type="text/html", payload="x" * 10)
+    df = spark.createDataFrame([tuple(row[f.name] for f in WARC_RECORD_SCHEMA.fields)],
+                               WARC_RECORD_SCHEMA)
+    cap = extract_capture(df).first()
+    assert len(cap.url) == 2000  # FieldAdjuster URL truncation

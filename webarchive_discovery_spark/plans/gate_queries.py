@@ -1249,3 +1249,69 @@ def url_type_counts(spark, sf_dir):
     kept = record_filters.default_filter_chain(ev)
     typed = record_filters.with_url_type(kept)
     return typed.groupBy("url_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ===========================================================================
+# Capture document model (SolrFields catalog + extract_capture projection)
+# ===========================================================================
+
+_CAPTURE_ORACLE = f"""
+WITH recs AS (
+  SELECT event_id,
+         CASE event_id % {len(_MIME_CASES)}
+           {' '.join(f"WHEN {i} THEN '{norm}'" for i, (_, norm) in enumerate(_MIME_CASES))}
+         END AS content_type_norm,
+         CAST(year(ts) AS INT) AS crawl_year,
+         CASE WHEN event_id % 5 = 0 THEN 'slashpage'
+              WHEN event_id % 5 = 1 THEN 'robots.txt'
+              ELSE 'normal' END AS url_type
+  FROM events
+)
+SELECT content_type_norm, crawl_year, url_type, count(*) AS cnt
+FROM recs GROUP BY 1, 2, 3
+"""
+
+
+@q("capture_facet_counts", _CAPTURE_ORACLE)
+def capture_facet_counts(spark, sf_dir):
+    """Build WARC-shaped records from events, run the full capture-document
+    projection (``schema_capture.extract_capture`` — id, URL family, SURTs,
+    dates, content typing, FieldAdjuster truncation), then the reference's
+    standard facet: content_type_norm × crawl_year × url_type."""
+    from .. import schema_capture
+    from ..sources.warc import WARC_RECORD_SCHEMA
+
+    ev = _t(spark, sf_dir, "events")
+    idx = F.col("event_id") % len(_MIME_CASES)
+    served = F.lit(None).cast("string")
+    for i, (mime, _) in enumerate(_MIME_CASES):
+        if mime is not None:
+            served = F.when(idx == i, F.lit(mime)).otherwise(served)
+    path = (
+        F.when(F.col("event_id") % 5 == 0, "/")
+        .when(F.col("event_id") % 5 == 1, "/robots.txt")
+        .otherwise(F.concat(F.lit("/p/"), F.col("event_id").cast("string")))
+    )
+    raw = ev.select(
+        F.lit("synth.warc").alias("source_file"),
+        F.col("event_id").alias("record_offset"),
+        F.lit("response").alias("record_type"),
+        F.concat(F.lit("<urn:uuid:"), F.col("event_id").cast("string"), F.lit(">")).alias("warc_record_id"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 20).cast("string"), F.lit(".example.org"), path
+        ).alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.lit(1024).cast("long").alias("content_length"),
+        F.md5(F.col("event_id").cast("string")).alias("payload_digest"),
+        F.lit("200").alias("http_status"),
+        served.alias("http_content_type"),
+        F.lit(None).cast("string").alias("http_server"),
+        F.lit(None).cast("string").alias("redirect_location"),
+        F.lit("payload").alias("payload"),
+        F.lit(None).cast("string").alias("parse_error"),
+    )
+    caps = schema_capture.extract_capture(raw)
+    return caps.groupBy("content_type_norm", "crawl_year", "url_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

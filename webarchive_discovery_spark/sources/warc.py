@@ -46,6 +46,9 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("content_length", LongType()),
         StructField("payload_digest", StringType()),
         StructField("http_status", StringType()),
+        StructField("http_content_type", StringType()),   # served Content-Type
+        StructField("http_server", StringType()),
+        StructField("redirect_location", StringType()),   # raw Location header
         StructField("payload", StringType()),  # first bytes of payload (bounded)
         StructField("parse_error", StringType()),
     ]
@@ -61,21 +64,99 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     return reader.load(path).filter(F.col("length") > 0)
 
 
-def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
-    """Iterate WARC/1.x records from raw (possibly gzipped) bytes."""
-    def blank(offset: int) -> dict:
-        rec = {f.name: None for f in WARC_RECORD_SCHEMA.fields}
-        rec.update(source_file=name, record_offset=offset)
-        return rec
+def _blank(name: str, offset: int) -> dict:
+    rec = {f.name: None for f in WARC_RECORD_SCHEMA.fields}
+    rec.update(source_file=name, record_offset=offset)
+    return rec
 
-    if data[:2] == b"\x1f\x8b":
+
+def _dechunk(data: bytes) -> bytes:
+    """HTTP chunked-transfer decoding (``InputStreamUtils.java:243-330``);
+    raises on malformed chunk framing so per-record recovery catches it."""
+    out = bytearray()
+    s = io.BytesIO(data)
+    while True:
+        line = s.readline()
+        if not line:
+            break
+        stripped = line.strip()
+        if not stripped:
+            continue
+        n = int(stripped.split(b";")[0], 16)
+        if n == 0:
+            break
+        out += s.read(n)
+        s.readline()  # trailing CRLF after each chunk
+    return bytes(out)
+
+
+def _decompress_payload(payload: bytes, encoding: str) -> bytes:
+    """Content-Encoding handling: gzip/deflate stdlib, brotli behind an
+    import-try (``InputStreamUtils.java:435``); unknown/unavailable codecs
+    leave the payload as served."""
+    enc = encoding.strip().lower()
+    if enc == "gzip":
+        return gzip.decompress(payload)
+    if enc == "deflate":
+        import zlib
+
+        return zlib.decompress(payload, -zlib.MAX_WBITS)
+    if enc == "br":
         try:
-            data = gzip.decompress(data)
-        except Exception as exc:
-            rec = blank(0)
-            rec["parse_error"] = f"gzip: {exc}"
-            yield rec
-            return
+            import brotli  # not in this container — honest gate
+
+            return brotli.decompress(payload)
+        except ImportError:
+            return payload
+    return payload
+
+
+def _split_http(body: bytes) -> tuple[str | None, dict[str, str], bytes]:
+    """Split an HTTP message into (status, lowercased headers, payload);
+    dechunks and decompresses the payload per its headers.  The payload
+    digest stage is *after dechunk, before decompression* (WARC 1.1 default,
+    ``InputStreamUtils.DEFAULT_HASH_STAGE``) — callers digest the first
+    returned payload and may decompress after."""
+    head, _, rest = body.partition(b"\r\n\r\n")
+    first, _, header_blob = head.partition(b"\r\n")
+    parts = first.split()
+    if not (len(parts) >= 2 and parts[0].startswith(b"HTTP/")):
+        return None, {}, body
+    status = parts[1].decode("ascii", "replace")
+    headers: dict[str, str] = {}
+    for line in header_blob.split(b"\r\n"):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("ascii", "replace")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        rest = _dechunk(rest)
+    return status, headers, rest
+
+
+def _finish_http_record(rec: dict, body: bytes, max_payload: int) -> None:
+    """Common HTTP-message handling for WARC and ARC records: status line,
+    served headers, dechunk → digest → decompress, bounded payload text."""
+    status, http_headers, payload = _split_http(body)
+    rec["http_status"] = status
+    if status is not None:
+        rec["http_content_type"] = http_headers.get("content-type")
+        rec["http_server"] = http_headers.get("server")
+        rec["redirect_location"] = http_headers.get("location")
+    if rec.get("payload_digest") is None:
+        rec["payload_digest"] = "sha1:" + hashlib.sha1(payload).hexdigest()
+    enc = http_headers.get("content-encoding")
+    if enc:
+        try:
+            payload = _decompress_payload(payload, enc)
+        except Exception:
+            pass  # serve-as-stored on codec failure, like the reference
+    rec["payload"] = payload[:max_payload].decode("utf-8", "replace")
+
+
+def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
+    """Iterate WARC/1.x records from raw decompressed bytes."""
     stream = io.BytesIO(data)
     while True:
         offset = stream.tell()
@@ -84,7 +165,7 @@ def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
             return
         if line.strip() == b"":
             continue
-        rec = blank(offset)
+        rec = _blank(name, offset)
         try:
             if not line.startswith(b"WARC/"):
                 raise ValueError(f"bad version line: {line[:20]!r}")
@@ -100,16 +181,6 @@ def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
                     )
             length = int(headers.get("content-length", "0"))
             body = stream.read(length)
-            # HTTP response payloads: split status line + headers from body
-            status = None
-            payload = body
-            if headers.get("content-type", "").startswith("application/http"):
-                head, _, rest = body.partition(b"\r\n\r\n")
-                first = head.split(b"\r\n", 1)[0]
-                parts = first.split()
-                if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
-                    status = parts[1].decode("ascii", "replace")
-                payload = rest
             rec.update(
                 record_type=headers.get("warc-type"),
                 warc_record_id=headers.get("warc-record-id"),
@@ -117,16 +188,86 @@ def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
                 target_uri=headers.get("warc-target-uri"),
                 content_type=headers.get("content-type"),
                 content_length=length,
-                payload_digest=headers.get(
-                    "warc-payload-digest",
-                    "sha1:" + hashlib.sha1(payload).hexdigest(),
-                ),
-                http_status=status,
-                payload=payload[:max_payload].decode("utf-8", "replace"),
+                payload_digest=headers.get("warc-payload-digest"),
             )
+            if headers.get("content-type", "").startswith("application/http"):
+                _finish_http_record(rec, body, max_payload)
+            else:
+                if rec["payload_digest"] is None:
+                    rec["payload_digest"] = "sha1:" + hashlib.sha1(body).hexdigest()
+                rec["payload"] = body[:max_payload].decode("utf-8", "replace")
         except Exception as exc:
             rec["parse_error"] = str(exc)[:500]
         yield rec
+
+
+def _parse_arc_stream(name: str, data: bytes, max_payload: int = 65536):
+    """Iterate ARC v1/v2 records (``ArchiveFileRecordReader.java:66-195``):
+    a ``filedesc://`` version block, then records framed by a single header
+    line ``url ip date mime [v2 fields] length`` + ``length`` body bytes."""
+    stream = io.BytesIO(data)
+    while True:
+        offset = stream.tell()
+        line = stream.readline()
+        if not line:
+            return
+        if line.strip() == b"":
+            continue
+        rec = _blank(name, offset)
+        try:
+            parts = line.strip().split(b" ")
+            if len(parts) not in (5, 10):
+                raise ValueError(f"bad ARC header: {line[:40]!r}")
+            url = parts[0].decode("utf-8", "replace")
+            date14 = parts[2].decode("ascii", "replace")
+            # v1: url ip date mime length; v2: url ip date mime status
+            # checksum location offset filename length — mime is index 3,
+            # length is last, in both
+            mime = parts[3].decode("ascii", "replace")
+            length = int(parts[-1])
+            body = stream.read(length)
+            iso = (
+                f"{date14[0:4]}-{date14[4:6]}-{date14[6:8]}T"
+                f"{date14[8:10]}:{date14[10:12]}:{date14[12:14]}Z"
+                if len(date14) >= 14 and date14.isdigit() else None
+            )
+            if url.startswith("filedesc://"):
+                rec.update(record_type="warcinfo", target_uri=url,
+                           warc_date=iso, content_type=mime, content_length=length)
+                yield rec
+                continue
+            rec.update(
+                record_type="response",  # ARC stores responses only
+                target_uri=url,
+                warc_date=iso,
+                content_type=mime,
+                content_length=length,
+            )
+            if body.startswith(b"HTTP/"):
+                _finish_http_record(rec, body, max_payload)
+            else:
+                rec["payload_digest"] = "sha1:" + hashlib.sha1(body).hexdigest()
+                rec["payload"] = body[:max_payload].decode("utf-8", "replace")
+        except Exception as exc:
+            rec["parse_error"] = str(exc)[:500]
+        yield rec
+
+
+def _parse_archive(name: str, data: bytes, max_payload: int = 65536):
+    """Dispatch WARC vs ARC by content (gzip members transparently inflated),
+    with whole-file error recovery."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)
+        except Exception as exc:
+            rec = _blank(name, 0)
+            rec["parse_error"] = f"gzip: {exc}"
+            yield rec
+            return
+    if data.startswith(b"filedesc://"):
+        yield from _parse_arc_stream(name, data, max_payload)
+    else:
+        yield from _parse_warc_stream(name, data, max_payload)
 
 
 def warc_records(files_df: DataFrame, max_payload: int = 65536) -> DataFrame:
@@ -137,7 +278,7 @@ def warc_records(files_df: DataFrame, max_payload: int = 65536) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                rows.extend(_parse_warc_stream(r.path, bytes(r.content), max_payload))
+                rows.extend(_parse_archive(r.path, bytes(r.content), max_payload))
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
             )

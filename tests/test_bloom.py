@@ -60,3 +60,50 @@ def test_design_point_parameters():
     assert 18 <= p.k_hashes <= 22
     # per-shard memory ~35 MB → executor-friendly broadcast granularity
     assert p.m_bits_per_shard / 8 / 1024 / 1024 < 64
+
+
+def test_sharded_build_matches_broadcast(spark):
+    """The distributed shard build/probe must agree bit-for-bit with the
+    broadcast-tier PartitionedBloom on the same hashes."""
+    from webarchive_discovery_spark.operators.bloom import (
+        BloomParams,
+        bloom_negative_filter_sharded,
+        build_bloom,
+        build_bloom_shards,
+    )
+
+    params = BloomParams(n_capacity=5000, fpr=1e-4, num_shards=8)
+    seen = spark.range(2000).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    probe = spark.range(1500, 4000).selectExpr(
+        "id", "xxhash64(cast(id as string)) as url_hash"
+    )
+
+    broadcast_bloom = build_bloom(seen, "url_hash", params)
+    shards = build_bloom_shards(seen, "url_hash", params)
+    assert shards.count() <= 8
+
+    from webarchive_discovery_spark.operators.bloom import bloom_negative_filter
+
+    a = {r["id"]: r["maybe_seen"] for r in
+         bloom_negative_filter(probe, "url_hash", broadcast_bloom).collect()}
+    b = {r["id"]: r["maybe_seen"] for r in
+         bloom_negative_filter_sharded(probe, "url_hash", shards, params).collect()}
+    assert a == b
+    # negatives are definitive: every truly-seen id must be maybe_seen
+    assert all(b[i] for i in range(1500, 2000))
+
+
+def test_sharded_probe_empty_shard_is_unseen(spark):
+    from webarchive_discovery_spark.operators.bloom import (
+        BloomParams,
+        bloom_negative_filter_sharded,
+        build_bloom_shards,
+    )
+
+    params = BloomParams(n_capacity=100, fpr=1e-3, num_shards=4)
+    seen = spark.createDataFrame([(4,)], "url_hash long")  # only shard 0 populated
+    shards = build_bloom_shards(seen, "url_hash", params)
+    probe = spark.createDataFrame([(5,), (4,)], "url_hash long")  # shards 1 and 0
+    got = {r["url_hash"]: r["maybe_seen"] for r in
+           bloom_negative_filter_sharded(probe, "url_hash", shards, params).collect()}
+    assert got[4] is True and got[5] is False

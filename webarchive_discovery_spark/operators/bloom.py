@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-__all__ = ["BloomParams", "PartitionedBloom", "build_bloom", "bloom_negative_filter"]
+__all__ = [
+    "BloomParams",
+    "PartitionedBloom",
+    "build_bloom",
+    "bloom_negative_filter",
+    "build_bloom_shards",
+    "bloom_negative_filter_sharded",
+]
 
 
 @dataclass(frozen=True)
@@ -37,6 +44,13 @@ class BloomParams:
     n_capacity: int
     fpr: float = 1e-6
     num_shards: int = 16
+
+    def __post_init__(self):
+        # power-of-two so unsigned mod (PartitionedBloom, uint64) and signed
+        # pmod (the sharded DataFrame ops) pick identical shards for negative
+        # 64-bit hashes: both reduce to h & (num_shards-1)
+        if self.num_shards & (self.num_shards - 1):
+            raise ValueError(f"num_shards must be a power of two, got {self.num_shards}")
 
     @property
     def m_bits_per_shard(self) -> int:
@@ -97,9 +111,12 @@ class PartitionedBloom:
 
 
 def build_bloom(df: DataFrame, hash_col: str, params: BloomParams) -> PartitionedBloom:
-    """Distributed build: each partition produces a partial bit matrix
+    """Broadcast-tier build: each partition produces a partial bit matrix
     (RDD ``mapPartitions`` — imperative per-partition state is genuinely
-    needed here), OR-reduced treewise to the driver."""
+    needed here), OR-reduced treewise to the driver.  Right when the FULL
+    matrix fits driver+executor memory (≲1e9 URLs); beyond that use
+    :func:`build_bloom_shards` / :func:`bloom_negative_filter_sharded`,
+    which never materialize more than one shard per task."""
     words = params.m_bits_per_shard // 64
     shards = params.num_shards
 
@@ -134,3 +151,72 @@ def bloom_negative_filter(
         return pd.Series(local.contains_hashes(h.to_numpy(dtype=np.int64)))
 
     return spark_df.withColumn("maybe_seen", probe(F.col(hash_col)))
+
+
+def _shard_probe_masks(hashes: np.ndarray, params: BloomParams):
+    """(word index, bit mask) per probe for hashes WITHIN one shard."""
+    idx = _probe_indexes(hashes.astype(np.uint64), params.k_hashes, params.m_bits_per_shard)
+    return idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
+
+
+def build_bloom_shards(df: DataFrame, hash_col: str, params: BloomParams) -> DataFrame:
+    """Fully-distributed build at the 1e10 design point: ONE shuffle on
+    ``shard_id = hash mod num_shards``; each task builds its whole shard's
+    bit array in isolation (no partial-merge, no driver materialization).
+    Returns a DataFrame ``(shard_id int, bits binary)`` — the durable form
+    (write it to parquet next to the seen-set snapshot for resume).  Peak
+    per-task memory = one shard = ``m_bits_per_shard/8`` bytes (~35 MB at
+    the design point with 1024 shards)."""
+    words = params.m_bits_per_shard // 64
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(words, dtype=np.uint64)
+        h = pdf[hash_col].to_numpy(dtype=np.int64, na_value=0)
+        word, mask = _shard_probe_masks(h, params)
+        for ki in range(params.k_hashes):
+            np.bitwise_or.at(bits, word[ki], mask[ki])
+        return pd.DataFrame({"shard_id": [int(key[0])], "bits": [bits.tobytes()]})
+
+    return (
+        df.select(hash_col)
+        .withColumn("_shard", F.pmod(F.col(hash_col), F.lit(params.num_shards)).cast("int"))
+        .groupBy("_shard")
+        .applyInPandas(build, "shard_id int, bits binary")
+    )
+
+
+def bloom_negative_filter_sharded(
+    spark_df: DataFrame, hash_col: str, shards: DataFrame, params: BloomParams
+) -> DataFrame:
+    """Sharded probe: cogroup rows with their shard's bit array on
+    ``shard_id`` — each task holds exactly ONE shard plus its rows (never a
+    bits-per-row join, never the full matrix).  Adds ``maybe_seen``;
+    ``false`` ⇒ definitely unseen.  Rows whose shard has no entry (nothing
+    ever added) are definitely unseen."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(spark_df.schema.fields + [StructField("maybe_seen", BooleanType())])
+    cols = list(spark_df.columns)
+
+    def probe(key, rows: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if rows.empty:
+            return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if shard.empty:
+            rows = rows[cols].copy()
+            rows["maybe_seen"] = False
+            return rows
+        bits = np.frombuffer(bytes(shard["bits"].iloc[0]), dtype=np.uint64)
+        h = rows[hash_col].to_numpy(dtype=np.int64, na_value=0)
+        word, mask = _shard_probe_masks(h, params)
+        seen = np.ones(len(h), dtype=bool)
+        for ki in range(params.k_hashes):
+            seen &= (bits[word[ki]] & mask[ki]) != 0
+        rows = rows[cols].copy()
+        rows["maybe_seen"] = seen
+        return rows
+
+    left = spark_df.withColumn(
+        "_shard", F.pmod(F.col(hash_col), F.lit(params.num_shards)).cast("int")
+    ).groupBy("_shard")
+    right = shards.groupBy("shard_id")
+    return left.cogroup(right).applyInPandas(probe, out_schema)

@@ -112,3 +112,68 @@ def test_cdx11_golden_lines(spark):
         "http://www.archive.org/services/collection-rss.php text/xml 200 "
         "JXXJNHJX4GEM44C4NOM3RJWKMKVBIGHF - - 6965 11441 "
         "IAH-20080430204825-00000-blackbook-truncated.arc.gz")
+
+
+def test_sentiment_bucket_mapping(spark):
+    """SentimentJTextAnalyser.java:63-86 arithmetic: comparative, signed-log
+    squash, floor bucket.  The log/40 squash keeps web text near Neutral —
+    faithful to the reference mapping."""
+    import math
+
+    from webarchive_discovery_spark.operators.textstats import (
+        SENTIMENT_LEXICON,
+        SENTIMENTS,
+        sentiment_bucket,
+    )
+
+    rows = [
+        (0, "good good good"),
+        (1, "awful awful"),
+        (2, "nothing scored here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, txt string")
+    got = {r.id: (r.sentiment, r.sentiment_score) for r in
+           sentiment_bucket(df, "txt").collect()}
+
+    def expected(txt):
+        # same non-overlapping padded-occurrence semantics as the operator
+        padded = f" {txt.lower()} "
+        total = sum(padded.count(f" {w} ") * v for w, v in SENTIMENT_LEXICON.items())
+        comp = total / len(txt.split())
+        sl = math.copysign(math.log(1 + abs(comp)) / 40.0, comp) if comp else 0.0
+        return SENTIMENTS[max(0, min(6, int(7 * (0.5 + sl))))], comp
+
+    for i, txt in rows:
+        bucket, comp = expected(txt)
+        assert got[i][0] == bucket
+        assert abs(got[i][1] - comp) < 1e-6
+    assert SENTIMENT_LEXICON["good"] == 2  # lexicon sanity
+
+
+def test_postcode_extract_goldens(spark):
+    """PostcodeAnalyser.java:46 regex + district split."""
+    from webarchive_discovery_spark.operators.textstats import postcode_extract
+
+    df = spark.createDataFrame(
+        [(1, "Visit us at SW1A 1AA or EC1R 0NE; bad ones: sw1a 1aa, SW1A1AA, Z99 9CC")],
+        "id int, txt string",
+    )
+    r = postcode_extract(df, "txt").first()
+    assert r.postcode == ["EC1R 0NE", "SW1A 1AA"]  # lowercase/nospace/9CC rejected
+    assert r.postcode_district == ["EC1R", "SW1A"]
+
+
+def test_lang_id_sixteen_languages(spark):
+    from webarchive_discovery_spark.operators.textstats import LANG_MARKERS, lang_id
+
+    assert len(LANG_MARKERS) == 16
+    rows = [
+        (0, "the cat and the dog of a house"),
+        (1, "der Hund und die Katze und das Haus"),
+        (2, "yang dan di untuk dan yang"),
+        (3, "и не на что не и"),
+        (4, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id int, txt string")
+    got = {r.id: r.lang_pred for r in lang_id(df, "txt").collect()}
+    assert got == {0: "en", 1: "de", 2: "id", 3: "ru", 4: "und"}

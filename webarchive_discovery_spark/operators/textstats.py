@@ -13,16 +13,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["lang_id", "quality_score", "token_stats", "fingerprint"]
+__all__ = [
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "fingerprint",
+    "sentiment_bucket",
+    "postcode_extract",
+    "LANG_MARKERS",
+    "SENTIMENTS",
+    "SENTIMENT_LEXICON",
+    "POSTCODE_REGEX",
+]
 
 # occurrence-count language heuristics: per language, a set of frequent
-# function words; score = total occurrences of " word " patterns
-_LANG_MARKERS = {
+# function words; score = total occurrences of " word " patterns.
+# Semantically a heuristic (a production pipeline would plug a fastText-class
+# model into the same operator shape via the UDF registry); coverage spans
+# the 16 highest-volume web languages.  Reference analog:
+# ``LanguageAnalyser.java:65`` (langdetect n-gram profiles).
+LANG_MARKERS = {
     "en": ["the", "and", "a", "of"],
     "de": ["der", "die", "und", "das"],
     "fr": ["le", "la", "et", "les"],
     "es": ["el", "los", "que", "y"],
+    "it": ["il", "che", "di", "per"],
+    "pt": ["não", "uma", "os", "em"],
+    "nl": ["het", "een", "niet", "op"],
+    "sv": ["och", "att", "det", "som"],
+    "da": ["og", "jeg", "ikke", "til"],
+    "pl": ["nie", "się", "jest", "w"],
+    "ru": ["и", "не", "на", "что"],
+    "id": ["yang", "dan", "di", "untuk"],
+    "tr": ["bir", "ve", "bu", "için"],
+    "fi": ["ja", "on", "ei", "että"],
+    "cs": ["je", "se", "že", "to"],
+    "ro": ["și", "să", "nu", "cu"],
 }
+_LANG_MARKERS = LANG_MARKERS  # backwards-compat alias
 
 
 def _occurrences(text: Column, needle: str) -> Column:
@@ -111,3 +139,66 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("fp_exact"),
         F.md5(sorted_toks).alias("fp_bag"),
     )
+
+
+# Compact AFINN-style valence lexicon (public word-valence heuristics, -5..5)
+# — stands in for the reference's SentiJ lexicon (SentimentJTextAnalyser).
+SENTIMENT_LEXICON = {
+    "outstanding": 5, "superb": 5, "breathtaking": 5,
+    "excellent": 4, "wonderful": 4, "amazing": 4, "fantastic": 4,
+    "great": 3, "love": 3, "happy": 3, "beautiful": 3,
+    "good": 2, "nice": 2, "useful": 2, "helpful": 2,
+    "fine": 1, "ok": 1,
+    "bad": -2, "poor": -2, "ugly": -2, "boring": -2,
+    "awful": -3, "hate": -3, "sad": -3, "broken": -3,
+    "terrible": -4, "horrible": -4, "disgusting": -4,
+    "catastrophic": -5, "abysmal": -5,
+}
+
+#: the reference's 7 bucket labels (``SolrFields.SENTIMENTS``)
+SENTIMENTS = [
+    "Very Negative", "Negative", "Mildly Negative", "Neutral",
+    "Mildly Positive", "Positive", "Very Positive",
+]
+
+
+def sentiment_bucket(df: DataFrame, text_col: str, head_chars: int = 10000) -> DataFrame:
+    """Sentiment score + 7-way bucket, exactly the reference's mapping
+    (``SentimentJTextAnalyser.java:63-86``): comparative = Σ valence / #tokens
+    over the first 10 000 chars; ``sentilog = sign(c)·ln(1+|c|)/40``;
+    bucket index = ``int(7·(0.5+sentilog))`` clamped to [0,6].  Pure codegen
+    when-ladder + occurrence counts — the oracle can mirror it exactly."""
+    head = F.substring(F.col(text_col), 1, head_chars)
+    padded = F.concat(F.lit(" "), F.lower(head), F.lit(" "))
+    total = None
+    for word, valence in SENTIMENT_LEXICON.items():
+        term = _occurrences(padded, f" {word} ") * valence
+        total = term if total is None else total + term
+    n_tok = F.size(F.split(F.trim(head), r"\s+"))
+    comparative = total.cast("double") / n_tok
+    sentilog = F.signum(comparative) * F.log(1.0 + F.abs(comparative)) / 40.0
+    idx = F.floor(len(SENTIMENTS) * (0.5 + sentilog)).cast("int")
+    idx = F.greatest(F.lit(0), F.least(F.lit(len(SENTIMENTS) - 1), idx))
+    bucket = F.lit(SENTIMENTS[-1])
+    for i in range(len(SENTIMENTS) - 1):
+        bucket = F.when(idx == i, F.lit(SENTIMENTS[i])).otherwise(bucket)
+    return df.withColumn("sentiment_score", comparative.cast("float")).withColumn(
+        "sentiment", bucket
+    )
+
+
+#: ``PostcodeAnalyser.java:46`` — UK postcode with space separator
+POSTCODE_REGEX = r"[A-Z]{1,2}[0-9R][0-9A-Z]? [0-9][ABD-HJLNP-UW-Z]{2}"
+
+
+def postcode_extract(df: DataFrame, text_col: str) -> DataFrame:
+    """UK postcode + district extraction (``PostcodeAnalyser.java:67-77``):
+    distinct matches of the postcode pattern; district = the outward code
+    (text before the space).  Sorted arrays for determinism."""
+    pcs = F.array_sort(F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(POSTCODE_REGEX), 0)
+    ))
+    districts = F.array_sort(F.array_distinct(
+        F.transform(pcs, lambda pc: F.substring_index(pc, " ", 1))
+    ))
+    return df.withColumn("postcode", pcs).withColumn("postcode_district", districts)

@@ -657,31 +657,38 @@ def _langid_score_sql(lang: str, words: list[str]) -> str:
     return " + ".join(terms)
 
 
-@q(
-    "lang_id_counts",
-    f"""
+def _langid_oracle_sql() -> str:
+    """Generated from ``textstats.LANG_MARKERS`` so the oracle and the
+    operator always share marker words AND tie-break order."""
+    langs = textstats.LANG_MARKERS
+    scores = ",\n             ".join(
+        f"{_langid_score_sql(lang, words)} AS score_{lang}"
+        for lang, words in langs.items()
+    )
+    greatest = ", ".join(f"score_{lang}" for lang in langs)
+    cases = "\n                ".join(
+        f"WHEN score_{lang} = b THEN '{lang}'" for lang in list(langs)[:-1]
+    )
+    return f"""
     WITH padded AS (
       SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
     ), scored AS (
       SELECT doc_id,
-             {_langid_score_sql('en', ['the', 'and', 'a', 'of'])} AS score_en,
-             {_langid_score_sql('de', ['der', 'die', 'und', 'das'])} AS score_de,
-             {_langid_score_sql('fr', ['le', 'la', 'et', 'les'])} AS score_fr,
-             {_langid_score_sql('es', ['el', 'los', 'que', 'y'])} AS score_es
+             {scores}
       FROM padded
     ), best AS (
-      SELECT doc_id, greatest(score_en, score_de, score_fr, score_es) AS b, *
+      SELECT doc_id, greatest({greatest}) AS b, *
       FROM scored
     )
     SELECT CASE WHEN b <= 0 THEN 'und'
-                WHEN score_en = b THEN 'en'
-                WHEN score_de = b THEN 'de'
-                WHEN score_fr = b THEN 'fr'
-                ELSE 'es' END AS lang_pred,
+                {cases}
+                ELSE '{list(langs)[-1]}' END AS lang_pred,
            count(*) AS cnt
     FROM best GROUP BY 1
-    """,
-)
+    """
+
+
+@q("lang_id_counts", _langid_oracle_sql())
 def lang_id_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tagged = textstats.lang_id(docs, "text")
@@ -1314,4 +1321,99 @@ def capture_facet_counts(spark, sf_dir):
     caps = schema_capture.extract_capture(raw)
     return caps.groupBy("content_type_norm", "crawl_year", "url_type").agg(
         F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ===========================================================================
+# Sentiment bucketing + postcode extraction (text analysers)
+# ===========================================================================
+
+def _sentiment_oracle_sql() -> str:
+    """Mirror of ``textstats.sentiment_bucket`` generated from the SAME
+    lexicon and bucket labels (exact arithmetic: occurrence counts →
+    comparative → signed log → floor-bucket)."""
+    terms = " + ".join(
+        f"((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}) * ({v})"
+        for w, v in textstats.SENTIMENT_LEXICON.items()
+    )
+    n = len(textstats.SENTIMENTS)
+    cases = " ".join(
+        f"WHEN {i} THEN '{label}'" for i, label in enumerate(textstats.SENTIMENTS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || repeat(' good', CAST(doc_id % 4 AS INT))
+                  || repeat(' awful', CAST(doc_id % 3 AS INT)) || ' ' AS txt
+      FROM documents
+    ), p AS (
+      SELECT doc_id, ' ' || lower(substring(txt, 1, 10000)) || ' ' AS p,
+             len(string_split(trim(substring(txt, 1, 10000)), ' ')) AS n_tok
+      FROM t
+    ), s AS (
+      SELECT doc_id, ({terms}) / CAST(n_tok AS DOUBLE) AS comparative FROM p
+    ), b AS (
+      SELECT doc_id, comparative,
+             greatest(0, least({n - 1},
+               CAST(floor({n} * (0.5 + sign(comparative) * ln(1.0 + abs(comparative)) / 40.0)) AS INT)
+             )) AS idx
+      FROM s
+    )
+    SELECT CASE idx {cases} END AS sentiment, count(*) AS cnt
+    FROM b GROUP BY 1
+    """
+
+
+@q("sentiment_buckets", _sentiment_oracle_sql())
+def sentiment_buckets(spark, sf_dir):
+    """Append deterministic sentiment-bearing words to each document, run the
+    packaged sentiment analyser, count per bucket."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit(" good"), (F.col("doc_id") % 4).cast("int")),
+            F.repeat(F.lit(" awful"), (F.col("doc_id") % 3).cast("int")),
+            F.lit(" "),
+        ).alias("txt"),
+    )
+    scored = textstats.sentiment_bucket(docs, "txt")
+    return scored.groupBy("sentiment").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "postcode_extract",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || ' Write to AB' || CAST(doc_id % 9 AS VARCHAR) || ' '
+                  || CAST(doc_id % 9 AS VARCHAR) || 'XX or SW1A 1AA today.' AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             ['AB' || CAST(doc_id % 9 AS VARCHAR) || ' ' || CAST(doc_id % 9 AS VARCHAR) || 'XX',
+              'SW1A 1AA'])), '|') AS postcode,
+           array_to_string(list_sort(list_distinct(
+             ['AB' || CAST(doc_id % 9 AS VARCHAR), 'SW1A'])), '|') AS postcode_district
+    FROM t
+    """,
+)
+def postcode_extract(spark, sf_dir):
+    """Embed deterministic UK postcodes in each document, run the packaged
+    extractor (the reference's PostcodeAnalyser regex), flatten arrays."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Write to AB"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(" "), (F.col("doc_id") % 9).cast("string"),
+            F.lit("XX or SW1A 1AA today."),
+        ).alias("txt"),
+    )
+    out = textstats.postcode_extract(docs, "txt")
+    return out.select(
+        "doc_id",
+        F.array_join("postcode", "|").alias("postcode"),
+        F.array_join("postcode_district", "|").alias("postcode_district"),
     )

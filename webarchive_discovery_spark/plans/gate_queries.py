@@ -1417,3 +1417,76 @@ def postcode_extract(spark, sf_dir):
         F.array_join("postcode", "|").alias("postcode"),
         F.array_join("postcode_district", "|").alias("postcode_district"),
     )
+
+
+# ===========================================================================
+# Scoped date-gated annotations (Annotator.java)
+# ===========================================================================
+
+@q(
+    "annotations_apply",
+    """
+    WITH caps AS (
+      SELECT event_id, user_id, ts,
+             user_id % 20 AS hn,
+             event_id % 8 AS fn,
+             CAST(ts AS DATE) AS d
+      FROM events
+    )
+    SELECT event_id,
+           coalesce(array_to_string(list_sort(flatten([
+             CASE WHEN hn = 1 THEN ['colRoot'] ELSE [] END,
+             CASE WHEN hn = 2 AND ts >= TIMESTAMP '2024-01-10' THEN ['colGated'] ELSE [] END,
+             CASE WHEN hn = 3 THEN ['colSub'] ELSE [] END,
+             CASE WHEN fn <= 3 THEN ['colSrc'] ELSE [] END
+           ])), '|'), '') AS collection,
+           coalesce(array_to_string(list_sort(flatten([
+             CASE WHEN hn = 3 THEN ['s1'] ELSE [] END
+           ])), '|'), '') AS wct_subjects,
+           CASE WHEN hn = 4 THEN 'OA' ELSE 'RRO' END AS access_terms
+    FROM caps
+    """,
+)
+def annotations_apply(spark, sf_dir):
+    """Events-derived captures pushed through the packaged annotation
+    operator: root prefix, date-gated root, subdomains (reference direction),
+    source_file regex, and OA/RRO SURT terms — the oracle recomputes every
+    scope arithmetically."""
+    import datetime as dt
+
+    from ..operators import annotations as ann_op
+
+    ev = _t(spark, sf_dir, "events")
+    hn = (F.col("user_id") % 20).cast("string")
+    caps = ev.select(
+        "event_id",
+        F.concat(F.lit("http://h"), hn, F.lit(".example.org/p/"),
+                 F.col("event_id").cast("string")).alias("url_norm"),
+        F.concat(F.lit("h"), hn, F.lit(".example.org")).alias("host"),
+        F.col("ts").cast("timestamp").alias("crawl_date"),
+        F.concat(F.lit("f"), (F.col("event_id") % 8).cast("string"),
+                 F.lit(".warc")).alias("source_file"),
+        F.concat(F.lit("(org,example,h"), hn, F.lit(",)/p/"),
+                 F.col("event_id").cast("string")).alias("url_key"),
+    )
+    anns = spark.createDataFrame(
+        [
+            ("root", "http://h1.example.org/", "colRoot", None, None, None, None),
+            ("root", "http://h2.example.org/", "colGated", None, None,
+             dt.datetime(2024, 1, 10), None),
+            ("subdomains", "deep.h3.example.org", "colSub", None, ["s1"], None, None),
+            ("source_file_matches", r"f[0-3]\.warc", "colSrc", None, None, None, None),
+        ],
+        "scope string, key string, collection string, collections array<string>, "
+        "subjects array<string>, date_from timestamp, date_to timestamp",
+    )
+    surts = spark.createDataFrame([("(org,example,h4,",)], "prefix string")
+    out = ann_op.apply_annotations(
+        caps, anns, open_access_surts=surts, surt_col="url_key"
+    )
+    return out.select(
+        "event_id",
+        F.array_join("collection", "|").alias("collection"),
+        F.array_join("wct_subjects", "|").alias("wct_subjects"),
+        "access_terms",
+    )

@@ -1,0 +1,67 @@
+"""Tika-lite HTML metadata extraction (TikaPayloadAnalyser field mapping,
+HtmlFeatureParser first-paragraph, 512 KiB text cap)."""
+
+from webarchive_discovery_spark.operators.metadata import (
+    TEXT_CAP,
+    extract_html_metadata,
+)
+
+HTML = """
+<html>
+<head>
+  <meta charset="UTF-8">
+  <title>  The   Title &amp; More </title>
+  <meta name="description" content="A &quot;useful&quot; page">
+  <meta name="keywords" content="web, archive , discovery">
+  <meta name="author" content="Jane Doe">
+  <meta name="generator" content="WordPress 6.0">
+  <script>var x = "<p>not a paragraph</p>";</script>
+</head>
+<body>
+  <p>   </p>
+  <p>First real <b>paragraph</b> text.</p>
+  <p>Second paragraph.</p>
+  Body tail text.
+</body>
+</html>
+"""
+
+
+def test_metadata_fields(spark):
+    df = spark.createDataFrame([(HTML,)], "payload string")
+    r = extract_html_metadata(df).first()
+    assert r.title == "The Title & More"
+    assert r.description == 'A "useful" page'
+    assert r.keywords == ["web", "archive", "discovery"]
+    assert r.author == "Jane Doe"
+    assert r.generator == "WordPress 6.0"
+    assert r.content_encoding == "utf-8"
+    assert r.first_paragraph == "First real paragraph text."
+    assert "First real paragraph text." in r.text
+    assert "not a paragraph" not in r.text  # script stripped
+    assert "The Title" not in r.text        # head stripped from body text
+    assert r.content_text_length == len(r.text)
+    assert r.meta_parse_error is None
+
+
+def test_http_equiv_charset(spark):
+    html = ('<head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=ISO-8859-1"></head><body>x</body>')
+    df = spark.createDataFrame([(html,)], "payload string")
+    assert extract_html_metadata(df).first().content_encoding == "iso-8859-1"
+
+
+def test_text_cap_and_null(spark):
+    big = "<body>" + ("word " * (TEXT_CAP // 4)) + "</body>"
+    df = spark.createDataFrame([(big,), (None,)], "payload string")
+    rows = extract_html_metadata(df).collect()
+    capped = [r for r in rows if r.text is not None][0]
+    assert capped.content_text_length <= TEXT_CAP
+    nulled = [r for r in rows if r.text is None][0]
+    assert nulled.content_text_length is None
+
+
+def test_single_arrow_pass(spark):
+    df = spark.createDataFrame([("<title>t</title>",)], "payload string")
+    plan = extract_html_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1

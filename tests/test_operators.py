@@ -177,3 +177,46 @@ def test_lang_id_sixteen_languages(spark):
     df = spark.createDataFrame(rows, "id int, txt string")
     got = {r.id: r.lang_pred for r in lang_id(df, "txt").collect()}
     assert got == {0: "en", 1: "de", 2: "id", 3: "ru", 4: "und"}
+
+
+def test_explicit_boundary_partition_goldens(spark):
+    """AlphaPartitioner.getPartition floor-binary-search semantics."""
+    from webarchive_discovery_spark.operators.cdx import (
+        explicit_boundary_partition,
+        explicit_boundary_sort,
+    )
+
+    bounds = ["com,", "net,", "org,"]
+    rows = [("aaa,",), ("com,",), ("com,zzz",), ("net,abc",), ("org,",), ("zzz,",)]
+    df = spark.createDataFrame(rows, "urlkey string")
+    got = {r.urlkey: r.partition_id for r in
+           explicit_boundary_partition(df, "urlkey", bounds).collect()}
+    assert got == {"aaa,": 0, "com,": 0, "com,zzz": 0,
+                   "net,abc": 1, "org,": 2, "zzz,": 2}
+
+    # global-order property across explicit partitions
+    from pyspark.sql import functions as F
+    out = explicit_boundary_sort(df, "urlkey", bounds).withColumn(
+        "pp", F.spark_partition_id()
+    ).collect()
+    seq = [(r.pp, r.partition_id, r.urlkey) for r in out]
+    assert sorted(seq) == sorted(seq, key=lambda t: (t[0], t[2]))
+
+
+def test_revisit_shortcircuit(spark):
+    """WARCIndexer.java:432-437: revisits drop content_length and copy the
+    served type into content_type."""
+    from webarchive_discovery_spark.operators.reduplication import revisit_shortcircuit
+
+    rows = [
+        ("response", 100, "text/html; via-tika", "text/html"),
+        ("revisit", 0, None, "text/plain"),
+    ]
+    df = spark.createDataFrame(
+        rows, "record_type string, content_length int, content_type string, content_type_served string"
+    )
+    got = {r.record_type: r for r in revisit_shortcircuit(df).collect()}
+    assert got["response"].content_length == 100
+    assert got["response"].content_type == "text/html; via-tika"
+    assert got["revisit"].content_length is None
+    assert got["revisit"].content_type == "text/plain"

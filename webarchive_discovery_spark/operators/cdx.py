@@ -99,3 +99,36 @@ def cdx11_line(
             dash(offset), dash(filename),
         ),
     )
+
+
+def explicit_boundary_partition(
+    df: DataFrame, key_col: str, boundaries: list[str], out_col: str = "partition_id"
+) -> DataFrame:
+    """User-supplied boundary partitioning — ``AlphaPartitioner``
+    (``org/archive/hadoop/mapreduce/AlphaPartitioner.java:61-71``): partition
+    i holds keys in ``[boundaries[i], boundaries[i+1])``; keys below the
+    first boundary go to partition 0 (the reference clamps the binary-search
+    insertion point).  The id is computed JVM-side as the count of
+    boundaries ≤ key over a sorted literal array (boundary files are small —
+    one line per reducer)."""
+    bounds = sorted(boundaries)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    key = F.col(key_col)
+    pid = F.size(F.filter(arr, lambda b: b <= key)) - 1
+    return df.withColumn(out_col, F.greatest(F.lit(0), pid))
+
+
+def explicit_boundary_sort(
+    df: DataFrame, key_col: str, boundaries: list[str], out_col: str = "partition_id"
+) -> DataFrame:
+    """Total order with EXPLICIT cut points (vs the sampled boundaries of
+    :func:`total_order_sort`): stamp ``partition_id``, range-shuffle on
+    ``(partition_id, key)``, sort within partitions.  For the reference's
+    file-level contract (shard i = boundary i exactly), write with
+    ``.write.partitionBy(out_col)`` — directory boundaries are then exact
+    regardless of physical partition merging."""
+    staged = explicit_boundary_partition(df, key_col, boundaries, out_col)
+    n = max(1, len(boundaries))
+    return staged.repartitionByRange(
+        n, F.col(out_col), F.col(key_col)
+    ).sortWithinPartitions(out_col, key_col)

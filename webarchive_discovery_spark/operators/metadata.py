@@ -1,0 +1,153 @@
+"""Bounded HTML metadata + text extraction ("Tika-lite").
+
+Covers the common fields the reference gets from Tika / the HTML parser:
+title, meta description/keywords/author/generator, content encoding
+(charset), first paragraph, and the extracted text —
+``TikaPayloadAnalyser.java:165-414`` (field mapping, 512 KiB text cap via
+``SolrRecordFactory``), ``HtmlFeatureParser.java:252-263``
+(FIRST_PARAGRAPH), ``HTMLAnalyser.java:121-127`` (parse timeout
+discipline).
+
+Spark shape: ONE Arrow struct UDF per batch (same idiom as
+``operators/links.py``) — a linear bounded regex pass, no DOM build.  The
+reference's 30 s/300 s ``TimeLimiter`` guards a DOM parser that can blow up
+super-linearly; a linear scanner's cost is bounded by input size instead, so
+the timeout discipline is replaced by the ``max_chars`` input bound plus
+per-record exception recovery (``parse_error`` capture) — same contract
+(no record can stall the job), different mechanism.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["extract_html_metadata", "METADATA_STRUCT", "TEXT_CAP"]
+
+TEXT_CAP = 512 * 1024  # SolrRecordFactory.DEFAULT_CONTENT_MAX_LENGTH
+
+_COMMENTS = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_STYLE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_TITLE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.S | re.I)
+_META = re.compile(r"<meta\b[^>]*>", re.I | re.S)
+_ATTR = re.compile(
+    r"""([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.S
+)
+_P = re.compile(r"<p\b[^>]*>(.*?)(?:</p\s*>|<p\b)", re.S | re.I)
+_TAG = re.compile(r"<[^>]+>")
+_CHARSET_IN_CT = re.compile(r"charset=([A-Za-z0-9_\-]+)", re.I)
+_WS = re.compile(r"\s+")
+
+METADATA_STRUCT = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("keywords", ArrayType(StringType())),
+        StructField("author", StringType()),
+        StructField("generator", StringType()),
+        StructField("content_encoding", StringType()),
+        StructField("first_paragraph", StringType()),
+        StructField("text", StringType()),
+        StructField("content_text_length", IntegerType()),
+        StructField("parse_error", StringType()),
+    ]
+)
+
+
+def _clean_text(fragment: str) -> str:
+    return _WS.sub(" ", html_mod.unescape(_TAG.sub(" ", fragment))).strip()
+
+
+def _meta_attrs(tag: str) -> dict[str, str]:
+    return {
+        m.group(1).lower(): next(g for g in m.groups()[1:] if g is not None)
+        for m in _ATTR.finditer(tag)
+    }
+
+
+def _extract_one(html: str, max_chars: int) -> dict:
+    out = {f.name: None for f in METADATA_STRUCT.fields}
+    bounded = html[:max_chars]
+    cleaned = _SCRIPT_STYLE.sub(" ", _COMMENTS.sub(" ", bounded))
+
+    m = _TITLE.search(cleaned)
+    if m:
+        out["title"] = _clean_text(m.group(1)) or None
+
+    for tag in _META.finditer(cleaned):
+        attrs = _meta_attrs(tag.group(0))
+        name = attrs.get("name", "").lower()
+        content = attrs.get("content")
+        if name == "description" and content:
+            out["description"] = _clean_text(content)
+        elif name == "keywords" and content:
+            out["keywords"] = [k.strip() for k in content.split(",") if k.strip()]
+        elif name == "author" and content:
+            out["author"] = _clean_text(content)
+        elif name == "generator" and content:
+            out["generator"] = _clean_text(content)
+        if "charset" in attrs and out["content_encoding"] is None:
+            out["content_encoding"] = attrs["charset"].lower()
+        elif (
+            attrs.get("http-equiv", "").lower() == "content-type"
+            and content and out["content_encoding"] is None
+        ):
+            cm = _CHARSET_IN_CT.search(content)
+            if cm:
+                out["content_encoding"] = cm.group(1).lower()
+
+    # first paragraph with non-empty text (HtmlFeatureParser.java:252-263)
+    for pm in _P.finditer(cleaned):
+        pt = _clean_text(pm.group(1))
+        if pt:
+            out["first_paragraph"] = pt
+            break
+
+    body = re.sub(r"<head\b.*?</head\s*>", " ", cleaned, flags=re.S | re.I)
+    text = _clean_text(body)[:TEXT_CAP]
+    out["text"] = text
+    out["content_text_length"] = len(text)
+    return out
+
+
+def extract_html_metadata(
+    df: DataFrame,
+    html_col: str = "payload",
+    max_chars: int = TEXT_CAP * 2,
+) -> DataFrame:
+    """Append title/description/keywords/author/generator/content_encoding/
+    first_paragraph/text/content_text_length — one Arrow pass, no shuffle;
+    per-record failures land in ``parse_error`` instead of failing the task
+    (the reference's ``addParseException`` path)."""
+
+    @F.pandas_udf(METADATA_STRUCT)
+    def kernel(htmls: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h in htmls:
+            if h is None:
+                rows.append({f.name: None for f in METADATA_STRUCT.fields})
+                continue
+            try:
+                rows.append(_extract_one(h, max_chars))
+            except Exception as exc:  # per-record recovery
+                rec = {f.name: None for f in METADATA_STRUCT.fields}
+                rec["parse_error"] = str(exc)[:500]
+                rows.append(rec)
+        return pd.DataFrame(rows, columns=[f.name for f in METADATA_STRUCT.fields])
+
+    out = df.withColumn("_meta", kernel(F.col(html_col)))
+    for f in METADATA_STRUCT.fields:
+        name = "meta_parse_error" if f.name == "parse_error" else f.name
+        out = out.withColumn(name, F.col(f"_meta.{f.name}"))
+    return out.drop("_meta")

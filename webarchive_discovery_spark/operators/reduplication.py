@@ -61,3 +61,20 @@ def reduplicate(
             (F.col(type_col) == revisit_type) & has_exemplar, F.lit("reduplicated")
         ).otherwise(F.col(type_col)),
     )
+
+
+def revisit_shortcircuit(captures: DataFrame) -> DataFrame:
+    """WARC revisit short-circuit in the RECORD path
+    (``WARCIndexer.java:432-437``): revisit records carry no payload, so
+    ``content_length`` is nulled (it is 0 and would skew statistics) and
+    ``content_type`` is copied from the served type (no Tika/DROID pass for
+    revisits).  Downstream, :func:`reduplicate` resolves the revisit against
+    its original response by digest."""
+    is_revisit = F.lower(F.col("record_type")) == "revisit"
+    return captures.withColumn(
+        "content_length",
+        F.when(is_revisit, F.lit(None).cast("int")).otherwise(F.col("content_length")),
+    ).withColumn(
+        "content_type",
+        F.when(is_revisit, F.col("content_type_served")).otherwise(F.col("content_type")),
+    )

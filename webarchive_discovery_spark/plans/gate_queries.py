@@ -1490,3 +1490,46 @@ def annotations_apply(spark, sf_dir):
         F.array_join("wct_subjects", "|").alias("wct_subjects"),
         "access_terms",
     )
+
+
+# ===========================================================================
+# Tika-lite HTML metadata extraction
+# ===========================================================================
+
+@q(
+    "html_metadata",
+    """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & Co' AS title,
+           'A' || CAST(doc_id % 7 AS VARCHAR) AS author,
+           'k' || CAST(doc_id % 3 AS VARCHAR) || '|common' AS keywords,
+           'utf-8' AS content_encoding,
+           'Para ' || CAST(doc_id AS VARCHAR) || ' text.' AS first_paragraph,
+           'Para ' || CAST(doc_id AS VARCHAR) || ' text. Tail ' || CAST(doc_id % 11 AS VARCHAR) || '.' AS text
+    FROM documents
+    """,
+)
+def html_metadata(spark, sf_dir):
+    """Synthetic HTML per document through the real Tika-lite kernel
+    (title entity-decode, meta fields, charset, first non-empty paragraph,
+    head-stripped text) — oracle reconstructs every field arithmetically."""
+    from ..operators import metadata as meta_op
+
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta charset="utf-8"><title>Doc '), sid,
+        F.lit(' &amp; Co</title><meta name="author" content="A'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"><meta name="keywords" content="k'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(', common"></head><body><p> </p><p>Para '), sid,
+        F.lit(' text.</p>Tail '), (F.col("doc_id") % 11).cast("string"),
+        F.lit(".</body></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("payload"))
+    out = meta_op.extract_html_metadata(docs)
+    return out.select(
+        "doc_id", "title", "author",
+        F.array_join("keywords", "|").alias("keywords"),
+        "content_encoding", "first_paragraph", "text",
+    )

@@ -181,28 +181,52 @@ def frequency_count_events(spark, sf_dir):
 @q(
     "hosts_report",
     """
-    SELECT 'h' || lpad(CAST(user_id % 50 AS VARCHAR), 2, '0') AS host,
-           count(*) AS num_urls,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS num_bytes,
-           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS num_robots_denied,
-           CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS num_dup_by_hash,
-           CAST(sum(CASE WHEN event_id % 10 = 0 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS num_dup_bytes
-    FROM events GROUP BY 1
+    WITH r AS (
+      SELECT 'h' || lpad(CAST(user_id % 50 AS VARCHAR), 2, '0') AS host,
+             CASE WHEN event_type = 'error' THEN 0
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS robots,
+             CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS dup
+      FROM events
+    )
+    SELECT host, count(*) AS num_urls,
+           CAST(sum(cents) AS BIGINT) / 100.0 AS num_bytes,
+           CAST(sum(robots) AS BIGINT) AS num_robots_denied,
+           CAST(sum(dup) AS BIGINT) AS num_dup_by_hash,
+           CAST(sum(CASE WHEN dup = 1 THEN cents ELSE 0 END) AS BIGINT) / 100.0 AS num_dup_bytes
+    FROM r GROUP BY host
     """,
 )
 def hosts_report(spark, sf_dir):
-    # Bit-stable cross-engine compare: sum exact integer cents (long), divide
-    # once at the end — no float summation-order jitter, and DuckDB's HUGEINT
-    # sums are cast to BIGINT oracle-side so both engines emit the same dtypes.
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "host", F.concat(F.lit("h"), F.lpad((F.col("user_id") % 50).cast("string"), 2, "0"))
+    """End-to-end crawl.log path: derive REAL 12-column crawl.log lines from
+    events (robots-denied = status -9998 with size '-', hash-dups annotated
+    ``warcRevists:digest``), parse them with the packaged line source, and
+    aggregate with the HostsReport reducer.  Bit-stable compare: byte sums
+    are exact integer cents (long), divided once at the end."""
+    from ..sources.crawllog import parse_crawl_log_lines
+
+    ev = _t(spark, sf_dir, "events")
+    err = F.col("event_type") == "error"
+    line = F.concat_ws(
+        " ",
+        F.lit("2024-01-01T00:00:00Z"),
+        F.when(err, "-9998").otherwise("200"),
+        F.when(err, "-").otherwise(F.round(F.col("value") * 100, 0).cast("long").cast("string")),
+        F.concat(
+            F.lit("http://h"), F.lpad((F.col("user_id") % 50).cast("string"), 2, "0"),
+            F.lit("/p/"), F.col("event_id").cast("string"),
+        ),
+        F.lit("L"), F.lit("-"), F.lit("text/html"), F.lit("1"), F.lit("t+1"),
+        F.lit("sha1:X"), F.lit("-"),
+        F.when(F.col("event_id") % 10 == 0, "warcRevists:digest").otherwise("-"),
     )
+    parsed = parse_crawl_log_lines(ev.select(line.alias("value")))
     rep = aggregates.hosts_report(
-        ev,
+        parsed,
         host_col="host",
-        bytes_col=F.round(F.col("value") * 100, 0).cast("long"),
-        robots_denied=(F.col("event_type") == "error").cast("long"),
-        dup_by_hash=(F.col("event_id") % 10 == 0).cast("long"),
+        bytes_col=F.col("num_bytes"),
+        robots_denied=F.col("robots_denied"),
+        dup_by_hash=F.col("dup_by_hash"),
     )
     return rep.select(
         "host",

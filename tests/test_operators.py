@@ -220,3 +220,18 @@ def test_revisit_shortcircuit(spark):
     assert got["response"].content_type == "text/html; via-tika"
     assert got["revisit"].content_length is None
     assert got["revisit"].content_type == "text/plain"
+
+
+def test_minhash_bucket_cap(spark):
+    """A degenerate bucket (many identical docs) is bounded to cap² pairs."""
+    from webarchive_discovery_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [(i, "identical text body for every row here") for i in range(20)],
+        "doc_id int, text string",
+    )
+    capped = minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=5)
+    # 5 docs per bucket → C(5,2)=10 pairs (identical docs share all bands)
+    assert capped.count() == 10
+    full = minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=None)
+    assert full.count() == 190  # C(20,2)

@@ -41,6 +41,9 @@ __all__ = [
     "image_dims",
     "average_hash",
     "psnr",
+    "resize_nearest",
+    "encode_fake_video",
+    "sample_video_frames",
     "HAVE_PIL",
 ]
 
@@ -248,3 +251,55 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ---------------------------------------------------------------------------
+# Resize + video frame plumbing (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (real, deterministic — no image
+    library needed).  A production pipeline would swap in a Pillow/opencv
+    kernel behind the same signature."""
+    h, w = rgb.shape[:2]
+    yi = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    xi = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return rgb[yi[:, None], xi[None, :]]
+
+
+_FAKE_VIDEO_SIG = b"WDSV"  # length-prefixed concatenation of encoded frames
+
+
+def encode_fake_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    """Deterministic fake video container: signature + per-frame
+    length-prefixed encoded images.  Stands in for a real demuxer so the
+    frame-sampling plumbing (schema, batching, explode shape) is exercised
+    end-to-end without codec libraries."""
+    out = bytearray(_FAKE_VIDEO_SIG)
+    out += struct.pack(">I", len(frames))
+    for f in frames:
+        enc = encode_image(f, fmt)
+        out += struct.pack(">I", len(enc)) + fmt.encode("ascii").ljust(8, b"\0") + enc
+    return bytes(out)
+
+
+def sample_video_frames(data: bytes, every_n: int = 1) -> list[tuple[int, np.ndarray]]:
+    """Decode every ``every_n``-th frame from the fake container as
+    (frame_index, rgb).  Real containers (mp4/webm/…) raise
+    NotImplementedError — no video codecs ship in this sandbox; the
+    Spark-side plumbing is identical once a demuxer is plugged in."""
+    if not data.startswith(_FAKE_VIDEO_SIG):
+        raise NotImplementedError(
+            "only the deterministic fake video container is decodable here"
+        )
+    n = struct.unpack(">I", data[4:8])[0]
+    pos = 8
+    out = []
+    for i in range(n):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        fmt = data[pos + 4:pos + 12].rstrip(b"\0").decode("ascii")
+        enc = data[pos + 12:pos + 12 + ln]
+        pos += 12 + ln
+        if i % every_n == 0:
+            out.append((i, decode_image(enc, fmt)))
+    return out

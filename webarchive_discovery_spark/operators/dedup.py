@@ -80,13 +80,21 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH.
 
     signature → split into ``bands`` bands of ``num_hashes/bands`` rows →
     hash each band → self-join on (band_id, band_hash) with ``id_a < id_b``.
     Returns (id_a, id_b, n_bands_matched).
-    """
+
+    ``max_bucket_size`` caps degenerate buckets (1M identical docs would
+    otherwise cost O(n²) pairs in ONE task): only the first ``cap`` docs per
+    (band_id, band_hash) — ordered by id, deterministic — enter the
+    self-join, bounding any bucket to cap² pairs.  Docs beyond the cap in a
+    degenerate bucket lose candidacy *within that band only*; with multiple
+    bands near-dups still surface through their other bands.  Set ``None``
+    to disable (exact candidate semantics)."""
     rows_per_band = num_hashes // bands
     toks = tokenize(text_col)
     # explode shingles once, then one hash-aggregate computes all minhashes —
@@ -109,6 +117,15 @@ def minhash_lsh_candidates(
     banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_hash").orderBy("doc")
+        banded = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket_size)
+            .drop("_rk")
+        )
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (

@@ -1,0 +1,134 @@
+"""Multimodal column operators: image decode/resize/feature-extract and
+video frame sampling over opaque ``binary`` columns.
+
+Training-data-pipeline tier (BASELINE.json ``input_hint``: image+caption
+records with ``bytes:binary`` + typed metadata).  Every operator is an
+Arrow-batched ``mapInPandas`` kernel — bytes never touch the JVM row format,
+batches stream through Python once, no shuffle.  Codecs come from
+``functions/imaging.py``: real PNG/BMP, an honestly-labelled deterministic
+fake JPEG, and a fake video container (real demuxers raise
+``NotImplementedError`` — the plumbing (schema, batch shape, explode) is the
+deliverable; a codec library slots into the same kernel signature).
+
+Reference analog for the per-payload analysis shape:
+``warc-indexer/.../analyser/payload/ImageAnalyser.java:92-143``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.imaging import (
+    average_hash,
+    decode_image,
+    encode_image,
+    image_dims,
+    resize_nearest,
+    sample_video_frames,
+)
+
+__all__ = ["decode_resize_images", "sample_frames", "RESIZED_SCHEMA", "FRAMES_SCHEMA"]
+
+
+def _schema_plus(df: DataFrame, fields: list[StructField], keep: list[str]) -> StructType:
+    return StructType([df.schema[c] for c in keep] + fields)
+
+
+RESIZED_SCHEMA = [
+    StructField("orig_w", IntegerType()),
+    StructField("orig_h", IntegerType()),
+    StructField("resized", BinaryType()),
+    StructField("phash", LongType()),
+    StructField("decode_error", StringType()),
+]
+
+
+def decode_resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_cols: tuple[str, ...] = ("image_id",),
+    out_fmt: str = "png",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize to (out_w, out_h) → re-encode +
+    perceptual hash.  Per-record failures land in ``decode_error`` (the
+    task never dies on one bad payload — per-record recovery like the
+    archive source)."""
+    keep = list(id_cols)
+    schema = _schema_plus(df, RESIZED_SCHEMA, keep)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rec = {c: getattr(r, c) for c in keep}
+                rec.update(orig_w=None, orig_h=None, resized=None,
+                           phash=None, decode_error=None)
+                try:
+                    rgb = decode_image(bytes(getattr(r, bytes_col)), getattr(r, fmt_col))
+                    rec["orig_h"], rec["orig_w"] = int(rgb.shape[0]), int(rgb.shape[1])
+                    small = resize_nearest(rgb, out_w, out_h)
+                    rec["resized"] = encode_image(small, out_fmt)
+                    rec["phash"] = average_hash(small)
+                except Exception as exc:
+                    rec["decode_error"] = str(exc)[:200]
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(*keep, bytes_col, fmt_col).mapInPandas(run, schema)
+
+
+FRAMES_SCHEMA = [
+    StructField("frame_index", IntegerType()),
+    StructField("frame_w", IntegerType()),
+    StructField("frame_h", IntegerType()),
+    StructField("frame_phash", LongType()),
+    StructField("decode_error", StringType()),
+]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    bytes_col: str = "bytes",
+    id_cols: tuple[str, ...] = ("video_id",),
+) -> DataFrame:
+    """Explode a video binary column into every ``every_n``-th frame's
+    dims + perceptual hash (one output row per sampled frame).  Unsupported
+    containers surface one row with ``decode_error`` set."""
+    keep = list(id_cols)
+    schema = _schema_plus(df, FRAMES_SCHEMA, keep)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                base = {c: getattr(r, c) for c in keep}
+                try:
+                    frames = sample_video_frames(bytes(getattr(r, bytes_col)), every_n)
+                except Exception as exc:
+                    rows.append({**base, "frame_index": None, "frame_w": None,
+                                 "frame_h": None, "frame_phash": None,
+                                 "decode_error": str(exc)[:200]})
+                    continue
+                for idx, rgb in frames:
+                    rows.append({**base, "frame_index": idx,
+                                 "frame_w": int(rgb.shape[1]),
+                                 "frame_h": int(rgb.shape[0]),
+                                 "frame_phash": average_hash(rgb),
+                                 "decode_error": None})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(*keep, bytes_col).mapInPandas(run, schema)

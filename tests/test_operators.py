@@ -235,3 +235,32 @@ def test_minhash_bucket_cap(spark):
     assert capped.count() == 10
     full = minhash_lsh_candidates(df, "text", "doc_id", max_bucket_size=None)
     assert full.count() == 190  # C(20,2)
+
+
+def test_ctph_fuzzy_hash_properties(spark):
+    """CTPH invariants: identical text → identical signature (whitespace/case
+    insensitive); small edits keep high signature similarity; unrelated text
+    scores low.  Kernel: functions/ctph.py (Kornblum 2006 scheme)."""
+    from webarchive_discovery_spark.functions.ctph import ctph, ctph_similarity
+
+    base = " ".join(f"word{i % 97} token{i % 31}" for i in range(400))
+    bs, sig, sig2 = ctph(base)
+    assert bs >= 3 and 1 <= len(sig) <= 64 and len(sig2) <= 64
+    assert ctph("  " + base.upper() + " ")[1] == sig  # canonicalization
+    edited = base.replace("word5 ", "wordX ", 3)
+    assert ctph_similarity(sig, ctph(edited, block_size=bs)[1]) > 0.5
+    other = " ".join(f"zzz{i * 7 % 53}" for i in range(400))
+    assert ctph_similarity(sig, ctph(other, block_size=bs)[1]) < 0.3
+
+
+def test_ssdeep_hash_operator(spark):
+    from webarchive_discovery_spark.operators.dedup import ssdeep_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta " * 50), (2, "alpha beta " * 50), (3, None)],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in ssdeep_hash(df, "text", "doc_id").collect()}
+    assert rows[1].ssdeep_sig == rows[2].ssdeep_sig
+    assert rows[1].blocksize >= 3
+    assert rows[3].ssdeep_sig is None

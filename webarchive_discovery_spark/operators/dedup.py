@@ -20,6 +20,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -198,3 +199,33 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.col(f"s{b}") * 2 > F.col("n"), F.lit(2 ** (15 - b))
         ).otherwise(F.lit(0))
     return g.select(F.col(id_col), total.cast("long").alias("simhash"))
+
+
+def ssdeep_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """ssdeep-style CTPH fuzzy hash per document → (id, blocksize, ssdeep_sig,
+    ssdeep_sig2); field naming follows ``ssdeep_hash_bs_<blocksize>``
+    (``FuzzyHashAnalyser.java:62-88``).  One Arrow pass (the byte-walk kernel
+    is per-row Python, like the reference's native ssdeep)."""
+    from ..functions.ctph import ctph
+
+    struct_type = "blocksize int, ssdeep_sig string, ssdeep_sig2 string"
+
+    @F.pandas_udf(struct_type)
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append({"blocksize": None, "ssdeep_sig": None, "ssdeep_sig2": None})
+                continue
+            bs, sig, sig2 = ctph(t)
+            rows.append({"blocksize": bs, "ssdeep_sig": sig, "ssdeep_sig2": sig2})
+        return pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col), kernel(F.col(text_col)).alias("_h")
+    ).select(
+        id_col,
+        F.col("_h.blocksize").alias("blocksize"),
+        F.col("_h.ssdeep_sig").alias("ssdeep_sig"),
+        F.col("_h.ssdeep_sig2").alias("ssdeep_sig2"),
+    )

@@ -1557,3 +1557,43 @@ def html_metadata(spark, sf_dir):
         F.array_join("keywords", "|").alias("keywords"),
         "content_encoding", "first_paragraph", "text",
     )
+
+
+# ===========================================================================
+# ssdeep-style CTPH fuzzy hash (FuzzyHashAnalyser)
+# ===========================================================================
+
+@q(
+    "dedup_ssdeep",
+    """
+    WITH g AS (
+      SELECT doc_id % 7 AS grp FROM documents
+    )
+    SELECT count(*) AS n_docs FROM g GROUP BY grp ORDER BY n_docs
+    """,
+)
+def dedup_ssdeep(spark, sf_dir):
+    """Construct 7 groups of IDENTICAL synthetic texts; the CTPH kernel must
+    hash each group to one signature, so grouping by (blocksize, sig) must
+    reproduce the construction's group sizes exactly (signature determinism
+    + canonicalization); CTPH internals are pytest-covered
+    (test_ctph_fuzzy_hash_properties)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("shared prefix text body "),
+            F.repeat(
+                F.concat(F.lit("group"), (F.col("doc_id") % 7).cast("string"), F.lit(" marker words here ")),
+                # distinct repetition counts per group → signatures differ in
+                # both content and length (periodic texts can collide mod-64)
+                (F.lit(20) + (F.col("doc_id") % 7) * 7).cast("int"),
+            ),
+        ).alias("txt"),
+    )
+    hashed = dedup.ssdeep_hash(docs, "txt", "doc_id")
+    return (
+        hashed.groupBy("blocksize", "ssdeep_sig", "ssdeep_sig2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("n_docs")
+        .orderBy("n_docs")
+    )

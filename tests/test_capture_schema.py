@@ -152,3 +152,28 @@ def test_capture_url_truncation(spark):
                                WARC_RECORD_SCHEMA)
     cap = extract_capture(df).first()
     assert len(cap.url) == 2000  # FieldAdjuster URL truncation
+
+
+def test_extract_capture_with_analysers(spark):
+    """Full WARCIndexer.extract() analog: record scan → canonicalize +
+    link analyser + Tika-lite → one capture projection."""
+    from webarchive_discovery_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    html = ('<html><head><title>T1 &amp; Co</title>'
+            '<meta name="author" content="Ann"></head>'
+            '<body><a href="http://other.net/x">l</a><p>Para one.</p></body></html>')
+    row = {f.name: None for f in WARC_RECORD_SCHEMA.fields}
+    row.update(source_file="f", record_offset=0, record_type="response",
+               warc_date="2024-01-01T00:00:00Z", target_uri="http://example.org/p",
+               content_type="text/html", http_content_type="text/html",
+               http_status="200", payload=html)
+    df = spark.createDataFrame([tuple(row[f.name] for f in WARC_RECORD_SCHEMA.fields)],
+                               WARC_RECORD_SCHEMA)
+    cap = __import__("webarchive_discovery_spark.schema_capture", fromlist=["x"]) \
+        .extract_capture(df, with_links=True, with_metadata=True).first()
+    assert cap.title == "T1 & Co"
+    assert cap.author == ["Ann"]
+    assert cap.links == ["http://other.net/x"]
+    assert cap.links_hosts == ["other.net"]
+    assert cap.content == "l Para one."  # head stripped, tags stripped, anchor text kept
+    assert cap.content_type_norm == "html"

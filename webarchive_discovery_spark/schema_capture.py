@@ -194,10 +194,22 @@ def _null(field: StructField) -> Column:
     return F.lit(None).cast(field.dataType).alias(field.name)
 
 
-def extract_capture(records: DataFrame) -> DataFrame:
+def extract_capture(
+    records: DataFrame,
+    with_links: bool = False,
+    with_metadata: bool = False,
+) -> DataFrame:
     """Project a WARC record scan (``WARC_RECORD_SCHEMA``) into the full
     capture document.  One Arrow kernel pass (canonical URL + SURT key) plus
-    codegen expressions; unanalysed fields are typed NULLs."""
+    codegen expressions; unanalysed fields are typed NULLs.
+
+    ``with_links`` runs the HTML link analyser over the payload and fills the
+    six ``links*`` fields (``HTMLAnalyser`` wiring); ``with_metadata`` runs
+    the Tika-lite analyser and fills title/description/keywords/author/
+    generator/content_encoding, replacing ``content`` with the tag-stripped
+    extracted text.  Each adds exactly one more Arrow stage — the full
+    WARCIndexer.extract() analog is then scan → 3 vectorized kernels →
+    one projection, still shuffle-free."""
     canon = canonical_struct_udf(F.col("target_uri"))
     crawl_ts = F.to_timestamp(F.col("warc_date"))
     wayback = date_fns.wayback_date(crawl_ts)
@@ -209,6 +221,14 @@ def extract_capture(records: DataFrame) -> DataFrame:
     base = records.withColumn("url_norm_struct", canon).withColumn(
         "url_norm", adjusted(F.col("url_norm_struct.url_norm"), "url_norm")
     )
+    if with_links:
+        from .operators.links import extract_html_links
+
+        base = extract_html_links(base, url_col="target_uri", html_col="payload")
+    if with_metadata:
+        from .operators.metadata import extract_html_metadata
+
+        base = extract_html_metadata(base, html_col="payload")
 
     filled: dict[str, Column] = {
         "id": date_fns.record_id(wayback, F.col("target_uri")),
@@ -255,6 +275,22 @@ def extract_capture(records: DataFrame) -> DataFrame:
             F.col("parse_error").isNotNull(), F.array(F.col("parse_error"))
         ),
     }
+    if with_links:
+        for name in ("links", "links_images", "links_hosts", "links_hosts_surts",
+                     "links_domains", "links_public_suffixes"):
+            filled[name] = F.col(name)
+    if with_metadata:
+        extracted = adjusted(F.col("text"), "content", is_text=True)
+        filled.update(
+            title=F.col("title"),
+            description=F.col("description"),
+            keywords=F.col("keywords"),
+            author=F.when(F.col("author").isNotNull(), F.array(F.col("author"))),
+            generator=F.when(F.col("generator").isNotNull(), F.array(F.col("generator"))),
+            content_encoding=F.col("content_encoding"),
+            content=extracted,
+            content_text_length=F.col("content_text_length"),
+        )
     cols = [
         filled[f.name].alias(f.name) if f.name in filled else _null(f)
         for f in CAPTURE_SCHEMA.fields

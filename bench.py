@@ -32,8 +32,16 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
+    "ann_lsh_cosine_topk",
+    "dedup_ssdeep",
     "token_stats",
     "doc_fingerprint",
+    "links_extract",
+    "html_metadata",
+    "capture_facet_counts",
+    "url_type_counts",
+    "annotations_apply",
+    "sentiment_buckets",
     "frontier_canonicalize",
     "url_seen_antijoin",
     "frontier_fetch_order",

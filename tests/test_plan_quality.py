@@ -67,3 +67,30 @@ def test_canonicalize_is_single_arrow_pass(spark):
     # row-at-a-time BatchEvalPython
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_analyser_queries_single_arrow_pass(spark):
+    # each payload analyser is exactly ONE Arrow stage, never row-at-a-time
+    for name in ("links_extract", "html_metadata", "dedup_ssdeep"):
+        plan = plan_of(spark, name)
+        assert plan.count("ArrowEvalPython") == 1, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_capture_facet_prunes_udfs(spark):
+    # the facet needs no UDF columns → Catalyst prunes the Arrow kernels away
+    plan = plan_of(spark, "capture_facet_counts")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_annotations_broadcast_only(spark):
+    plan = plan_of(spark, "annotations_apply")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_near_dup_blocked_no_broadcast_no_driver(spark):
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan

@@ -177,3 +177,32 @@ def test_extract_capture_with_analysers(spark):
     assert cap.links_hosts == ["other.net"]
     assert cap.content == "l Para one."  # head stripped, tags stripped, anchor text kept
     assert cap.content_type_norm == "html"
+
+
+def test_first_bytes_fields(spark):
+    """FirstBytesAnalyser.java:84-98: content_ffb = hex of first 4 bytes,
+    content_first_bytes = space-separated lowercase hex pairs of the first
+    32 bytes; both omitted when fewer than 4 bytes are available; the head
+    is measured in encoded bytes, not characters."""
+    from webarchive_discovery_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    def _cap(payload):
+        row = {f.name: None for f in WARC_RECORD_SCHEMA.fields}
+        row.update(source_file="f", record_offset=0, record_type="response",
+                   warc_date="2024-01-01T00:00:00Z", target_uri="http://e.org/",
+                   content_type="text/html", payload=payload)
+        df = spark.createDataFrame(
+            [tuple(row[f.name] for f in WARC_RECORD_SCHEMA.fields)], WARC_RECORD_SCHEMA)
+        return extract_capture(df).first()
+
+    cap = _cap("GIF89a-and-then-some-more-content-beyond-32-bytes")
+    assert cap.content_ffb == "47494638"  # G I F 8
+    assert cap.content_first_bytes.split(" ")[:4] == ["47", "49", "46", "38"]
+    assert len(cap.content_first_bytes.split(" ")) == 32  # capped at 32 bytes
+
+    # multi-byte chars: head counts BYTES (2 chars = 4 bytes here)
+    multi = _cap("éé")  # é = c3 a9 in UTF-8
+    assert multi.content_ffb == "c3a9c3a9"
+
+    short = _cap("abc")  # 3 bytes < 4 → reference skips the fields
+    assert short.content_ffb is None and short.content_first_bytes is None

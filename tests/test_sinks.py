@@ -91,3 +91,41 @@ def test_batched_sink_on_drop_and_recovery(spark, tmp_path):
     batched_foreach_sink(df, send, batch_size=2, on_drop=on_drop)
     dropped = sorted(open(os.path.join(drops, d)).read() for d in os.listdir(drops))
     assert dropped == ["2,3", "4,5"]
+
+
+def test_solr_doc_xml_escaping_and_arrays(spark):
+    """Solr add-doc rendering (SingleFileDocumentConsumer.java:101-148 /
+    ClientUtils.toXML): one <field> per value, one element per array entry,
+    &<> escaped, null fields omitted."""
+    from webarchive_discovery_spark.operators.sinks import solr_doc_xml
+
+    df = spark.createDataFrame(
+        [("a<b>&c", ["x", "y&z"], None)],
+        "title string, links array<string>, author string",
+    )
+    line = df.select(solr_doc_xml(df).alias("x")).first().x
+    assert line == (
+        '<doc><field name="title">a&lt;b&gt;&amp;c</field>'
+        '<field name="links">x</field><field name="links">y&amp;z</field>'
+        "</doc>"
+    )
+
+
+def test_write_xml_add_wrapper(spark, tmp_path):
+    """Every part file is a complete <add>…</add> document (the reference's
+    1-file-per-WARC contract, SingleFileDocumentConsumer.java:138,148)."""
+    from webarchive_discovery_spark.operators.sinks import write_xml
+
+    df = spark.range(6).selectExpr("cast(id as string) as id").repartition(2)
+    out = str(tmp_path / "xml")
+    write_xml(df, out)
+    files = glob.glob(out + "/part-*")
+    assert len(files) == 2
+    ids = []
+    for f in files:
+        lines = open(f).read().splitlines()
+        assert lines[0] == "<add>" and lines[-1] == "</add>"
+        ids += [l for l in lines[1:-1]]
+    assert sorted(ids) == sorted(
+        f'<doc><field name="id">{i}</field></doc>' for i in range(6)
+    )

@@ -21,7 +21,7 @@ from collections.abc import Callable, Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_jsonl", "write_multi_file", "write_text_lines", "batched_foreach_sink"]
+__all__ = ["write_jsonl", "write_multi_file", "write_text_lines", "write_xml", "solr_doc_xml", "batched_foreach_sink"]
 
 
 def write_jsonl(df: DataFrame, path: str, gzip_output: bool = False, mode: str = "overwrite") -> None:
@@ -108,3 +108,57 @@ def batched_foreach_sink(
         flush()
 
     df.foreachPartition(run)
+
+
+def _xml_escape(col):
+    out = F.regexp_replace(col.cast("string"), "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    return F.regexp_replace(out, ">", "&gt;")
+
+
+def solr_doc_xml(df: DataFrame) -> "F.Column":
+    """One Solr add-doc ``<doc>`` element per row (the reference's XML output
+    format, ``SingleFileDocumentConsumer.java:101-148`` /
+    ``ClientUtils.toXML``): ``<field name="c">v</field>`` per non-null value,
+    one element per array entry for multi-valued fields.  Pure codegen
+    expressions (escape via regexp_replace chains)."""
+    parts = [F.lit("<doc>")]
+    for field in df.schema.fields:
+        name = field.name
+        open_tag = f'<field name="{name}">'
+        if field.dataType.typeName() == "array":
+            rendered = F.array_join(
+                F.transform(
+                    F.col(name),
+                    lambda v: F.concat(F.lit(open_tag), _xml_escape(v), F.lit("</field>")),
+                ),
+                "",
+            )
+        else:
+            rendered = F.concat(F.lit(open_tag), _xml_escape(F.col(name)), F.lit("</field>"))
+        parts.append(F.coalesce(rendered, F.lit("")))
+    parts.append(F.lit("</doc>"))
+    return F.concat(*parts)
+
+
+def write_xml(df: DataFrame, path: str, gzip_output: bool = False, mode: str = "overwrite") -> None:
+    """Solr add-doc XML output (``--output xml`` path of the reference CLI):
+    every part file is a complete ``<add>…</add>`` document — the per-file
+    wrapper is emitted by the partition generator (first/last yield), so the
+    layout matches ``SingleFileDocumentConsumer``'s one-document-per-file
+    contract without any driver-side pass."""
+    import pandas as pd
+
+    docs = df.select(solr_doc_xml(df).alias("value"))
+
+    def wrap(batches):
+        yield pd.DataFrame({"value": ["<add>"]})
+        for pdf in batches:
+            yield pdf
+        yield pd.DataFrame({"value": ["</add>"]})
+
+    wrapped = docs.mapInPandas(wrap, "value string")
+    writer = wrapped.write.mode(mode)
+    if gzip_output:
+        writer = writer.option("compression", "gzip")
+    writer.text(path)

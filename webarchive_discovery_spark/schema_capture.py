@@ -190,6 +190,12 @@ def adjusted(col: Column, field: str, is_text: bool = False) -> Column:
     return out
 
 
+def _payload_head_hex() -> Column:
+    """Lowercase hex of the first 32 UTF-8 bytes of the payload column
+    (FirstBytesAnalyser.java:84-98; num_bytes default reference.conf:68)."""
+    return F.lower(F.hex(F.substring(F.encode(F.col("payload"), "utf-8"), 1, 32)))
+
+
 def _null(field: StructField) -> Column:
     return F.lit(None).cast(field.dataType).alias(field.name)
 
@@ -273,6 +279,19 @@ def extract_capture(
         "content_text_length": F.length(text).cast("int"),
         "parse_error": F.when(
             F.col("parse_error").isNotNull(), F.array(F.col("parse_error"))
+        ),
+        # FirstBytesAnalyser.java:84-98 — hex of the payload head (here from
+        # the bounded decoded-text column's UTF-8 bytes; the raw-stream head
+        # would come from the source unbounded): ffb = first 4 bytes,
+        # first_bytes = space-separated hex pairs (lowercase), both only when
+        # the payload has >= 4 bytes (reference skips shorter reads). The
+        # substring is applied to the *encoded* bytes so multi-byte chars
+        # cannot push the head past num_bytes=32 (reference.conf:68).
+        "content_ffb": F.when(F.length(_payload_head_hex()) >= 8,
+                              F.substring(_payload_head_hex(), 1, 8)),
+        "content_first_bytes": F.when(
+            F.length(_payload_head_hex()) >= 8,
+            F.trim(F.regexp_replace(_payload_head_hex(), "(..)", "$1 ")),
         ),
     }
     if with_links:

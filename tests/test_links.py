@@ -125,3 +125,44 @@ def test_outlink_edges_shape(spark):
         ("http://a.org/p", "http://a.org/x"),
         ("http://a.org/p", "http://b.net/y"),
     }
+
+
+def test_elements_used_golden(spark):
+    """DISTINCT_ELEMENTS semantics (HtmlFeatureParser.java:213-236): every
+    distinct written tag name, lowercased, sorted for determinism."""
+    row = _extract(spark, "http://example.org/test.html", LINKS_EXTRACT_HTML)
+    assert row.elements_used == [
+        "a", "body", "h1", "head", "html", "img", "li", "p",
+        "picture", "source", "title", "ul",
+    ]
+
+
+def test_license_and_rel_name_attrs(spark):
+    """license_url (HtmlFeatureParser.java:238-249): raw unresolved hrefs of
+    a/link/area[rel=license] in document order; other rel values ignored;
+    link/@rel= and meta/@name= entries land in elements_used."""
+    html = (
+        '<html><body>'
+        '<a rel="license" href="http://creativecommons.org/licenses/by/4.0/">CC</a>'
+        '<a rel="nofollow" href="http://spam.example/x">no</a>'
+        '<link rel="license" href="/l2">'
+        '<area rel="license" href="l3.html">'
+        '<meta name="Keywords" content="k">'
+        "</body></html>"
+    )
+    row = _extract(spark, "http://e.org/p", html)
+    assert row.license_url == [
+        "http://creativecommons.org/licenses/by/4.0/", "/l2", "l3.html",
+    ]
+    assert "link/@rel=license" in row.elements_used
+    assert "meta/@name=keywords" in row.elements_used
+    assert "area" in row.elements_used and "meta" in row.elements_used
+
+
+def test_elements_used_script_body_excluded(spark):
+    """script/style bodies are dropped but their open tags counted; the
+    reference's ELEMENT_NAME filter exists to weed JS false positives — we
+    avoid them instead (documented divergence)."""
+    html = "<div><script>if (3<a) foo('<b>');</script><style>p{}</style></div>"
+    row = _extract(spark, "http://e.org/", html)
+    assert row.elements_used == ["div", "script", "style"]

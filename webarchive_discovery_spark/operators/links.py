@@ -51,6 +51,16 @@ _A_HREF = re.compile(r"<a\b[^>]*?\bhref" + _ATTR, re.I | re.S)
 _IMG_SRC = re.compile(r"<img\b[^>]*?\bsrc" + _ATTR, re.I | re.S)
 _IMG_SRCSET = re.compile(r"<(?:img|source)\b[^>]*?\bsrcset" + _ATTR, re.I | re.S)
 _BACKGROUND = re.compile(r"<(?:body|table|td)\b[^>]*?\bbackground" + _ATTR, re.I | re.S)
+# HtmlFeatureParser.java:213-236 distinct elements; tag-name grammar per the
+# reference's ELEMENT_NAME = [a-zA-Z0-9]+ (open tags only — a regex pass sees
+# exactly what was written, so jsoup's implicit html/head/body do not appear)
+_TAG = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
+_LINK_OR_META = re.compile(r"<(link|meta)\b([^>]*)>", re.I | re.S)
+_REL_ATTR = re.compile(r"\brel" + _ATTR, re.I | re.S)
+_NAME_ATTR = re.compile(r"\bname" + _ATTR, re.I | re.S)
+_HREF_ATTR = re.compile(r"\bhref" + _ATTR, re.I | re.S)
+# license links per HtmlFeatureParser.java:238-249 (a/link/area[rel=license])
+_LICENSE_EL = re.compile(r"<(?:a|link|area)\b[^>]*?\brel" + _ATTR + r"[^>]*>", re.I | re.S)
 
 LINKS_STRUCT = StructType(
     [
@@ -60,6 +70,8 @@ LINKS_STRUCT = StructType(
         StructField("links_hosts_surts", ArrayType(StringType())),
         StructField("links_domains", ArrayType(StringType())),
         StructField("links_public_suffixes", ArrayType(StringType())),
+        StructField("elements_used", ArrayType(StringType())),
+        StructField("license_url", ArrayType(StringType())),
     ]
 )
 
@@ -77,6 +89,13 @@ def _srcset_urls(srcset: str) -> list[str]:
         if entry:
             out.append(entry.split()[0])
     return out
+
+
+def _first_attr(pattern: re.Pattern, tag: str) -> str | None:
+    m = pattern.search(tag)
+    if m is None:
+        return None
+    return next(g for g in m.groups() if g is not None)
 
 
 def _resolve(base: str, ref: str) -> str | None:
@@ -134,6 +153,34 @@ def _extract_one(base_url: str, html: str, normalise_links: bool) -> dict:
     for h in hosts:
         host_surts.update(S.host_surts(h))
 
+    # distinct elements (HtmlFeatureParser.java:213-236): tag names from a
+    # scan with comments + script/style BODIES removed but their open tags
+    # kept (jsoup keeps script/style elements in the DOM; its tokenizer's
+    # JS false positives — the reason for the reference's ELEMENT_NAME
+    # filter — are avoided rather than reproduced), lowercased, left-100;
+    # plus link/@rel= and meta/@name= attribute entries (empty value when
+    # the attribute is absent, matching jsoup attr()'s empty-string return)
+    tag_scan = _SCRIPT_STYLE.sub(
+        lambda m: m.group(0).split(">", 1)[0] + ">", _COMMENTS.sub(" ", html)
+    )
+    elements: set[str] = {m.group(1).lower()[:100] for m in _TAG.finditer(tag_scan)}
+    for m in _LINK_OR_META.finditer(tag_scan):
+        kind, attrs = m.group(1).lower(), m.group(2)
+        if kind == "link":
+            elements.add("link/@rel=" + (_first_attr(_REL_ATTR, attrs) or "").lower())
+        else:
+            elements.add("meta/@name=" + (_first_attr(_NAME_ATTR, attrs) or "").lower())
+
+    # license links (HtmlFeatureParser.java:238-249): raw unresolved hrefs of
+    # a/link/area[rel=license], document order, duplicates preserved
+    licenses: list[str] = []
+    for m in _LICENSE_EL.finditer(cleaned):
+        rel = next(g for g in m.groups() if g is not None)
+        if rel.strip().lower() == "license":
+            href = _first_attr(_HREF_ATTR, m.group(0))
+            if href:
+                licenses.append(href)
+
     return {
         "links": sorted(links),
         "links_images": sorted(images),
@@ -141,6 +188,8 @@ def _extract_one(base_url: str, html: str, normalise_links: bool) -> dict:
         "links_hosts_surts": sorted(host_surts),
         "links_domains": sorted(domains),
         "links_public_suffixes": sorted(suffixes),
+        "elements_used": sorted(elements),
+        "license_url": licenses,
     }
 
 

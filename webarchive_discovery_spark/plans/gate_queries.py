@@ -1178,7 +1178,9 @@ SELECT doc_id,
     'base' || CAST(doc_id % 10 AS VARCHAR) || '.org',
     'shop' || k || '.co.uk'
   ]), '|') AS links_domains,
-  array_to_string(list_sort(['co.uk', 'org']), '|') AS links_public_suffixes
+  array_to_string(list_sort(['co.uk', 'org']), '|') AS links_public_suffixes,
+  'a|body|img|link|link/@rel=license' AS elements_used,
+  'http://lic' || CAST(doc_id % 2 AS VARCHAR) || '.net/cc' AS license_url
 FROM d
 """
 
@@ -1186,8 +1188,8 @@ FROM d
 @q("links_extract", _LINKS_ORACLE)
 def links_extract(spark, sf_dir):
     """Derive synthetic HTML per document (absolute www-link, relative link,
-    fragment, empty href, img src + srcset, HTML-4 background), run the real
-    extraction kernel, and flatten the six multi-valued fields; the oracle
+    fragment, empty href, img src + srcset, HTML-4 background, license link),
+    run the real extraction kernel, and flatten the multi-valued fields; the oracle
     reconstructs every expected value by string arithmetic — the extractor is
     checked against independently constructed values, not against itself."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1206,6 +1208,8 @@ def links_extract(spark, sf_dir):
         F.lit(".png 1x, http://www.pix"), (F.col("doc_id") % 3).cast("string"),
         F.lit(".com/"), sid, F.lit('.jpg 2x">'),
         F.lit('<body background="bg.gif">'),
+        F.lit('<link rel="license" href="http://lic'),
+        (F.col("doc_id") % 2).cast("string"), F.lit('.net/cc">'),
     )
     out = links.extract_html_links(
         docs.select("doc_id", base.alias("url"), html.alias("payload")),
@@ -1219,6 +1223,8 @@ def links_extract(spark, sf_dir):
         F.array_join("links_hosts_surts", "|").alias("links_hosts_surts"),
         F.array_join("links_domains", "|").alias("links_domains"),
         F.array_join("links_public_suffixes", "|").alias("links_public_suffixes"),
+        F.array_join("elements_used", "|").alias("elements_used"),
+        F.array_join("license_url", "|").alias("license_url"),
     )
 
 

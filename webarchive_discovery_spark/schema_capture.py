@@ -296,7 +296,8 @@ def extract_capture(
     }
     if with_links:
         for name in ("links", "links_images", "links_hosts", "links_hosts_surts",
-                     "links_domains", "links_public_suffixes"):
+                     "links_domains", "links_public_suffixes", "elements_used",
+                     "license_url"):
             filled[name] = F.col(name)
     if with_metadata:
         extracted = adjusted(F.col("text"), "content", is_text=True)

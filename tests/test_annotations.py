@@ -98,3 +98,96 @@ def test_plan_is_broadcast_only(spark, captures, annotations):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+ANNOTATIONS_JSON = """/*
+ * header comment, as in the shipped annotations files (Jackson ALLOW_COMMENTS)
+ */
+{
+  "collections" : {
+    "subdomains" : {
+      "en.wikipedia.org" : {
+        "collection" : "Wikipedia",
+        "collections" : [ "Wikipedia" ],
+        "subject" : [ "Crowdsourcing" ]
+      }
+    },
+    "root" : {
+      "http://en.wikipedia.org/" : {
+        "collection" : "Wikipedia",
+        "collections" : [ "Wikipedia", "Wikipedia|Main Site" ],
+        "subject" : [ "Crowdsourcing" ]
+      }
+    },
+    "plus1" : { },
+    "resource" : {
+      "http://en.wikipedia.org/wiki/Mona_Lisa" : {
+        "collection" : "Wikipedia",
+        "collections" : [ "Wikipedia", "Wikipedia|Main Site", "Wikipedia|Main Site|Mona Lisa" ],
+        "subject" : [ "Crowdsourcing" ]
+      }
+    }
+  },
+  "collectionDateRanges" : {
+    "Wikipedia|Main Site" : {
+      "start" : "1970-01-01T00:00:00.000+0000",
+      "end" : "2016-12-23T17:57:42.809+0000"
+    },
+    "Wikipedia" : {
+      "start" : "1970-01-01T00:00:00.000+0000",
+      "end" : "9999-12-23T17:57:42.749+0000"
+    }
+  }
+}
+"""
+
+
+def test_load_annotations_json(spark, tmp_path):
+    """Loader decomposition (Annotations.java → ANNOTATION_COLUMNS): one row
+    per collection value with that value's own date range, one ungated
+    subjects row; comment header stripped; plus1 preserved but inert."""
+    from webarchive_discovery_spark.operators.annotations import (
+        load_annotations_json,
+    )
+
+    p = tmp_path / "ann.json"
+    p.write_text(ANNOTATIONS_JSON)
+    ann = load_annotations_json(spark, str(p))
+    rows = ann.collect()
+    res = [r for r in rows if r.scope == "resource"]
+    # 3 collection values + 1 subjects row
+    assert len(res) == 4
+    by_val = {r.collections[0]: r for r in res if r.collections}
+    assert set(by_val) == {"Wikipedia", "Wikipedia|Main Site",
+                           "Wikipedia|Main Site|Mona Lisa"}
+    # per-value ranges: Main Site ends 2016; Mona Lisa has no range
+    assert by_val["Wikipedia|Main Site"].date_to.year == 2016
+    assert by_val["Wikipedia|Main Site|Mona Lisa"].date_to is None
+    # the singular collection is attached to its own value's row only
+    assert by_val["Wikipedia"].collection == "Wikipedia"
+    assert by_val["Wikipedia|Main Site"].collection is None
+    subj = [r for r in res if r.subjects]
+    assert len(subj) == 1 and subj[0].subjects == ["Crowdsourcing"]
+    assert subj[0].date_from is None
+
+
+def test_loaded_annotations_apply_per_value_gating(spark, tmp_path):
+    """End-to-end: a 2020 capture of the Mona Lisa page keeps 'Wikipedia'
+    and the ungated 'Mona Lisa' value but loses 'Main Site' (range ended
+    2016); subjects survive regardless."""
+    from webarchive_discovery_spark.operators.annotations import (
+        apply_annotations, load_annotations_json,
+    )
+
+    p = tmp_path / "ann.json"
+    p.write_text(ANNOTATIONS_JSON)
+    ann = load_annotations_json(spark, str(p))
+    caps = spark.createDataFrame(
+        [("http://en.wikipedia.org/wiki/Mona_Lisa", "en.wikipedia.org",
+          TS(2020, 6, 1), "f.warc")],
+        "url_norm string, host string, crawl_date timestamp, source_file string",
+    )
+    row = apply_annotations(caps, ann).first()
+    assert row.collections == ["Wikipedia", "Wikipedia|Main Site|Mona Lisa"]
+    assert row.collection == ["Wikipedia"]
+    assert row.wct_subjects == ["Crowdsourcing"]

@@ -1,0 +1,93 @@
+"""spark-submit CLI surface: index / cdx / crawl subcommands end-to-end
+(WARCIndexerCommand / ArchiveCDXGenerator analogs; north-rule crawl job)."""
+
+import glob
+import gzip
+import json
+
+import pytest
+
+from webarchive_discovery_spark.cli import main
+
+
+def _http(body: bytes, status: bytes = b"200 OK", ctype: bytes = b"text/html") -> bytes:
+    return (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype + b"\r\n\r\n" + body)
+
+
+def _warc_record(uri: str, http: bytes) -> bytes:
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{abs(hash(uri)) & 0xFFFF}>\r\n"
+        f"WARC-Date: 2024-03-05T06:07:08Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return headers + http + b"\r\n\r\n"
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_warcs")
+    recs = (
+        _warc_record("http://zeta.example.org/page", _http(b"<html><a href='/x'>l</a></html>"))
+        + _warc_record("http://alpha.example.org/", _http(b"<html>root</html>"))
+        + _warc_record("http://alpha.example.org/dup", _http(b"x", status=b"404 NF"))
+    )
+    (d / "test.warc").write_bytes(recs)
+    return str(d)
+
+
+def test_cli_index_parquet(spark, warc_dir, tmp_path, capsys):
+    out = str(tmp_path / "caps")
+    assert main(["index", "-i", warc_dir, "-o", out, "--links"]) == 0
+    caps = spark.read.parquet(out)
+    rows = {r.url: r for r in caps.collect()}
+    # 404 dropped by the response-code filter (reference guard chain)
+    assert set(rows) == {"http://zeta.example.org/page", "http://alpha.example.org/"}
+    assert rows["http://zeta.example.org/page"].links == ["http://zeta.example.org/x"]
+    assert rows["http://alpha.example.org/"].url_type == "slashpage"
+    assert json.loads(capsys.readouterr().out)["job"] == "index"
+
+
+def test_cli_index_slash_xml_gzip(warc_dir, tmp_path, capsys):
+    out = str(tmp_path / "xml")
+    assert main(["index", "-i", warc_dir, "-o", out, "-F", "xml", "-z",
+                 "-r", "--no-text"]) == 0
+    files = glob.glob(out + "/part-*.gz")
+    assert files
+    text = "".join(gzip.open(f, "rt").read() for f in files)
+    assert "alpha.example.org" in text and "zeta" not in text  # -r: slash only
+    assert '<field name="content">' not in text  # --no-text
+    for f in files:
+        lines = gzip.open(f, "rt").read().splitlines()
+        if len(lines) > 2:
+            assert lines[0] == "<add>" and lines[-1] == "</add>"
+
+
+def test_cli_cdx(spark, warc_dir, tmp_path, capsys):
+    out = str(tmp_path / "cdx")
+    assert main(["cdx", "-i", warc_dir, "-o", out, "-p", "1"]) == 0
+    lines = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        lines += open(f).read().splitlines()
+    # 404 is NOT junk-filtered in CDX (junk filter is mime/type-based);
+    # sorted by SURT key: alpha before zeta
+    assert len(lines) == 3
+    assert lines == sorted(lines)
+    first = lines[0].split(" ")
+    assert len(first) == 11
+    assert first[0].startswith("(org,example,alpha,")
+    assert first[1] == "20240305060708"
+
+
+def test_cli_crawl_synthetic(spark, tmp_path, capsys):
+    out = str(tmp_path / "log")
+    assert main(["crawl", "--synthetic", "400", "--epochs", "2",
+                 "--host-budget", "50", "-o", out]) == 0
+    metrics = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+               if l.startswith("{")]
+    assert len(metrics) == 2 and all(m["job"] == "crawl" for m in metrics)
+    log = spark.read.parquet(out)
+    assert log.count() > 0

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_annotations", "ANNOTATION_COLUMNS"]
+__all__ = ["apply_annotations", "load_annotations_json", "ANNOTATION_COLUMNS"]
 
 ANNOTATION_COLUMNS = (
     "scope", "key", "collection", "collections", "subjects", "date_from", "date_to"
@@ -195,3 +195,70 @@ def apply_annotations(
             ).otherwise(F.lit("RRO")),
         ).drop("_oa_prefixes")
     return out
+
+
+def load_annotations_json(spark, path: str) -> DataFrame:
+    """Load the reference's curated annotations JSON file
+    (``Annotations.java:61-120``; fixture ``test-annotations.json``) into the
+    ``ANNOTATION_COLUMNS`` shape.
+
+    The file is a small curated config (the reference ships it whole via
+    DistributedCache), so it is read driver-side.  Jackson's ALLOW_COMMENTS
+    is mirrored by stripping ``/* */`` headers.  Per-collection date ranges
+    (``collectionDateRanges``) gate each collection VALUE independently in
+    the reference (``Annotator.updateCollections``, :235-288); that is
+    decomposed here into one row per collection value carrying that value's
+    own range, plus one ungated row carrying the (never date-gated) subjects
+    — row-level gating in :func:`apply_annotations` then reproduces
+    per-value gating exactly.  The ``plus1`` scope is loaded but never
+    applied, faithfully to the reference (``Annotator.applyAnnotations``
+    has no plus1 branch)."""
+    import json as _json
+    import re as _re
+
+    from pyspark.sql.types import (
+        ArrayType, StringType, StructField, StructType, TimestampType,
+    )
+
+    text = open(path, encoding="utf-8").read()
+    data = _json.loads(_re.sub(r"^\s*/\*.*?\*/", "", text, flags=_re.S))
+    ranges = {
+        name: (r.get("start"), r.get("end"))
+        for name, r in (data.get("collectionDateRanges") or {}).items()
+    }
+
+    def _ts(s):
+        if s is None:
+            return None
+        from datetime import datetime
+
+        return datetime.strptime(s.replace("+0000", "+00:00"),
+                                 "%Y-%m-%dT%H:%M:%S.%f%z").replace(tzinfo=None)
+
+    rows = []
+    for scope, keys in (data.get("collections") or {}).items():
+        for key, uc in (keys or {}).items():
+            singular = uc.get("collection")
+            subjects = uc.get("subject") or []
+            values = uc.get("collections") or []
+            for v in values:
+                start, end = ranges.get(v, (None, None))
+                rows.append((scope, key, v if v == singular else None, [v],
+                             None, _ts(start), _ts(end)))
+            if singular and singular not in values:
+                start, end = ranges.get(singular, (None, None))
+                rows.append((scope, key, singular, None, None,
+                             _ts(start), _ts(end)))
+            if subjects:
+                rows.append((scope, key, None, None, list(subjects), None, None))
+
+    schema = StructType([
+        StructField("scope", StringType()),
+        StructField("key", StringType()),
+        StructField("collection", StringType()),
+        StructField("collections", ArrayType(StringType())),
+        StructField("subjects", ArrayType(StringType())),
+        StructField("date_from", TimestampType()),
+        StructField("date_to", TimestampType()),
+    ])
+    return spark.createDataFrame(rows, schema)

@@ -22,9 +22,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master != "submit":
+        # master="submit" leaves the master to spark-submit / the cluster
+        # manager (setting it in code would override --master on a real
+        # cluster); anything else pins it, defaulting to local[$CPUS].
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -44,7 +49,7 @@ def get_spark(
     # other's live shuffle files; cleaned at JVM exit via the deleteOnExit
     # behavior of spark.local.dir subdirs plus an atexit backstop.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
-    if not local_dir and os.path.isdir("/dev/shm"):
+    if not local_dir and master.startswith("local") and os.path.isdir("/dev/shm"):
         # size guard: tmpfs spill space competes with the memory spilling is
         # meant to relieve — fall back to disk when /dev/shm is small
         free = os.statvfs("/dev/shm")

@@ -65,3 +65,26 @@ def test_single_arrow_pass(spark):
     df = spark.createDataFrame([("<title>t</title>",)], "payload string")
     plan = extract_html_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_xml_root_ns(spark):
+    """XMLAnalyser semantics (XMLRootNamespaceParser.java:80-89): uri#local
+    lowercased, only for namespaced roots of XML-typed records."""
+    from webarchive_discovery_spark.operators.metadata import extract_xml_root_ns
+
+    rows = [
+        ("application/xml",
+         '<?xml version="1.0"?><RSS xmlns="http://Purl.org/rss/1.0/"><x/></RSS>'),
+        ("text/xml; charset=utf-8",
+         '<svg:SVG xmlns:svg="http://www.w3.org/2000/svg"/>'),
+        ("application/xml", "<plain><noNamespace/></plain>"),
+        ("application/xml", "<broken <<"),
+        ("text/html", '<root xmlns="http://never.parsed/"/>'),  # mime-gated out
+    ]
+    df = spark.createDataFrame(rows, "content_type string, payload string")
+    out = extract_xml_root_ns(df, mime_col="content_type").collect()
+    assert out[0].xml_root_ns == "http://purl.org/rss/1.0/#rss"
+    assert out[1].xml_root_ns == "http://www.w3.org/2000/svg#svg"
+    assert out[2].xml_root_ns is None
+    assert out[3].xml_root_ns is None
+    assert out[4].xml_root_ns is None

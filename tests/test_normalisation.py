@@ -201,3 +201,24 @@ def test_suffixes():
     assert extract_public_suffix("www.google.sch.uk") == "sch.uk"
     assert extract_private_suffix("www.google.com") == "google.com"
     assert extract_private_suffix("www.google.co.uk") == "google.co.uk"
+
+
+def test_expanded_psl_registries():
+    """Multi-label public-suffix registries beyond the original compact set
+    (the reference resolves these via Guava's full PSL; this table covers the
+    registries a web-scale crawl actually encounters)."""
+    cases = {
+        "news.bbc.co.uk": ("co.uk", "bbc.co.uk"),
+        "site.gouv.fr": ("gouv.fr", "site.gouv.fr"),
+        "a.b.on.ca": ("on.ca", "b.on.ca"),
+        "x.ac.ir": ("ac.ir", "x.ac.ir"),
+        "shop.com.ro": ("com.ro", "shop.com.ro"),
+        "uni.edu.gr": ("edu.gr", "uni.edu.gr"),
+        "ministry.go.th": ("go.th", "ministry.go.th"),
+        "firm.com.bd": ("com.bd", "firm.com.bd"),
+        "paper.com.uy": ("com.uy", "paper.com.uy"),
+        "plain.example.com": ("com", "example.com"),
+    }
+    for host, (pub, priv) in cases.items():
+        assert extract_public_suffix(host) == pub, host
+        assert extract_private_suffix(host) == priv, host

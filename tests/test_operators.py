@@ -163,20 +163,33 @@ def test_postcode_extract_goldens(spark):
     assert r.postcode_district == ["EC1R", "SW1A"]
 
 
-def test_lang_id_sixteen_languages(spark):
+def test_lang_id_many_languages(spark):
     from webarchive_discovery_spark.operators.textstats import LANG_MARKERS, lang_id
 
-    assert len(LANG_MARKERS) == 16
+    assert len(LANG_MARKERS) >= 50  # fastText-class breadth, heuristic depth
     rows = [
         (0, "the cat and the dog of a house"),
         (1, "der Hund und die Katze und das Haus"),
         (2, "yang dan di untuk dan yang"),
-        (3, "и не на что не и"),
+        (3, "и не на что не и что"),
         (4, "zzz qqq xxx"),
+        # no-boundary scripts: markers counted as raw substrings
+        (5, "这是一个的测试了在这里的"),
+        (6, "これはのテストですにはを"),
+        (7, "มีที่และไม่ของที่นี่"),
+        (8, "감사합니다 있는 것 입니다 하는"),
+        # space-delimited additions
+        (9, "في من على هذا من في"),
+        (10, "यह है के में की है"),
+        (11, "και το της που και το"),
+        (12, "và của là không của và"),
+        (13, "і не що це що і"),
     ]
     df = spark.createDataFrame(rows, "id int, txt string")
     got = {r.id: r.lang_pred for r in lang_id(df, "txt").collect()}
-    assert got == {0: "en", 1: "de", 2: "id", 3: "ru", 4: "und"}
+    assert got == {0: "en", 1: "de", 2: "id", 3: "ru", 4: "und",
+                   5: "zh", 6: "ja", 7: "th", 8: "ko", 9: "ar",
+                   10: "hi", 11: "el", 12: "vi", 13: "uk"}
 
 
 def test_explicit_boundary_partition_goldens(spark):
@@ -264,3 +277,35 @@ def test_ssdeep_hash_operator(spark):
     assert rows[1].ssdeep_sig == rows[2].ssdeep_sig
     assert rows[1].blocksize >= 3
     assert rows[3].ssdeep_sig is None
+
+
+def test_arcname_rules_first_match_wins(spark):
+    """ARCNameAnalyser.java:123-133: ordered rules, first matching pattern
+    wins for every field (later rules never fill what the winner left
+    unset); $N templates behave like Java replaceAll."""
+    from webarchive_discovery_spark.operators.arcname import apply_arcname_rules
+
+    rules = [
+        (r"([0-9]+)-([0-9]+)-([0-9]{4})([0-9]{2})([0-9]{2})([0-9]{2})([0-9]{2})([0-9]{2})-([0-9]+)-(sb-prod-har)-([0-9]{1,3})\.(arc)",
+         {"arc_type": "sb", "arc_harvesttime": "$3-$4-$5T$6:$7:$8.000Z"}),
+        (r".*\.(warc|arc)", {"arc_type": "generic"}),
+    ]
+    df = spark.createDataFrame(
+        [("25666-33-20080331234154-00000-sb-prod-har-1.arc",),
+         ("whatever.warc",),
+         ("nomatch.txt",)],
+        "source_file string",
+    )
+    rows = {r.source_file: r for r in apply_arcname_rules(df, rules).collect()}
+    sb = rows["25666-33-20080331234154-00000-sb-prod-har-1.arc"]
+    assert sb.arc_type == "sb"
+    assert sb.arc_harvesttime == "2008-03-31T23:41:54.000Z"
+    generic = rows["whatever.warc"]
+    assert generic.arc_type == "generic"
+    assert generic.arc_harvesttime is None  # first-match-wins: rule 2 sets nothing else
+    none = rows["nomatch.txt"]
+    assert none.arc_type is None and none.arc_harvesttime is None
+
+    # plan is pure codegen: no Python nodes
+    plan = apply_arcname_rules(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -151,3 +151,52 @@ def extract_html_metadata(
         name = "meta_parse_error" if f.name == "parse_error" else f.name
         out = out.withColumn(name, F.col(f"_meta.{f.name}"))
     return out.drop("_meta")
+
+
+@F.pandas_udf(StringType())
+def _xml_root_ns_kernel(payloads: pd.Series) -> pd.Series:
+    """Root-element namespace of an XML payload as ``<ns-uri>#<localname>``,
+    both lowercased; null when the root carries no namespace or the document
+    is unparseable (``XMLRootNamespaceParser.java:80-89`` via Tika's
+    XmlRootExtractor).  Because the element inspected is the root, its
+    namespace can only be declared on itself — a first-start-event parse is
+    exact, not an approximation."""
+    import io
+    import xml.etree.ElementTree as ET
+
+    out = []
+    for p in payloads:
+        ns = None
+        if p:
+            try:
+                for _, el in ET.iterparse(io.BytesIO(p.encode("utf-8", "replace")),
+                                          events=("start",)):
+                    tag = el.tag
+                    if isinstance(tag, str) and tag.startswith("{"):
+                        uri, local = tag[1:].split("}", 1)
+                        if uri.strip():
+                            ns = uri.lower() + "#" + local.lower()
+                    break
+            except Exception:
+                ns = None
+        out.append(ns)
+    return pd.Series(out, dtype=object)
+
+
+def extract_xml_root_ns(
+    df: DataFrame,
+    payload_col: str = "payload",
+    mime_col: str = "content_type",
+    out_col: str = "xml_root_ns",
+) -> DataFrame:
+    """Fill ``xml_root_ns`` for XML records only
+    (``XMLAnalyser.shouldProcess``: application/xml | text/xml).  The mime
+    gate nulls the kernel INPUT (a UDF inside ``when()`` would still run on
+    every row), so non-XML rows cost one null check in the batch loop, not a
+    parse."""
+    is_xml = (F.col(mime_col).startswith("application/xml")
+              | F.col(mime_col).startswith("text/xml"))
+    return df.withColumn(
+        out_col,
+        _xml_root_ns_kernel(F.when(is_xml, F.col(payload_col))),
+    )

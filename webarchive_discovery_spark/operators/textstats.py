@@ -21,16 +21,20 @@ __all__ = [
     "sentiment_bucket",
     "postcode_extract",
     "LANG_MARKERS",
+    "NO_BOUNDARY_LANGS",
     "SENTIMENTS",
     "SENTIMENT_LEXICON",
     "POSTCODE_REGEX",
 ]
 
 # occurrence-count language heuristics: per language, a set of frequent
-# function words; score = total occurrences of " word " patterns.
-# Semantically a heuristic (a production pipeline would plug a fastText-class
-# model into the same operator shape via the UDF registry); coverage spans
-# the 16 highest-volume web languages.  Reference analog:
+# function words; score = total occurrences of " word " patterns (for
+# scripts written without word spaces — NO_BOUNDARY_LANGS — raw substring
+# occurrences of the markers instead).  Semantically a heuristic (a
+# production pipeline would plug a fastText-class model into the same
+# operator shape via the UDF registry); coverage spans the ~56
+# highest-volume web languages.  Ties resolve to the earlier dict entry, so
+# high-volume languages are listed first.  Reference analog:
 # ``LanguageAnalyser.java:65`` (langdetect n-gram profiles).
 LANG_MARKERS = {
     "en": ["the", "and", "a", "of"],
@@ -49,7 +53,50 @@ LANG_MARKERS = {
     "fi": ["ja", "on", "ei", "että"],
     "cs": ["je", "se", "že", "to"],
     "ro": ["și", "să", "nu", "cu"],
+    "zh": ["的", "是", "了", "在"],
+    "ja": ["の", "に", "は", "を"],
+    "ko": ["습니다", "있는", "하는", "이다"],
+    "ar": ["في", "من", "على", "هذا"],
+    "hi": ["है", "के", "में", "की"],
+    "bn": ["এবং", "করে", "না", "থেকে"],
+    "ur": ["کے", "میں", "ہے", "اور"],
+    "fa": ["در", "از", "که", "است"],
+    "he": ["של", "את", "על", "לא"],
+    "th": ["ที่", "และ", "ไม่", "ของ"],
+    "vi": ["và", "của", "là", "không"],
+    "el": ["και", "το", "της", "που"],
+    "uk": ["і", "не", "що", "це"],
+    "hu": ["és", "hogy", "nem", "egy"],
+    "no": ["å", "og", "er", "på"],
+    "bg": ["и", "на", "да", "се"],
+    "sr": ["је", "и", "да", "се"],
+    "hr": ["je", "i", "u", "da"],
+    "sk": ["sa", "že", "aj", "som"],
+    "sl": ["je", "in", "se", "da"],
+    "et": ["ning", "oma", "kuid", "või"],
+    "lv": ["un", "ir", "ka", "par"],
+    "lt": ["ir", "yra", "kad", "su"],
+    "ta": ["மற்றும்", "இந்த", "என்று", "உள்ள"],
+    "te": ["మరియు", "ఈ", "అని", "ఇది"],
+    "ms": ["kerana", "boleh", "ialah", "anda"],
+    "tl": ["ang", "ng", "mga", "sa"],
+    "sw": ["ya", "na", "kwa", "katika"],
+    "az": ["və", "bir", "bu", "ilə"],
+    "kk": ["және", "бұл", "бар", "үшін"],
+    "uz": ["uchun", "bilan", "ham", "va"],
+    "ca": ["és", "els", "amb", "dels"],
+    "is": ["og", "að", "er", "við"],
+    "sq": ["dhe", "një", "të", "për"],
+    "ka": ["და", "რომ", "არის", "ეს"],
+    "hy": ["և", "որ", "է", "այս"],
+    "ne": ["र", "छ", "को", "मा"],
+    "si": ["සහ", "ඇති", "මෙම", "වේ"],
+    "mn": ["нь", "юм", "энэ", "байна"],
+    "af": ["ek", "nie", "vir", "die"],
 }
+# scripts written without spaces between words: markers are counted as raw
+# substrings, not " word " boundary patterns
+NO_BOUNDARY_LANGS = {"zh", "ja", "th", "ko"}
 _LANG_MARKERS = LANG_MARKERS  # backwards-compat alias
 
 
@@ -71,7 +118,8 @@ def lang_id(df: DataFrame, text_col: str, langs: dict[str, list[str]] | None = N
     for lang, words in langs.items():
         score = None
         for wd in words:
-            occ = _occurrences(padded, f" {wd} ")
+            needle = wd if lang in NO_BOUNDARY_LANGS else f" {wd} "
+            occ = _occurrences(padded, needle)
             score = occ if score is None else score + occ
         out = out.withColumn(f"score_{lang}", score.cast("double"))
         score_cols.append(f"score_{lang}")

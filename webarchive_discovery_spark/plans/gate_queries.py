@@ -674,10 +674,12 @@ def ann_lsh_cosine_topk(spark, sf_dir):
 
 
 def _langid_score_sql(lang: str, words: list[str]) -> str:
-    terms = [
-        f"((length(p) - length(replace(p, ' {wd} ', ''))) / {len(wd) + 2})"
-        for wd in words
-    ]
+    terms = []
+    for wd in words:
+        needle = wd if lang in textstats.NO_BOUNDARY_LANGS else f" {wd} "
+        terms.append(
+            f"((length(p) - length(replace(p, '{needle}', ''))) / {len(needle)})"
+        )
     return " + ".join(terms)
 
 

@@ -232,9 +232,16 @@ def extract_capture(
 
         base = extract_html_links(base, url_col="target_uri", html_col="payload")
     if with_metadata:
-        from .operators.metadata import extract_html_metadata
+        from .operators.metadata import extract_html_metadata, extract_xml_root_ns
 
         base = extract_html_metadata(base, html_col="payload")
+        # served Content-Type wins, like the analyser-dispatch mime below
+        base = base.withColumn(
+            "_served_mime", F.coalesce(F.col("http_content_type"),
+                                       F.col("content_type"))
+        )
+        base = extract_xml_root_ns(base, payload_col="payload",
+                                   mime_col="_served_mime")
 
     filled: dict[str, Column] = {
         "id": date_fns.record_id(wayback, F.col("target_uri")),
@@ -310,6 +317,7 @@ def extract_capture(
             content_encoding=F.col("content_encoding"),
             content=extracted,
             content_text_length=F.col("content_text_length"),
+            xml_root_ns=F.col("xml_root_ns"),
         )
     cols = [
         filled[f.name].alias(f.name) if f.name in filled else _null(f)

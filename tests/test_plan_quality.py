@@ -94,3 +94,12 @@ def test_near_dup_blocked_no_broadcast_no_driver(spark):
     plan = plan_of(spark, "dedup_embedding_cosine")
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_minhash_shingles_codegen(spark):
+    """The shingle explode is the explode-FIRST codegen path: no interpreted
+    higher-order lambdas anywhere in the MinHash-LSH plan (measured 10×
+    against transform(sequence, i -> concat_ws(slice)))."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "lambdafunction" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -309,3 +309,22 @@ def test_arcname_rules_first_match_wins(spark):
     # plan is pure codegen: no Python nodes
     plan = apply_arcname_rules(df, rules)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_warc_regex_matches_semantics(spark):
+    """WARCRegexMapper.java:78-93: digits-only-date/url key ('0/unknown'
+    when header empty), every match of the pattern over the payload head."""
+    from webarchive_discovery_spark.operators.aggregates import warc_regex_matches
+
+    df = spark.createDataFrame(
+        [("2024-03-05T06:07:08Z", "http://a.org/", "see AB12 and AB34 and AB12"),
+         (None, None, "AB99 here"),
+         ("2024-01-01T00:00:00Z", "http://b.org/", "no matches")],
+        "warc_date string, target_uri string, payload string",
+    )
+    rows = [(r.record_key, r.match)
+            for r in warc_regex_matches(df, "AB[0-9]+").collect()]
+    assert rows.count(("20240305060708/http://a.org/", "AB12")) == 2
+    assert ("20240305060708/http://a.org/", "AB34") in rows
+    assert ("0/unknown", "AB99") in rows
+    assert len(rows) == 4  # third record contributes nothing

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["frequency_count", "hosts_report", "top_k"]
+__all__ = ["frequency_count", "hosts_report", "top_k", "warc_regex_matches"]
 
 
 def frequency_count(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
@@ -62,3 +62,36 @@ def top_k(df: DataFrame, order_col: str, k: int = 20, ascending: bool = False) -
     """
     col = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     return df.orderBy(col).limit(k)
+
+
+def warc_regex_matches(
+    df: DataFrame,
+    pattern: str,
+    url_col: str = "target_uri",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+    max_chars: int = 1024 * 1024,
+) -> DataFrame:
+    """``(record_key, match)`` rows: every occurrence of ``pattern`` in the
+    first MiB of each payload, keyed by digits-only-date ``/`` URL
+    (``WARCRegexMapper.java:78-93``; ``0/unknown`` when the header is empty).
+    Compose with :func:`frequency_count` for the reference's
+    ``WARCRegexIndexer`` job shape.  Pure codegen: ``regexp_extract_all`` +
+    explode, no UDF."""
+    key = F.when(
+        F.col(url_col).isNull() & F.col(date_col).isNull(), F.lit("0/unknown")
+    ).otherwise(
+        F.concat_ws(
+            "/",
+            F.regexp_replace(F.coalesce(F.col(date_col), F.lit("")), "[^0-9]", ""),
+            F.coalesce(F.col(url_col), F.lit("unknown")),
+        )
+    )
+    return df.select(
+        key.alias("record_key"),
+        F.explode(
+            F.regexp_extract_all(
+                F.substring(F.col(payload_col), 1, max_chars), F.lit(pattern), F.lit(0)
+            )
+        ).alias("match"),
+    )

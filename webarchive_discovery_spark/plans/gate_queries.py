@@ -179,6 +179,40 @@ def frequency_count_events(spark, sf_dir):
 
 
 @q(
+    "warc_regex_freq",
+    """
+    WITH recs AS (
+      SELECT '2024-03-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T06:07:08Z' AS warc_date,
+             'http://d' || CAST(doc_id % 10 AS VARCHAR) || '.org/p/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             text || ' TAG-' || CAST(doc_id % 5 AS VARCHAR) || ' TAG-' || CAST(doc_id % 7 AS VARCHAR) AS payload
+      FROM documents
+    ), m AS (
+      SELECT regexp_replace(warc_date, '[^0-9]', '', 'g') || '/' || target_uri AS record_key,
+             unnest(regexp_extract_all(payload, 'TAG-[0-9]+')) AS match
+      FROM recs
+    )
+    SELECT record_key, match, count(*) AS cnt FROM m GROUP BY 1, 2
+    """,
+)
+def warc_regex_freq(spark, sf_dir):
+    """``WARCRegexIndexer`` job shape (``WARCRegexMapper.java:78-93`` →
+    ``FrequencyCountingReducer``): date-digits/URL key, every regex match
+    over the payload head, frequency-counted per key."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    recs = docs.select(
+        F.concat(F.lit("2024-03-0"), (F.col("doc_id") % 9 + 1).cast("string"),
+                 F.lit("T06:07:08Z")).alias("warc_date"),
+        F.concat(F.lit("http://d"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".org/p/"), sid).alias("target_uri"),
+        F.concat(F.col("text"), F.lit(" TAG-"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(" TAG-"), (F.col("doc_id") % 7).cast("string")).alias("payload"),
+    )
+    m = aggregates.warc_regex_matches(recs, "TAG-[0-9]+")
+    return aggregates.frequency_count(m, ["record_key"], "match")
+
+
+@q(
     "hosts_report",
     """
     WITH r AS (

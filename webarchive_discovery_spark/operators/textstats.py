@@ -102,9 +102,12 @@ _LANG_MARKERS = LANG_MARKERS  # backwards-compat alias
 
 def _occurrences(text: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of ``needle`` via length differencing
-    (identical semantics in any SQL engine: (len(s) - len(replace(s, n, ''))) / len(n))."""
+    (identical semantics in any SQL engine: (len(s) - len(replace(s, n, ''))) / len(n)).
+    LITERAL ``replace``, not ``regexp_replace`` — needles are plain words, and
+    the literal scan skips the regex engine entirely (matching the DuckDB
+    oracles, which already use literal ``replace``)."""
     return (
-        F.length(text) - F.length(F.regexp_replace(text, F.lit(needle), F.lit("")))
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
     ) / len(needle)
 
 

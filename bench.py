@@ -58,15 +58,26 @@ def main() -> None:
     # not JIT/classloading
     gate_queries.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
+    # Methodology: every query is fully materialized through the noop sink
+    # (count() would let Catalyst prune projections — e.g. the canonicalize
+    # kernel never runs under count) and timed twice, reporting the min —
+    # the steady-state plan cost, not first-run codegen/Py4J jitter on this
+    # shared-host VM.
     timings: dict[str, float] = {}
     frontier_urls = 0
     for name in HEADLINE:
         fn = gate_queries.QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            # time construction + execution: some plans (global_sequence)
+            # materialize stage state eagerly at build time
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            best = sec if best is None or sec < best else best
+        timings[name] = round(best, 3)
         if name == "frontier_canonicalize":
-            frontier_urls = n
+            frontier_urls = fn(spark, sf_dir).count()
 
     total = round(sum(timings.values()), 3)
     fetch_sec = timings.get("frontier_fetch_order", 0) or 1e-9

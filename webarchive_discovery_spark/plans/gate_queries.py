@@ -883,7 +883,13 @@ def _frontier_urls(spark, sf_dir):
         .when(v == 2, F.concat(F.lit("http://www."), host, base, F.lit("/")))
         .otherwise(F.concat(F.lit("https://"), host, base, F.lit("?q=a b")))
     )
-    return ev.select("event_id", url.alias("url"), hostn.alias("hostn"))
+    out = ev.select("event_id", url.alias("url"), hostn.alias("hostn"))
+    # The small-SF events table is ONE parquet split, which would run the
+    # downstream canonicalize kernel on one core; spread it to the session's
+    # parallelism first (a real 100 TB scan arrives in thousands of splits —
+    # this models that, it doesn't add a shuffle the big job wouldn't have).
+    # Results stay identical: everything downstream is data-defined.
+    return out.repartition(ev.sparkSession.sparkContext.defaultParallelism)
 
 
 def _robots_rules_df(spark):

@@ -107,3 +107,57 @@ def test_sharded_probe_empty_shard_is_unseen(spark):
     got = {r["url_hash"]: r["maybe_seen"] for r in
            bloom_negative_filter_sharded(probe, "url_hash", shards, params).collect()}
     assert got[4] is True and got[5] is False
+
+
+def test_counting_bloom_remove_and_export():
+    """CountingBloom (deletion tier of the north-rule's counting/cuckoo
+    hybrid): removed members become negative again, kept members NEVER do
+    (no false negatives — the prefilter contract); to_bloom() exports
+    bit-identical membership to a fresh bit-Bloom build."""
+    import numpy as np
+
+    from webarchive_discovery_spark.operators.bloom import (
+        BloomParams, CountingBloom, PartitionedBloom,
+    )
+
+    p = BloomParams(n_capacity=5000, fpr=1e-4, num_shards=4)
+    cb = CountingBloom(p)
+    rng = np.random.default_rng(7)
+    a = rng.integers(-2**62, 2**62, 3000, dtype=np.int64)
+    fresh = rng.integers(-2**62, 2**62, 3000, dtype=np.int64)
+    cb.add_hashes(a)
+    assert cb.contains_hashes(a).all()
+    cb.remove_hashes(a[:1500])
+    assert cb.contains_hashes(a[1500:]).all()  # no false negatives, ever
+    assert cb.contains_hashes(a[:1500]).mean() < 0.01  # removal works
+    assert cb.contains_hashes(fresh).mean() < 0.01     # FPR holds
+
+    bm = cb.to_bloom()
+    assert (bm.contains_hashes(a[1500:]) == cb.contains_hashes(a[1500:])).all()
+    assert (bm.contains_hashes(fresh) == cb.contains_hashes(fresh)).all()
+
+    # no-removal parity: counting build exports the exact bit Bloom
+    pb = PartitionedBloom(p)
+    pb.add_hashes(a)
+    cb2 = CountingBloom(p)
+    cb2.add_hashes(a)
+    assert (cb2.to_bloom().bits == pb.bits).all()
+
+
+def test_counting_bloom_saturation_safety():
+    """A saturated cell is never incremented or decremented again —
+    removing through a saturated cell must not create false negatives."""
+    import numpy as np
+
+    from webarchive_discovery_spark.operators.bloom import BloomParams, CountingBloom
+
+    p = BloomParams(n_capacity=64, fpr=1e-3, num_shards=2)
+    cb = CountingBloom(p)
+    dup = np.repeat(np.int64(12345), 1000)
+    for _ in range(3):
+        cb.add_hashes(dup)
+    assert cb.counts.max() == 255
+    cb.remove_hashes(dup)
+    assert cb.contains_hashes(np.array([12345], dtype=np.int64)).all()
+    merged = cb.merge(cb)  # saturating elementwise sum
+    assert merged.counts.max() == 255

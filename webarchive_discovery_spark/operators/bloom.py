@@ -36,6 +36,7 @@ __all__ = [
     "bloom_negative_filter",
     "build_bloom_shards",
     "bloom_negative_filter_sharded",
+    "CountingBloom",
 ]
 
 
@@ -220,3 +221,102 @@ def bloom_negative_filter_sharded(
     ).groupBy("_shard")
     right = shards.groupBy("shard_id")
     return left.cogroup(right).applyInPandas(probe, out_schema)
+
+
+class CountingBloom:
+    """Counting variant of :class:`PartitionedBloom` — supports REMOVAL, the
+    half of the north-rule's "counting-Bloom/cuckoo hybrid" a recrawl
+    pipeline needs: when a seen-set entry expires (content older than the
+    recrawl interval), its URL is removed so the frontier revisits it.
+
+    Same shard layout and Kirsch–Mitzenmacher probes as the bit Bloom;
+    cells are uint8 counters with SATURATION semantics: a cell that reaches
+    255 is never incremented or decremented again (the standard safe rule —
+    decrementing a saturated cell could drive it to zero while other members
+    still probe it, creating false negatives, which would break the
+    prefilter's "negative is definitive" contract).  Memory is 8× the bit
+    Bloom (one byte per bit-cell); pack to 4-bit counters for 4× if the
+    design point demands it.  ``to_bloom()`` exports the current membership
+    as a broadcastable bit Bloom for the probe side, so the counting tier
+    lives only where state is mutated (the seen-set maintainer), never on
+    the hot probe path."""
+
+    SATURATED = np.uint8(255)
+
+    def __init__(self, params: BloomParams, counts: np.ndarray | None = None):
+        self.params = params
+        self.counts = (
+            counts
+            if counts is not None
+            else np.zeros((params.num_shards, params.m_bits_per_shard), dtype=np.uint8)
+        )
+
+    def _cells(self, hashes: np.ndarray):
+        p = self.params
+        h = hashes.astype(np.uint64)
+        shard = (h % np.uint64(p.num_shards)).astype(np.int64)
+        idx = _probe_indexes(h, p.k_hashes, p.m_bits_per_shard)  # (k, n)
+        return shard, idx
+
+    def _unique_cells(self, shard: np.ndarray, idx_k: np.ndarray):
+        """(shard_idx, cell_idx, multiplicity) with duplicate cells in the
+        batch collapsed — saturation arithmetic needs exact per-cell deltas,
+        and ``np.add.at`` on raw uint8 would wrap past 255."""
+        m = self.params.m_bits_per_shard
+        lin = shard * np.int64(m) + idx_k
+        uniq, cnt = np.unique(lin, return_counts=True)
+        return uniq // m, uniq % m, cnt
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        shard, idx = self._cells(hashes)
+        for ki in range(self.params.k_hashes):
+            us, ui, cnt = self._unique_cells(shard, idx[ki])
+            cur = self.counts[us, ui]
+            new = np.minimum(cur.astype(np.int64) + cnt, 255).astype(np.uint8)
+            new[cur == self.SATURATED] = self.SATURATED
+            self.counts[us, ui] = new
+
+    def remove_hashes(self, hashes: np.ndarray) -> None:
+        """Remove previously-added members.  Removing a hash that was never
+        added is UNDEFINED (as in every counting Bloom) — the seen-set
+        maintainer only feeds confirmed members here.  Saturated cells are
+        never decremented (their true count is unknown)."""
+        shard, idx = self._cells(hashes)
+        for ki in range(self.params.k_hashes):
+            us, ui, cnt = self._unique_cells(shard, idx[ki])
+            cur = self.counts[us, ui]
+            new = np.maximum(cur.astype(np.int64) - cnt, 0).astype(np.uint8)
+            keep = cur == self.SATURATED
+            new[keep] = self.SATURATED
+            self.counts[us, ui] = new
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        shard, idx = self._cells(hashes)
+        out = np.ones(len(hashes), dtype=bool)
+        for ki in range(self.params.k_hashes):
+            out &= self.counts[shard, idx[ki]] > 0
+        return out
+
+    def to_bloom(self) -> PartitionedBloom:
+        """Export membership (count > 0) as the broadcastable bit Bloom."""
+        p = self.params
+        words = p.m_bits_per_shard // 64
+        bits = np.zeros((p.num_shards, words), dtype=np.uint64)
+        shard_i, cell_i = np.nonzero(self.counts)
+        # bitwise_or.at, NOT fancy |= — duplicate (shard, word) pairs would
+        # otherwise keep only the last bit per word
+        np.bitwise_or.at(
+            bits,
+            (shard_i, cell_i >> 6),
+            np.uint64(1) << (cell_i & 63).astype(np.uint64),
+        )
+        return PartitionedBloom(p, bits)
+
+    def merge(self, other: "CountingBloom") -> "CountingBloom":
+        """Saturating elementwise sum (partial builds from Spark partitions)."""
+        s = self.counts.astype(np.uint16) + other.counts.astype(np.uint16)
+        # a saturated input stays saturated (its true count is unknown)
+        sat = (self.counts == self.SATURATED) | (other.counts == self.SATURATED)
+        out = np.minimum(s, 255).astype(np.uint8)
+        out[sat] = self.SATURATED
+        return CountingBloom(self.params, out)

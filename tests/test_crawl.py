@@ -133,3 +133,29 @@ def test_checkpoint_resume_bit_exact(spark, world, tmp_path):
             (r["epoch"], r["url_key"], r["status"], r["fetch_seq"]) for r in df.collect()
         ]
     assert sorted(all_rows) == full_rows
+
+
+def test_recrawl_expiry_refetches(spark, world):
+    """recrawl_epochs: a URL whose seen-set entry expires is refetched when
+    rediscovered (the deletion the counting-Bloom tier models; exact side
+    authoritative), and within the window it is still dup_seen."""
+    records, seeds, links, robots = world
+    cfg = CrawlConfig(
+        epochs=5, host_budget=50, bloom_capacity=100_000, bloom_fpr=1e-4,
+        bloom_shards=8, num_partitions=4, recrawl_epochs=2,
+    )
+    log = run_crawl(spark, records, seeds, links, robots, cfg)["crawl_log"]
+    per_url = (
+        log.filter("status = 'fetched'")
+        .groupBy("url_norm")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("epoch").alias("eps"))
+        .persist()
+    )
+    refetched = per_url.filter("n > 1").collect()
+    assert refetched, "some URL must be refetched after its entry expires"
+    for r in refetched:
+        eps = sorted(r["eps"])
+        for a, b in zip(eps, eps[1:]):
+            assert b - a >= cfg.recrawl_epochs, (
+                f"{r['url_norm']} refetched inside the recrawl window: {eps}"
+            )

@@ -51,6 +51,9 @@ class CrawlConfig:
     bloom_fpr: float = 1e-6
     bloom_shards: int = 16
     num_partitions: int | None = None
+    # entries expire after this many epochs (None = never): expired URLs are
+    # dropped from the seen-set and refetched — recrawl semantics
+    recrawl_epochs: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -316,7 +319,17 @@ def run_crawl(
         delta = crawl_log.filter(F.col("status") == "fetched").select(
             "url_hash", "url_norm", F.lit(epoch).alias("first_epoch"), "digest"
         )
-        seen = seen.unionByName(delta).localCheckpoint()
+        seen = seen.unionByName(delta)
+        # recrawl expiry: entries older than the interval leave the seen-set,
+        # so their URLs become fetchable again next epoch (the deletion the
+        # counting-Bloom tier models; exact side is authoritative — the Bloom
+        # is rebuilt from the filtered seen-set at the top of each epoch, so
+        # the two tiers can never disagree)
+        if cfg.recrawl_epochs is not None:
+            seen = seen.filter(
+                F.col("first_epoch") > epoch - cfg.recrawl_epochs
+            )
+        seen = seen.localCheckpoint()
 
         # next frontier: outlinks of fetched pages (+1 hop) ∪ delayed carry-over
         fetched_urls = crawl_log.filter(F.col("status") == "fetched").select(

@@ -159,3 +159,29 @@ def test_recrawl_expiry_refetches(spark, world):
             assert b - a >= cfg.recrawl_epochs, (
                 f"{r['url_norm']} refetched inside the recrawl window: {eps}"
             )
+
+
+def test_crawl_delay_throttles_budget(spark, world):
+    """epoch_duration_ms: the robots crawl-delay becomes a per-host budget —
+    no host fetches more than floor(duration / its crawl_delay_ms) per epoch."""
+    records, seeds, links, robots = world
+    cfg = CrawlConfig(
+        epochs=2, host_budget=1000, bloom_capacity=100_000, bloom_fpr=1e-4,
+        bloom_shards=8, num_partitions=4, epoch_duration_ms=3000,
+    )
+    log = run_crawl(spark, records, seeds, links, robots, cfg)["crawl_log"]
+    fetched_per_host = (
+        log.filter("status = 'fetched'")
+        .groupBy("epoch", "host", "crawl_delay_ms")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert fetched_per_host
+    assert {r["crawl_delay_ms"] for r in fetched_per_host} != {250}, \
+        "world must exercise multiple delays"
+    for r in fetched_per_host:
+        cap = 3000 // max(r["crawl_delay_ms"], 1)
+        assert r["n"] <= cap, (r["host"], r["n"], cap)
+    # some slow host must actually have been throttled below the raw budget
+    assert any(r["n"] == 3000 // r["crawl_delay_ms"] for r in fetched_per_host) or \
+        log.filter("status = 'delayed'").count() > 0

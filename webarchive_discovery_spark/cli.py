@@ -155,6 +155,8 @@ def cmd_crawl(args) -> int:
         checkpoint_dir=args.checkpoint_dir,
         use_bloom=not args.no_bloom,
         bloom_capacity=args.bloom_capacity,
+        recrawl_epochs=args.recrawl_epochs,
+        epoch_duration_ms=args.epoch_duration_ms,
     )
     result = run_crawl(spark, records, seeds, link_graph, robots, cfg,
                        resume=args.resume)
@@ -210,6 +212,11 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--host-budget", type=int, default=100)
     cr.add_argument("--checkpoint-dir", default=None)
     cr.add_argument("--resume", action="store_true")
+    cr.add_argument("--recrawl-epochs", type=int, default=None,
+                    help="seen-set entries expire after this many epochs")
+    cr.add_argument("--epoch-duration-ms", type=int, default=None,
+                    help="simulated epoch wall-clock: host budget becomes "
+                         "min(host-budget, duration/crawl_delay)")
     cr.add_argument("--no-bloom", action="store_true")
     cr.add_argument("--bloom-capacity", type=int, default=1_000_000)
     cr.add_argument("-o", "--output", default=None,

@@ -54,6 +54,10 @@ class CrawlConfig:
     # entries expire after this many epochs (None = never): expired URLs are
     # dropped from the seen-set and refetched — recrawl semantics
     recrawl_epochs: int | None = None
+    # simulated epoch wall-clock: per-host budget becomes
+    # min(host_budget, floor(epoch_duration_ms / crawl_delay_ms)) — the
+    # robots crawl-delay actually throttles hosts (None = host_budget only)
+    epoch_duration_ms: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -173,11 +177,21 @@ def _epoch_plan(
     slotted = pri.withColumn(
         "host_slot", F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)).over(w)
     )
+    # per-host budget: fixed cap, tightened by the robots crawl-delay when a
+    # simulated epoch duration is set (a host serving one URL per 400 ms
+    # yields fewer fetches per epoch than a 100 ms host)
+    budget = F.lit(cfg.host_budget)
+    if cfg.epoch_duration_ms is not None:
+        budget = F.least(
+            budget,
+            F.floor(F.lit(cfg.epoch_duration_ms)
+                    / F.greatest(F.col("crawl_delay_ms"), F.lit(1))),
+        )
     flagged = (
         slotted.withColumn(
             "status",
             F.when(~F.col("robots_allowed"), F.lit("robots_denied"))
-            .when(F.col("host_slot") > cfg.host_budget, F.lit("delayed"))
+            .when(F.col("host_slot") > budget, F.lit("delayed"))
             .otherwise(F.lit("fetched")),
         )
         .withColumn("priority_band", F.least(F.lit(3), F.floor(F.col("priority") * 2).cast("int")))
@@ -210,14 +224,14 @@ def _epoch_plan(
         joined,
         passthrough=[
             "url_norm", "url_key", "host", "hops", "inlinks", "priority",
-            "priority_band", "host_slot", "fetch_seq", "url_hash", "image_id",
-            "caption",
+            "priority_band", "host_slot", "crawl_delay_ms", "fetch_seq",
+            "url_hash", "image_id", "caption",
         ],
     )
     fetch_log = fetched.select(
         "url_norm", "url_key", "host", "hops", "inlinks", "priority",
-        "priority_band", "host_slot", "fetch_seq", "url_hash", "image_id",
-        "digest", "caption",
+        "priority_band", "host_slot", "crawl_delay_ms", "fetch_seq",
+        "url_hash", "image_id", "digest", "caption",
         F.when(F.col("fetch_ok") == True, F.lit("fetched"))  # noqa: E712
         .otherwise(F.lit("fetch_error"))
         .alias("status"),
@@ -226,7 +240,8 @@ def _epoch_plan(
         ordered.filter(F.col("status") != "fetched")
         .select(
             "url_norm", "url_key", "host", "hops", "inlinks", "priority",
-            "priority_band", "host_slot", "fetch_seq", "url_hash",
+            "priority_band", "host_slot", "crawl_delay_ms", "fetch_seq",
+            "url_hash",
             F.lit(None).cast("string").alias("image_id"),
             F.lit(None).cast("string").alias("digest"),
             F.lit(None).cast("string").alias("caption"),
@@ -238,6 +253,7 @@ def _epoch_plan(
         F.lit(None).cast("double").alias("priority"),
         F.lit(None).cast("int").alias("priority_band"),
         F.lit(None).cast("long").alias("host_slot"),
+        F.lit(None).cast("int").alias("crawl_delay_ms"),
         F.lit(None).cast("long").alias("fetch_seq"),
         "url_hash",
         F.lit(None).cast("string").alias("image_id"),

@@ -88,9 +88,10 @@ def test_source_file_regex_scope(annotated):
 
 
 def test_access_terms_oa_rro(annotated):
-    assert annotated["http://example.org/page1"].access_terms == "OA"
-    assert annotated["http://blog.example.org/x"].access_terms == "OA"
-    assert annotated["http://other.net/y"].access_terms == "RRO"
+    # array<string> — multivalued in SolrFields/CAPTURE_SCHEMA
+    assert annotated["http://example.org/page1"].access_terms == ["OA"]
+    assert annotated["http://blog.example.org/x"].access_terms == ["OA"]
+    assert annotated["http://other.net/y"].access_terms == ["RRO"]
 
 
 def test_plan_is_broadcast_only(spark, captures, annotations):

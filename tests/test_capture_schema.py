@@ -206,3 +206,70 @@ def test_first_bytes_fields(spark):
 
     short = _cap("abc")  # 3 bytes < 4 → reference skips the fields
     assert short.content_ffb is None and short.content_first_bytes is None
+
+
+def test_first_bytes_binary_magic(spark, tmp_path):
+    """content_ffb must come from RAW payload bytes: a JPEG head (ff d8 ff e0)
+    survives even though the text column lossily decodes it to U+FFFD."""
+    body = bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"\x00\x10JFIF\x00" + b"\x01" * 20
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n" + body)
+    rec = _warc_record("http://img.example.org/x.jpg", http)
+    d = tmp_path / "wm"
+    d.mkdir()
+    (d / "m.warc").write_bytes(rec)
+    records = warc_records(read_binary_files(spark, str(d)))
+    cap = extract_capture(records).first()
+    assert cap.content_ffb == "ffd8ffe0"
+    assert cap.content_first_bytes.startswith("ff d8 ff e0 00 10 4a 46 49 46")
+
+
+def test_arc_malformed_header_resync(spark, tmp_path):
+    """One ARC record with a space in its URL (malformed header) yields ONE
+    parse_error row and the parser resyncs at the next valid header — the
+    body is never re-parsed line-by-line as headers."""
+    good1 = _http(b"<html>ok1</html>")
+    bad_body = _http(b"line one\nline two\nline three\n")
+    good2 = _http(b"<html>ok2</html>")
+    arc = (
+        b"filedesc://t.arc 0.0.0.0 20080430204825 text/plain 3\nv1\n\n"
+        + b"http://a.org/ok1 1.2.3.4 20080430204825 text/html "
+        + str(len(good1)).encode() + b"\n" + good1 + b"\n"
+        # URL contains a space -> 6 fields -> framing lost
+        + b"http://a.org/has space.html 1.2.3.4 20080430204826 text/html "
+        + str(len(bad_body)).encode() + b"\n" + bad_body + b"\n"
+        + b"http://a.org/ok2 1.2.3.4 20080430204827 text/html "
+        + str(len(good2)).encode() + b"\n" + good2 + b"\n"
+    )
+    d = tmp_path / "arcs"
+    d.mkdir()
+    (d / "t.arc").write_bytes(arc)
+    rows = warc_records(read_binary_files(spark, str(d))).collect()
+    errs = [r for r in rows if r.parse_error is not None]
+    ok = {r.target_uri for r in rows if r.parse_error is None}
+    assert len(errs) == 1  # exactly one error row, not a flood
+    assert "http://a.org/ok1" in ok and "http://a.org/ok2" in ok
+
+
+def test_analysers_mime_gated(spark):
+    """HTMLAnalyser.shouldProcess gate (HTMLAnalyser.java:94-100): the link
+    and metadata kernels never see non-text payloads — no links/title
+    fabricated from tag-like bytes inside a binary record."""
+    from webarchive_discovery_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    def _row(ctype, payload):
+        row = {f.name: None for f in WARC_RECORD_SCHEMA.fields}
+        row.update(source_file="f", record_offset=0, record_type="response",
+                   warc_date="2024-01-01T00:00:00Z", target_uri="http://e.org/p",
+                   content_type=ctype, http_content_type=ctype, payload=payload)
+        return tuple(row[f.name] for f in WARC_RECORD_SCHEMA.fields)
+
+    html = '<html><title>T</title><a href="/x">l</a></html>'
+    df = spark.createDataFrame(
+        [_row("text/html", html), _row("application/octet-stream", html)],
+        WARC_RECORD_SCHEMA)
+    caps = {r.content_type: r for r in
+            extract_capture(df, with_links=True, with_metadata=True).collect()}
+    assert caps["text/html"].links == ["http://e.org/x"]
+    assert caps["text/html"].title == "T"
+    binary = caps["application/octet-stream"]
+    assert binary.links == [] and binary.title is None and binary.content is None

@@ -14,14 +14,14 @@ def _http(body: bytes, status: bytes = b"200 OK", ctype: bytes = b"text/html") -
     return (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype + b"\r\n\r\n" + body)
 
 
-def _warc_record(uri: str, http: bytes) -> bytes:
+def _warc_record(uri: str, http: bytes, rtype: str = "response") -> bytes:
     headers = (
         f"WARC/1.0\r\n"
-        f"WARC-Type: response\r\n"
+        f"WARC-Type: {rtype}\r\n"
         f"WARC-Record-ID: <urn:uuid:{abs(hash(uri)) & 0xFFFF}>\r\n"
         f"WARC-Date: 2024-03-05T06:07:08Z\r\n"
         f"WARC-Target-URI: {uri}\r\n"
-        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Type: application/http; msgtype={rtype}\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
     ).encode()
     return headers + http + b"\r\n\r\n"
@@ -30,18 +30,23 @@ def _warc_record(uri: str, http: bytes) -> bytes:
 @pytest.fixture(scope="module")
 def warc_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("cli_warcs")
+    first = _warc_record("http://zeta.example.org/page", _http(b"<html><a href='/x'>l</a></html>"))
+    # an interleaved request record: excluded from CDX lines, but its offset
+    # still bounds the previous response's compressed_length
+    req = _warc_record("http://zeta.example.org/page", b"GET /page HTTP/1.1\r\n\r\n",
+                       rtype="request")
     recs = (
-        _warc_record("http://zeta.example.org/page", _http(b"<html><a href='/x'>l</a></html>"))
+        first + req
         + _warc_record("http://alpha.example.org/", _http(b"<html>root</html>"))
         + _warc_record("http://alpha.example.org/dup", _http(b"x", status=b"404 NF"))
     )
     (d / "test.warc").write_bytes(recs)
-    return str(d)
+    return str(d), len(first)
 
 
 def test_cli_index_parquet(spark, warc_dir, tmp_path, capsys):
     out = str(tmp_path / "caps")
-    assert main(["index", "-i", warc_dir, "-o", out, "--links"]) == 0
+    assert main(["index", "-i", warc_dir[0], "-o", out, "--links"]) == 0
     caps = spark.read.parquet(out)
     rows = {r.url: r for r in caps.collect()}
     # 404 dropped by the response-code filter (reference guard chain)
@@ -53,7 +58,7 @@ def test_cli_index_parquet(spark, warc_dir, tmp_path, capsys):
 
 def test_cli_index_slash_xml_gzip(warc_dir, tmp_path, capsys):
     out = str(tmp_path / "xml")
-    assert main(["index", "-i", warc_dir, "-o", out, "-F", "xml", "-z",
+    assert main(["index", "-i", warc_dir[0], "-o", out, "-F", "xml", "-z",
                  "-r", "--no-text"]) == 0
     files = glob.glob(out + "/part-*.gz")
     assert files
@@ -67,19 +72,24 @@ def test_cli_index_slash_xml_gzip(warc_dir, tmp_path, capsys):
 
 
 def test_cli_cdx(spark, warc_dir, tmp_path, capsys):
+    path, first_len = warc_dir
     out = str(tmp_path / "cdx")
-    assert main(["cdx", "-i", warc_dir, "-o", out, "-p", "1"]) == 0
+    assert main(["cdx", "-i", path, "-o", out, "-p", "1"]) == 0
     lines = []
     for f in sorted(glob.glob(out + "/part-*")):
         lines += open(f).read().splitlines()
-    # 404 is NOT junk-filtered in CDX (junk filter is mime/type-based);
-    # sorted by SURT key: alpha before zeta
+    # 404 is NOT junk-filtered in CDX (junk filter is mime/type-based); the
+    # request record emits no line; sorted by SURT key: alpha before zeta
     assert len(lines) == 3
     assert lines == sorted(lines)
     first = lines[0].split(" ")
     assert len(first) == 11
     assert first[0].startswith("(org,example,alpha,")
     assert first[1] == "20240305060708"
+    # compressed_length (field S, index 8) of the FIRST response spans only
+    # to the excluded request record's offset, not across it
+    zeta = [l.split(" ") for l in lines if l.startswith("(org,example,zeta,")]
+    assert zeta and int(zeta[0][8]) == first_len
 
 
 def test_cli_crawl_synthetic(spark, tmp_path, capsys):

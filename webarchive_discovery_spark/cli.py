@@ -99,8 +99,6 @@ def cmd_cdx(args) -> int:
 
     spark = _get_spark(args, "wds-cdx")
     recs = warc_records(read_binary_files(spark, args.input))
-    recs = recs.filter(F.col("record_type").isin("response", "revisit")
-                       & F.col("target_uri").isNotNull())
     canon = canonicalize_frontier(recs, "target_uri")
     status = F.col("http_status").cast("int")
     fields = canon.select(
@@ -122,9 +120,18 @@ def cmd_cdx(args) -> int:
         F.lit("-").alias("meta"),
         "source_file", "record_offset", "record_type",
     )
-    if not args.no_junk_filter:
-        fields = cdx.cdx_junk_filter(fields, "mime", "record_type")
+    # offset-differencing (compressed_length) must run over ALL records —
+    # the reference filters junk LINES after the record reader has computed
+    # lengths from adjacent offsets, so an excluded request/metadata record
+    # between two responses must not inflate the first response's length
+    # (DereferencingArchiveToCDXRecordReader.java offset arithmetic)
     projected = cdx.cdx_project(fields, "urlkey", "source_file", "record_offset")
+    projected = projected.filter(
+        F.col("record_type").isin("response", "revisit")
+        & F.col("url").isNotNull()
+    )
+    if not args.no_junk_filter:
+        projected = cdx.cdx_junk_filter(projected, "mime", "record_type")
     lined = cdx.cdx11_line(projected)
     ordered = cdx.total_order_sort(lined, "urlkey",
                                    num_partitions=args.num_partitions)

@@ -187,12 +187,17 @@ def apply_annotations(
         )
         out = out.join(F.broadcast(oa))  # 1-row broadcast, no explosion
         key = F.col(surt_col)
+        # array<string>, matching the multivalued SolrFields access_terms and
+        # CAPTURE_SCHEMA (composing with extract_capture must not change the
+        # declared column type)
         out = out.withColumn(
             "access_terms",
-            F.when(
-                F.exists(F.col("_oa_prefixes"), lambda p: key.startswith(p)),
-                F.lit("OA"),
-            ).otherwise(F.lit("RRO")),
+            F.array(
+                F.when(
+                    F.exists(F.col("_oa_prefixes"), lambda p: key.startswith(p)),
+                    F.lit("OA"),
+                ).otherwise(F.lit("RRO"))
+            ),
         ).drop("_oa_prefixes")
     return out
 

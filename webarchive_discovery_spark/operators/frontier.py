@@ -39,6 +39,7 @@ __all__ = [
     "global_sequence",
     "salted_repartition",
     "release_staging",
+    "staging_mark",
 ]
 
 # Ephemeral global_sequence staging dirs (tmpfs): registered here, reclaimed
@@ -55,16 +56,25 @@ def _register_staging(path: str) -> None:
     _EPHEMERAL_STAGING.append(path)
 
 
-def release_staging() -> int:
-    """Delete every ephemeral staging dir created by :func:`global_sequence`.
+def staging_mark() -> int:
+    """Snapshot the staging registry; pass to :func:`release_staging` to
+    reclaim only dirs created AFTER this point (epoch-scoped cleanup that
+    cannot delete staging backing some other, not-yet-materialized
+    ``global_sequence`` DataFrame in the same process)."""
+    return len(_EPHEMERAL_STAGING)
 
-    Only call once DataFrames returned by ``global_sequence`` have been fully
-    materialized (collected, written, or ``localCheckpoint``-ed) — they scan
-    the staging path lazily.  Returns the number of dirs removed."""
+
+def release_staging(since: int = 0) -> int:
+    """Delete ephemeral staging dirs created by :func:`global_sequence`
+    after the :func:`staging_mark` snapshot ``since`` (default 0 = all).
+
+    Only call once the DataFrames whose staging is being released have been
+    fully materialized (collected, written, or ``localCheckpoint``-ed) —
+    they scan the staging path lazily.  Returns the number of dirs removed."""
     import shutil
 
     n = 0
-    while _EPHEMERAL_STAGING:
+    while len(_EPHEMERAL_STAGING) > since:
         path = _EPHEMERAL_STAGING.pop()
         shutil.rmtree(path, ignore_errors=True)
         n += 1

@@ -308,6 +308,7 @@ def run_crawl(
             params = BloomParams(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_shards)
             bloom = build_bloom(seen, "url_hash", params) if seen.take(1) else PartitionedBloom(params)
 
+        mark = fop.staging_mark()
         crawl_log, fetched = _epoch_plan(
             spark, frontier_df, seen, robots_rules, records, cfg, bloom
         )
@@ -315,9 +316,10 @@ def run_crawl(
         # every prior epoch's full pipeline and grows super-linearly (driver
         # OOMs on plan trees long before data is a problem)
         crawl_log = crawl_log.withColumn("epoch", F.lit(epoch)).localCheckpoint()
-        # the epoch is materialized now — reclaim this epoch's tmpfs staging
-        # (global_sequence) instead of leaking one dir per epoch
-        fop.release_staging()
+        # the epoch is materialized now — reclaim only THIS epoch's tmpfs
+        # staging (scoped via the mark: a concurrent, not-yet-materialized
+        # global_sequence DataFrame elsewhere in the process keeps its dirs)
+        fop.release_staging(mark)
 
         # per-partition lineage/metrics rows (the reference's Hadoop counters,
         # WARCIndexerMapper.java:63-65 / Instrument.java)

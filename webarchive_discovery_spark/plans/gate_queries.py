@@ -498,7 +498,7 @@ _SHINGLE_CTE = """
       UNION ALL
       SELECT doc_id + 100000 AS doc_id, text FROM documents
     ), toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus
     ), sh AS (
       SELECT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
@@ -549,7 +549,8 @@ def dedup_exact(spark, sf_dir):
     _SHINGLE_CTE + "SELECT id_a, id_b, n_bands_matched FROM cand",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_candidates(_dup_corpus(spark, sf_dir), "text", "doc_id")
+    return dedup.minhash_lsh_candidates(_dup_corpus(spark, sf_dir), "text", "doc_id",
+                                        max_bucket_size=None)  # oracle is uncapped
 
 
 @q(
@@ -567,7 +568,8 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     corpus = _dup_corpus(spark, sf_dir)
-    cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id")
+    cands = dedup.minhash_lsh_candidates(corpus, "text", "doc_id",
+                                         max_bucket_size=None)  # oracle is uncapped
     pairs = dedup.ngram_jaccard_pairs(corpus, cands, "text", "doc_id")
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -586,7 +588,7 @@ def _simhash_oracle_sql() -> str:
         bits.append(f"CASE WHEN v{bit} > 0 THEN {2 ** (15 - bit)} ELSE 0 END")
     return f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
     ), v AS (
       SELECT doc_id, {', '.join(votes)} FROM toks GROUP BY doc_id
     )
@@ -761,7 +763,7 @@ def lang_id_counts(spark, sf_dir):
     WITH s AS (
       SELECT doc_id,
              length(text) AS q_chars,
-             len(string_split(trim(text), ' ')) AS q_tokens,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
              ' ' || lower(text) || ' ' AS p
       FROM documents
     ), st AS (
@@ -797,9 +799,9 @@ def quality_scores(spark, sf_dir):
     "token_stats",
     """
     SELECT doc_id,
-           len(string_split(trim(text), ' ')) AS ws_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens,
-           len(list_distinct(string_split(lower(trim(text)), ' '))) AS distinct_tokens
+           len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS distinct_tokens
     FROM documents
     """,
 )
@@ -1420,7 +1422,7 @@ def _sentiment_oracle_sql() -> str:
       FROM documents
     ), p AS (
       SELECT doc_id, ' ' || lower(substring(txt, 1, 10000)) || ' ' AS p,
-             len(string_split(trim(substring(txt, 1, 10000)), ' ')) AS n_tok
+             len(regexp_split_to_array(trim(substring(txt, 1, 10000)), '\\s+')) AS n_tok
       FROM t
     ), s AS (
       SELECT doc_id, ({terms}) / CAST(n_tok AS DOUBLE) AS comparative FROM p
@@ -1560,7 +1562,7 @@ def annotations_apply(spark, sf_dir):
         "event_id",
         F.array_join("collection", "|").alias("collection"),
         F.array_join("wct_subjects", "|").alias("wct_subjects"),
-        "access_terms",
+        F.array_join("access_terms", "|").alias("access_terms"),
     )
 
 

@@ -190,10 +190,18 @@ def adjusted(col: Column, field: str, is_text: bool = False) -> Column:
     return out
 
 
-def _payload_head_hex() -> Column:
-    """Lowercase hex of the first 32 UTF-8 bytes of the payload column
-    (FirstBytesAnalyser.java:84-98; num_bytes default reference.conf:68)."""
-    return F.lower(F.hex(F.substring(F.encode(F.col("payload"), "utf-8"), 1, 32)))
+def _payload_head_hex(has_raw_head: bool = True) -> Column:
+    """Lowercase hex of the first 32 RAW payload bytes (``payload_head``,
+    captured by the archive source before text decoding — binary magics like
+    ff d8 ff e0 survive; FirstBytesAnalyser.java:84-98, num_bytes default
+    reference.conf:68).  Falls back to the UTF-8 bytes of the bounded text
+    column when the raw head is null or the input frame predates the
+    ``payload_head`` column."""
+    text_head = F.substring(F.encode(F.col("payload"), "utf-8"), 1, 32)
+    head = (
+        F.coalesce(F.col("payload_head"), text_head) if has_raw_head else text_head
+    )
+    return F.lower(F.hex(head))
 
 
 def _null(field: StructField) -> Column:
@@ -227,21 +235,30 @@ def extract_capture(
     base = records.withColumn("url_norm_struct", canon).withColumn(
         "url_norm", adjusted(F.col("url_norm_struct.url_norm"), "url_norm")
     )
+    # analyser dispatch mime (served Content-Type wins) and the reference's
+    # HTMLAnalyser.shouldProcess gate (HTMLAnalyser.java:94-100: text* or
+    # application/xhtml+xml): the text kernels receive a NULLED payload for
+    # non-matching records, so binary payloads (the majority of a real
+    # crawl) cost one null check per batch instead of a regex parse of
+    # lossily-decoded garbage — and no fields get fabricated from it
+    served = F.coalesce(F.col("http_content_type"), F.col("content_type"))
+    texty = served.startswith("text") | served.startswith("application/xhtml+xml")
+    if with_links or with_metadata:
+        base = base.withColumn("_texty_payload", F.when(texty, F.col("payload")))
     if with_links:
         from .operators.links import extract_html_links
 
-        base = extract_html_links(base, url_col="target_uri", html_col="payload")
+        base = extract_html_links(base, url_col="target_uri",
+                                  html_col="_texty_payload")
     if with_metadata:
         from .operators.metadata import extract_html_metadata, extract_xml_root_ns
 
-        base = extract_html_metadata(base, html_col="payload")
-        # served Content-Type wins, like the analyser-dispatch mime below
-        base = base.withColumn(
-            "_served_mime", F.coalesce(F.col("http_content_type"),
-                                       F.col("content_type"))
-        )
+        base = extract_html_metadata(base, html_col="_texty_payload")
+        base = base.withColumn("_served_mime", served)
         base = extract_xml_root_ns(base, payload_col="payload",
                                    mime_col="_served_mime")
+
+    _head_hex = _payload_head_hex(has_raw_head="payload_head" in records.columns)
 
     filled: dict[str, Column] = {
         "id": date_fns.record_id(wayback, F.col("target_uri")),
@@ -294,11 +311,11 @@ def extract_capture(
         # the payload has >= 4 bytes (reference skips shorter reads). The
         # substring is applied to the *encoded* bytes so multi-byte chars
         # cannot push the head past num_bytes=32 (reference.conf:68).
-        "content_ffb": F.when(F.length(_payload_head_hex()) >= 8,
-                              F.substring(_payload_head_hex(), 1, 8)),
+        "content_ffb": F.when(F.length(_head_hex) >= 8,
+                              F.substring(_head_hex, 1, 8)),
         "content_first_bytes": F.when(
-            F.length(_payload_head_hex()) >= 8,
-            F.trim(F.regexp_replace(_payload_head_hex(), "(..)", "$1 ")),
+            F.length(_head_hex) >= 8,
+            F.trim(F.regexp_replace(_head_hex, "(..)", "$1 ")),
         ),
     }
     if with_links:

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -50,6 +51,7 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("http_server", StringType()),
         StructField("redirect_location", StringType()),   # raw Location header
         StructField("payload", StringType()),  # first bytes of payload (bounded)
+        StructField("payload_head", BinaryType()),  # first 32 RAW bytes (magic)
         StructField("parse_error", StringType()),
     ]
 )
@@ -153,6 +155,7 @@ def _finish_http_record(rec: dict, body: bytes, max_payload: int) -> None:
         except Exception:
             pass  # serve-as-stored on codec failure, like the reference
     rec["payload"] = payload[:max_payload].decode("utf-8", "replace")
+    rec["payload_head"] = payload[:32]
 
 
 def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
@@ -196,6 +199,7 @@ def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
                 if rec["payload_digest"] is None:
                     rec["payload_digest"] = "sha1:" + hashlib.sha1(body).hexdigest()
                 rec["payload"] = body[:max_payload].decode("utf-8", "replace")
+                rec["payload_head"] = body[:32]
         except Exception as exc:
             rec["parse_error"] = str(exc)[:500]
         yield rec
@@ -214,17 +218,37 @@ def _parse_arc_stream(name: str, data: bytes, max_payload: int = 65536):
         if line.strip() == b"":
             continue
         rec = _blank(name, offset)
+        # header framing is handled separately from body processing: a
+        # malformed HEADER line loses the record length, so the body would
+        # otherwise be re-parsed line-by-line as headers (a garbage flood
+        # from one corrupt record) — instead emit ONE parse_error row and
+        # resync at the next plausible header line
         try:
             parts = line.strip().split(b" ")
             if len(parts) not in (5, 10):
                 raise ValueError(f"bad ARC header: {line[:40]!r}")
+            length = int(parts[-1])
+        except Exception as exc:
+            rec["parse_error"] = str(exc)[:500]
+            yield rec
+            while True:
+                pos = stream.tell()
+                nxt = stream.readline()
+                if not nxt:
+                    break
+                p = nxt.strip().split(b" ")
+                if (len(p) in (5, 10) and p[-1].isdigit()
+                        and (b"://" in p[0])):
+                    stream.seek(pos)
+                    break
+            continue
+        try:
             url = parts[0].decode("utf-8", "replace")
             date14 = parts[2].decode("ascii", "replace")
             # v1: url ip date mime length; v2: url ip date mime status
             # checksum location offset filename length — mime is index 3,
             # length is last, in both
             mime = parts[3].decode("ascii", "replace")
-            length = int(parts[-1])
             body = stream.read(length)
             iso = (
                 f"{date14[0:4]}-{date14[4:6]}-{date14[6:8]}T"
@@ -248,6 +272,7 @@ def _parse_arc_stream(name: str, data: bytes, max_payload: int = 65536):
             else:
                 rec["payload_digest"] = "sha1:" + hashlib.sha1(body).hexdigest()
                 rec["payload"] = body[:max_payload].decode("utf-8", "replace")
+                rec["payload_head"] = body[:32]
         except Exception as exc:
             rec["parse_error"] = str(exc)[:500]
         yield rec

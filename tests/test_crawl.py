@@ -185,3 +185,24 @@ def test_crawl_delay_throttles_budget(spark, world):
     # some slow host must actually have been throttled below the raw budget
     assert any(r["n"] == 3000 // r["crawl_delay_ms"] for r in fetched_per_host) or \
         log.filter("status = 'delayed'").count() > 0
+
+
+def test_seen_checkpoint_is_merge_on_read(spark, world, tmp_path):
+    """The seen-set checkpoint is a per-epoch DELTA (merge-on-read), never a
+    full rewrite: every epoch dir holds only rows first seen that epoch, and
+    the merged read equals the returned seen-set exactly."""
+    from webarchive_discovery_spark.plans.checkpoint import CheckpointStore
+
+    ck = str(tmp_path / "ck")
+    result = _run(spark, world, ckdir=ck, epochs=3)
+    store = CheckpointStore(ck)
+    total = 0
+    for epoch in range(3):
+        delta = store.read(spark, epoch, "seen_delta")
+        eps = {r["first_epoch"] for r in delta.select("first_epoch").distinct().collect()}
+        assert eps <= {epoch}, f"epoch {epoch} delta contains foreign rows: {eps}"
+        total += delta.count()
+    merged = store.read_merged(spark, 2, "seen_delta")
+    assert merged.count() == total
+    assert ({r["url_hash"] for r in merged.select("url_hash").collect()}
+            == {r["url_hash"] for r in result["seen"].select("url_hash").collect()})

@@ -65,3 +65,28 @@ class CheckpointStore:
 
     def read(self, spark: SparkSession, epoch: int, table: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._epoch_dir(epoch), table))
+
+
+    def read_merged(
+        self,
+        spark: SparkSession,
+        epoch: int,
+        table: str,
+        window: int | None = None,
+    ) -> DataFrame:
+        """Merge-on-read: union of per-epoch DELTA directories for ``table``
+        up to ``epoch`` — the Iceberg MoR seen-set shape from the north rule.
+        Each epoch commits only its delta (O(delta) write, not O(total)
+        rewrite); readers union the committed deltas.  ``window`` prunes to
+        the last N epochs, which IS recrawl expiry when every delta row
+        shares that epoch's ``first_epoch``: dropping whole delta dirs ==
+        dropping expired entries, no data rewrite ever."""
+        lo = 0 if window is None else max(0, epoch - window + 1)
+        paths = []
+        for e in range(lo, epoch + 1):
+            m = self.manifest(e)
+            if m and table in m["tables"]:
+                paths.append(os.path.join(self._epoch_dir(e), table))
+        if not paths:
+            raise FileNotFoundError(f"no committed '{table}' deltas <= epoch {epoch}")
+        return spark.read.parquet(*paths)

@@ -291,7 +291,12 @@ def run_crawl(
         state = store.latest()
         if state is not None:
             start_epoch = state["epoch"] + 1
-            seen = store.read(spark, state["epoch"], "seen")
+            # merge-on-read: the seen-set is the union of per-epoch delta
+            # snapshots; the recrawl window prunes whole delta dirs (every
+            # delta row shares that epoch's first_epoch), so expiry costs
+            # nothing at write time
+            seen = store.read_merged(spark, state["epoch"], "seen_delta",
+                                     window=cfg.recrawl_epochs)
             frontier_df = store.read(spark, state["epoch"], "frontier")
         else:
             seen = spark.createDataFrame([], seen_schema)
@@ -363,13 +368,17 @@ def run_crawl(
         frontier_df = expanded.unionByName(delayed).localCheckpoint()
 
         if store:
+            # commit only this epoch's seen DELTA (O(delta), never an
+            # O(total) rewrite — the Iceberg merge-on-read seen-set shape);
+            # readers union committed deltas via read_merged
             store.write(epoch, {
                 "crawl_log": crawl_log,
-                "seen": seen,
+                "seen_delta": delta,
                 "frontier": frontier_df,
             }, extra={"metrics": metrics[-1]})
             # re-read from the snapshot so lineage stays short across epochs
-            seen = store.read(spark, epoch, "seen")
+            seen = store.read_merged(spark, epoch, "seen_delta",
+                                     window=cfg.recrawl_epochs)
             frontier_df = store.read(spark, epoch, "frontier")
             crawl_log = store.read(spark, epoch, "crawl_log")
         logs.append(crawl_log)

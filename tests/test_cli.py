@@ -46,9 +46,13 @@ def warc_dir(tmp_path_factory):
 
 def test_cli_index_parquet(spark, warc_dir, tmp_path, capsys):
     out = str(tmp_path / "caps")
-    assert main(["index", "-i", warc_dir[0], "-o", out, "--links"]) == 0
+    assert main(["index", "-i", warc_dir[0], "-o", out, "--links",
+                 "--institution", "UKWA", "-n", "Spring 2024", "-u", "c77"]) == 0
     caps = spark.read.parquet(out)
     rows = {r.url: r for r in caps.collect()}
+    any_row = next(iter(rows.values()))
+    assert any_row.institution == "UKWA"
+    assert any_row.collection == ["Spring 2024"] and any_row.collection_id == "c77"
     # 404 dropped by the response-code filter (reference guard chain)
     assert set(rows) == {"http://zeta.example.org/page", "http://alpha.example.org/"}
     assert rows["http://zeta.example.org/page"].links == ["http://zeta.example.org/x"]

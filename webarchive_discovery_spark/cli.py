@@ -77,6 +77,14 @@ def cmd_index(args) -> int:
 
         ann = load_annotations_json(spark, args.annotations)
         captures = apply_annotations(captures, ann)
+    # constant curation stamps (WARCIndexerCommandOptions -i/-n/-u)
+    if args.institution:
+        captures = captures.withColumn("institution", F.lit(args.institution))
+    if args.collection:
+        captures = captures.withColumn(
+            "collection", F.array(F.lit(args.collection)))
+    if args.collection_id:
+        captures = captures.withColumn("collection_id", F.lit(args.collection_id))
     if not args.text:  # -t false: strip the text body from the output
         captures = captures.withColumn("content", F.lit(None).cast("string"))
     if args.output_format == "parquet":
@@ -190,6 +198,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="only process slash (root) pages (reference -r)")
     ix.add_argument("-a", "--annotations", default=None,
                     help="annotations JSON file (reference -a)")
+    ix.add_argument("--institution", default=None,
+                    help="stamp institution on every capture (reference -i)")
+    ix.add_argument("-n", "--collection", default=None,
+                    help="stamp collection (reference -n)")
+    ix.add_argument("-u", "--collection-id", default=None,
+                    help="stamp collection id (reference -u)")
     ix.add_argument("--links", action="store_true", help="run the link analyser")
     ix.add_argument("--metadata", action="store_true", help="run Tika-lite metadata")
     ix.add_argument("--max-payload", type=int, default=65536)

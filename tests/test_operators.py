@@ -328,3 +328,17 @@ def test_warc_regex_matches_semantics(spark):
     assert ("20240305060708/http://a.org/", "AB34") in rows
     assert ("0/unknown", "AB99") in rows
     assert len(rows) == 4  # third record contributes nothing
+
+
+def test_connected_components_semantics(spark):
+    """Min-label propagation: multi-hop chains converge to the component
+    min; singletons keep their own id; deterministic at any parallelism."""
+    from webarchive_discovery_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3 (diameter 3), pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (6, 5)], "id_a long, id_b long")
+    got = {r.id: r.component
+           for r in connected_components(verts, pairs, id_col="doc_id").collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}

@@ -33,6 +33,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash16",
+    "connected_components",
 ]
 
 
@@ -264,3 +265,57 @@ def ssdeep_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col("_h.ssdeep_sig").alias("ssdeep_sig"),
         F.col("_h.ssdeep_sig2").alias("ssdeep_sig2"),
     )
+
+
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: ``(id, component)`` where
+    ``component`` = smallest vertex id reachable through the pair graph
+    (singletons map to themselves).  The canonical-exemplar step of a
+    dedup pipeline — keep ``id == component``, drop the rest.
+
+    Min-label propagation: each round every vertex takes the min of its own
+    and its neighbors' labels; converges in O(graph diameter) rounds (near-
+    dup graphs are shallow — clusters are dense blobs, not long chains).
+    Each round is one broadcast-free shuffle join + hash aggregate;
+    ``localCheckpoint`` truncates lineage per round so plans stay flat, and
+    the loop stops early on a converged round.  Deterministic at any
+    parallelism: labels are pure min() folds of data values."""
+    sym = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "_old"), "id")
+            .filter(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

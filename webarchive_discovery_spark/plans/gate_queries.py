@@ -1647,3 +1647,43 @@ def dedup_ssdeep(spark, sf_dir):
         .select("n_docs")
         .orderBy("n_docs")
     )
+
+
+@q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE e1 AS (
+      SELECT doc_id AS src, doc_id - (doc_id % 7) AS dst
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id AS src, doc_id - 7 AS dst
+      FROM documents WHERE doc_id % 7 = 0 AND (doc_id // 7) % 3 = 1 AND doc_id >= 7
+    ), edges AS (
+      SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup cluster canonicalization: connected components over a
+    deterministic pair graph (stars of 7 docs, every third star chained to
+    its predecessor — diameter > 1, so label propagation must iterate).
+    The oracle computes exact reachability with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    star = docs.filter(d % 7 != 0).select(
+        d.alias("id_a"), (d - d % 7).alias("id_b")
+    )
+    chain = docs.filter(
+        (d % 7 == 0) & (F.floor(d / 7) % 3 == 1) & (d >= 7)
+    ).select(d.alias("id_a"), (d - 7).alias("id_b"))
+    pairs = star.unionByName(chain)
+    out = dedup.connected_components(docs, pairs, id_col="doc_id")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_lsh_cosine_topk",
     "dedup_ssdeep",
+    "image_analysis",
     "token_stats",
     "doc_fingerprint",
     "links_extract",

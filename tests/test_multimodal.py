@@ -63,3 +63,98 @@ def test_plumbing_is_single_python_stage(spark):
     df = spark.createDataFrame([("a", b"x", "png")], "image_id string, bytes binary, fmt string")
     plan = decode_resize_images(df, 4, 4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+# ---------------------------------------------------------------------------
+# Dominant colour + face regions (FaceDetectionAnalyser analog)
+# ---------------------------------------------------------------------------
+
+from webarchive_discovery_spark.functions.colours import (  # noqa: E402
+    SVG_COLOURS,
+    detect_faces,
+    dominant_colour,
+    face_fragments,
+    match_colour_name,
+)
+from webarchive_discovery_spark.operators.multimodal import analyse_images  # noqa: E402
+
+_SKIN = (224, 160, 128)
+
+
+def test_colour_matcher_reference_goldens():
+    # ColourMatcherTest.java:63-69
+    assert match_colour_name(0, 0, 255) == "blue"
+    assert match_colour_name(0, 0, 128) == "navy"
+    assert match_colour_name(255, 0, 0) == "red"
+    assert match_colour_name(126, 254, 211) == "aquamarine"
+
+
+def test_svg_table_is_the_w3c_list():
+    assert len(SVG_COLOURS) == 147
+    # aqua/cyan and the gray/grey pairs are genuine spec synonyms; ties must
+    # resolve to the earlier (alphabetical) entry like the reference's loop
+    assert match_colour_name(0, 255, 255) == "aqua"
+    assert match_colour_name(128, 128, 128) == "gray"
+
+
+def test_dominant_colour_majority_bin():
+    img = np.zeros((30, 30, 3), np.uint8)
+    img[:, :, 2] = 255          # blue
+    img[:10, :, 0] = 255        # top third red
+    img[:10, :, 2] = 0
+    assert dominant_colour(img) == (0, 0, 255)
+    # bin-average semantics: two near-identical blues in one 64-bin bucket
+    # average, instead of the mode of exact values
+    img2 = np.zeros((4, 4, 3), np.uint8)
+    img2[:, :2, 2] = 252
+    img2[:, 2:, 2] = 254
+    assert dominant_colour(img2) == (0, 0, 253)
+
+
+def test_detect_faces_blobs_and_gates():
+    img = np.zeros((60, 80, 3), np.uint8)
+    img[:, :, 2] = 200
+    for x, y in [(5, 5), (30, 20), (60, 40)]:
+        img[y:y + 8, x:x + 8] = _SKIN
+    img[50:52, 2:4] = _SKIN  # under min_side/min_area → ignored
+    faces = detect_faces(img)
+    assert faces == [
+        ("human", 5, 5, 8, 8), ("human", 30, 20, 8, 8), ("human", 60, 40, 8, 8)
+    ]
+    assert face_fragments(faces)[0] == "human@xywh=5,5,8,8"
+    assert detect_faces(np.zeros((20, 20, 3), np.uint8)) == []
+
+
+def test_detect_faces_connectivity():
+    # L-shape merges through union-find into ONE component
+    img = np.zeros((20, 20, 3), np.uint8)
+    img[2:12, 2:5] = _SKIN
+    img[9:12, 2:12] = _SKIN
+    assert detect_faces(img) == [("human", 2, 2, 10, 10)]
+    # diagonal touch does NOT merge (4-connectivity)
+    img2 = np.zeros((20, 20, 3), np.uint8)
+    img2[2:8, 2:8] = _SKIN
+    img2[8:14, 8:14] = _SKIN
+    assert len(detect_faces(img2)) == 2
+
+
+def test_analyse_images_operator(spark):
+    img = np.zeros((48, 64, 3), np.uint8)
+    img[:, :, 2] = 255
+    img[10:18, 10:18] = _SKIN
+    rows = [
+        ("a", encode_image(img, "png"), "png"),
+        ("b", encode_image(img, "jpeg"), "jpeg"),  # fake-lossy path
+        ("c", b"not-an-image", "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r.image_id: r for r in analyse_images(df).collect()}
+    for key in ("a", "b"):
+        r = got[key]
+        assert (r.image_width, r.image_height, r.image_size) == (64, 48, 64 * 48)
+        assert r.image_dominant_colour == "blue"
+        assert r.image_faces_count == 1
+        assert r.image_faces == ["human@xywh=10,10,8,8"]
+        assert r.decode_error is None
+    assert got["c"].decode_error is not None
+    assert got["c"].image_faces_count is None

@@ -1687,3 +1687,101 @@ def dedup_clusters(spark, sf_dir):
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+# ===========================================================================
+# Image analysis: dominant colour + face regions (FaceDetectionAnalyser)
+# ===========================================================================
+
+# background palette: exact SVG keyword colours chosen to (a) fail the skin
+# mask and (b) keep their nearest-name under the fake-jpeg 5-bit quantization
+_IMG_PALETTE = [
+    ("blue", (0, 0, 255)), ("green", (0, 128, 0)), ("yellow", (255, 255, 0)),
+    ("black", (0, 0, 0)), ("aqua", (0, 255, 255)), ("navy", (0, 0, 128)),
+    ("silver", (192, 192, 192)), ("red", (255, 0, 0)),
+]
+_IMG_W, _IMG_H = 64, 48
+
+
+def _synth_images(spark, sf_dir):
+    """Deterministic image corpus from ``documents``: background colour =
+    palette[doc_id % 8], ``doc_id % 4`` skin-tone 8×8 'face' blocks at
+    x = 10+14i, y = 10, encoded as png/bmp/fake-jpeg by doc_id % 3 — every
+    output of the analysis is then pure arithmetic in doc_id, which is what
+    the oracle recomputes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from ..functions.imaging import encode_image
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("bytes", BinaryType()),
+        StructField("fmt", StringType()),
+    ])
+    fmts = ["png", "bmp", "jpeg"]
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bg = _IMG_PALETTE[doc_id % 8][1]
+                img = np.empty((_IMG_H, _IMG_W, 3), np.uint8)
+                img[:, :] = bg
+                for i in range(doc_id % 4):
+                    x = 10 + 14 * i
+                    img[10:18, x:x + 8] = (224, 160, 128)
+                fmt = fmts[doc_id % 3]
+                rows.append({"doc_id": doc_id, "bytes": encode_image(img, fmt),
+                             "fmt": fmt})
+            yield pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(build, schema)
+
+
+@q(
+    "image_analysis",
+    f"""
+    SELECT doc_id,
+           {_IMG_W} AS image_width,
+           {_IMG_H} AS image_height,
+           {_IMG_W * _IMG_H} AS image_size,
+           CASE doc_id % 8
+             {' '.join(f"WHEN {i} THEN '{name}'" for i, (name, _) in enumerate(_IMG_PALETTE))}
+           END AS image_dominant_colour,
+           CAST(doc_id % 4 AS INT) AS image_faces_count,
+           CASE doc_id % 4
+             WHEN 0 THEN ''
+             WHEN 1 THEN 'human@xywh=10,10,8,8'
+             WHEN 2 THEN 'human@xywh=10,10,8,8|human@xywh=24,10,8,8'
+             ELSE 'human@xywh=10,10,8,8|human@xywh=24,10,8,8|human@xywh=38,10,8,8'
+           END AS image_faces
+    FROM documents
+    """,
+)
+def image_analysis(spark, sf_dir):
+    """End-to-end image payload analysis over binary columns: deterministic
+    synth corpus (png/bmp/fake-jpeg) → decode → 64³-histogram dominant colour
+    → SVG-keyword match → skin-blob face regions — the engine's
+    ``FaceDetectionAnalyser`` analog (fields
+    ``image_width/height/size/dominant_colour/faces/faces_count``,
+    ``FaceDetectionAnalyser.java:145-168``, ``FaceDetectionParser.java:
+    139-223``, ``ColourMatcher.java:103-126``).  The oracle recomputes every
+    field arithmetically from doc_id."""
+    from ..operators import multimodal
+
+    imgs = _synth_images(spark, sf_dir)
+    out = multimodal.analyse_images(imgs, id_cols=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.col("image_width").cast("int").alias("image_width"),
+        F.col("image_height").cast("int").alias("image_height"),
+        F.col("image_size").cast("int").alias("image_size"),
+        "image_dominant_colour",
+        "image_faces_count",
+        F.array_join("image_faces", "|").alias("image_faces"),
+    )

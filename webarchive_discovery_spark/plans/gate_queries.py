@@ -1785,3 +1785,92 @@ def image_analysis(spark, sf_dir):
         "image_faces_count",
         F.array_join("image_faces", "|").alias("image_faces"),
     )
+
+
+# ===========================================================================
+# Named research datasets (WARCDatasetGenerator job)
+# ===========================================================================
+
+@q(
+    "datasets_generate",
+    """
+    WITH caps AS (
+      SELECT event_id,
+             'http://h' || CAST(user_id % 20 AS VARCHAR) || '.example.org/p/'
+               || CAST(event_id AS VARCHAR) AS url,
+             'h' || CAST(user_id % 20 AS VARCHAR) || '.example.org' AS host,
+             'lh' || CAST(event_id % 6 AS VARCHAR) || '.example.org' AS linked,
+             CAST(year(ts) AS VARCHAR) AS year,
+             strftime(ts, '%Y%m%d%H%M%S') AS wb
+      FROM events
+    ),
+    rows_out AS (
+      SELECT 'hosts' AS dataset, year, host AS value FROM caps
+      UNION ALL
+      SELECT 'formats', year, 'text/html' || chr(9) || chr(9) FROM caps
+      UNION ALL
+      SELECT 'hostLinks', year, host || chr(9) || linked FROM caps
+      UNION ALL
+      SELECT 'faces', year, url || chr(9) || wb || chr(9) || 'cat@xywh=1,1,4,4'
+      FROM caps WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT 'faces', year, url || chr(9) || wb || chr(9) || 'human@xywh=5,5,8,8'
+      FROM caps WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT 'faces', year,
+             url || chr(9) || wb || chr(9) || 'human@xywh=1,1,8,8 human@xywh=2,2,8,8'
+      FROM caps WHERE event_id % 10 = 5
+    )
+    SELECT dataset, year, value, count(*) AS cnt
+    FROM rows_out GROUP BY dataset, year, value
+    """,
+)
+def datasets_generate(spark, sf_dir):
+    """The WARCDatasetGenerator job end-to-end: events-derived WARC records →
+    real capture extraction WITH the HTML link analyser (one a[href] per
+    payload) → named hosts/formats/faces/hostLinks datasets → frequency
+    count (``WARCDatasetMapper.java:185-225`` + ``FrequencyCountingReducer``).
+    ``image_faces`` is stamped arithmetically (the faces *extraction* is
+    gate-checked separately by ``image_analysis``; here the dataset fan-out —
+    kind grouping cat-before-human, sorted space-joined matches — is what's
+    under test).  The oracle rebuilds every dataset line arithmetically."""
+    from .. import schema_capture
+    from . import datasets as ds
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    raw = ev.select(
+        F.lit("synth.warc").alias("source_file"),
+        eid.alias("record_offset"),
+        F.lit("response").alias("record_type"),
+        F.concat(F.lit("<urn:uuid:"), eid.cast("string"), F.lit(">")).alias("warc_record_id"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_date"),
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.org/p/"), eid.cast("string"),
+        ).alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.lit(1024).cast("long").alias("content_length"),
+        F.md5(eid.cast("string")).alias("payload_digest"),
+        F.lit("200").alias("http_status"),
+        F.lit("text/html").alias("http_content_type"),
+        F.lit(None).cast("string").alias("http_server"),
+        F.lit(None).cast("string").alias("redirect_location"),
+        F.concat(
+            F.lit('<a href="http://lh'), (eid % 6).cast("string"),
+            F.lit('.example.org/x/'), eid.cast("string"), F.lit('">t</a>'),
+        ).alias("payload"),
+        F.lit(None).cast("string").alias("parse_error"),
+    )
+    caps = schema_capture.extract_capture(raw, with_links=True)
+    caps = caps.withColumn(
+        "image_faces",
+        F.when(
+            F.col("source_file_offset") % 10 == 0,
+            F.array(F.lit("human@xywh=5,5,8,8"), F.lit("cat@xywh=1,1,4,4")),
+        ).when(
+            F.col("source_file_offset") % 10 == 5,
+            F.array(F.lit("human@xywh=2,2,8,8"), F.lit("human@xywh=1,1,8,8")),
+        ),
+    )
+    return ds.generate_datasets(caps)

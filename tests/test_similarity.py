@@ -90,3 +90,41 @@ def test_lsh_recall_floor(spark, emb):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"recall@5 = {recall:.2f}"
+
+
+def test_ivf_recall_floor_trained_beats_compute(spark, emb):
+    """IVF with a k-means-trained quantizer must reach a recall floor vs the
+    exact path while scoring only probed lists."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    cents = similarity.ivf_train(emb, dim=dim, n_lists=4, iters=3)
+    assert cents.shape == (4, dim)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_cosine_topk(
+            emb, queries, dim=dim, k=5, n_lists=4, n_probe=2, centroids=cents
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall@5 = {recall:.2f}"
+
+
+def test_ivf_untrained_deterministic_and_subset_of_probed(spark, emb):
+    """The seed-deterministic quantizer (gate path) yields identical results
+    across runs, and full probing (n_probe = n_lists) recovers the exact
+    top-k — the IVF lattice degrades gracefully to brute force."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    a = similarity.ivf_cosine_topk(emb, queries, dim=dim, k=5, n_lists=8, n_probe=2)
+    b = similarity.ivf_cosine_topk(emb, queries, dim=dim, k=5, n_lists=8, n_probe=2)
+    ra = [(r.query_id, r.rank, r.neighbor_id) for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r.query_id, r.rank, r.neighbor_id) for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb
+    full = similarity.ivf_cosine_topk(emb, queries, dim=dim, k=5, n_lists=8, n_probe=8)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    fs = {(r.query_id, r.rank, r.neighbor_id) for r in full.collect()}
+    es = {(r.query_id, r.rank, r.neighbor_id) for r in exact.collect()}
+    assert fs == es

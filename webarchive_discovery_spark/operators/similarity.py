@@ -19,7 +19,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["cosine", "cosine_topk", "cosine_near_dup_pairs", "lsh_cosine_topk", "lsh_planes"]
+__all__ = [
+    "cosine",
+    "cosine_topk",
+    "cosine_near_dup_pairs",
+    "lsh_cosine_topk",
+    "lsh_planes",
+    "ivf_centroids",
+    "ivf_train",
+    "ivf_cosine_topk",
+]
 
 
 def cosine(a, b):
@@ -283,6 +292,137 @@ def lsh_cosine_topk(
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # a pair colliding in several tables/probes must score exactly once
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qvec").alias("qvec"), F.first("evec").alias("evec"))
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("evec")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(dim: int, n_lists: int, seed: int) -> "np.ndarray":
+    """Seed-deterministic unit-norm coarse centroids — the untrained
+    quantizer.  Shared by the operator and oracle-SQL generation (like
+    :func:`lsh_planes`) so both sides assign identical lists."""
+    c = np.random.default_rng(seed).standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    seed: int = 42,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Distributed spherical k-means for the IVF coarse quantizer: each
+    Lloyd iteration is ONE Spark pass — broadcast centroids → vectorized
+    argmax-assignment UDF → posexplode → per-(list, dim) mean (a single hash
+    aggregate) — then the tiny ``n_lists × dim`` model returns to the driver
+    (a model fetch, not a data collect).  Empty lists re-seed deterministically.
+    Exactly bit-reproducible up to float summation order inside the mean
+    aggregate; use the untrained seeded quantizer where bit-determinism
+    across runs is required (the correctness gate does)."""
+    from pyspark.sql.types import IntegerType
+
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(dim, n_lists, seed)
+    vecs = embeddings.select(_as_double(F.col(vec_col)).alias("vec"))
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        @F.pandas_udf(IntegerType())
+        def assign(v: pd.Series) -> pd.Series:
+            m = np.vstack(v.to_numpy())
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+        sums = (
+            vecs.select(assign(F.col("vec")).alias("list_id"),
+                        F.posexplode(F.col("vec")).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        new = cents.copy()  # empty lists keep their seed position
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["list_id"], np.zeros(dim))[r["pos"]] = r["mean"]
+        for lid, v in acc.items():
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[lid] = v / n
+        cents = new
+    return cents
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    centroids: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (inverted list), probe each query's ``n_probe`` nearest lists,
+    and score exactly only within probed lists — the classic
+    IVF-flat ANN trade (recall grows with ``n_probe``; compute drops by
+    ~``n_lists / n_probe`` vs brute force).
+
+    Plan shape mirrors :func:`lsh_cosine_topk`: the centroid matrix is tiny
+    and rides one broadcast into a single vectorized assignment UDF per
+    side; the big side is written once (one list per vector — ×1 storage,
+    vs the LSH table's ×L); candidates dedup with one hash aggregate.  Pass
+    ``centroids=ivf_train(...)`` for the k-means-trained quantizer or leave
+    None for the seed-deterministic untrained one (oracle-reproducible)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = embeddings.sparkSession
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_lists, seed)
+    bc = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf(IntegerType())
+    def assign1(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        dots = m @ bc.value.T
+        # stable argsort → ties resolve to the lower list id, like the oracle
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("evec"),
+        assign1(F.col(vec_col)).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("list_id"),
+    )
+    candidates = (
+        e.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("qvec").alias("qvec"), F.first("evec").alias("evec"))
     )

@@ -1874,3 +1874,68 @@ def datasets_generate(spark, sf_dir):
         ),
     )
     return ds.generate_datasets(caps)
+
+
+# ===========================================================================
+# IVF ANN (inverted-file coarse quantizer)
+# ===========================================================================
+
+def _ivf_oracle_sql(dim: int = 64, n_lists: int = 8, n_probe: int = 2, k: int = 5,
+                    seed: int = 42) -> str:
+    """DuckDB rebuild of the seed-deterministic untrained IVF quantizer:
+    per-vector argmax list assignment, per-query top-``n_probe`` probed
+    lists, exact cosine inside probed lists only — the same arithmetic as
+    ``similarity.ivf_cosine_topk`` (centroids shared via ``ivf_centroids``)."""
+    cents = similarity.ivf_centroids(dim, n_lists, seed)
+
+    def lit(row):
+        return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+    dots = "[" + ", ".join(f"list_dot_product(vec, {lit(c)})" for c in cents) + "]"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec, {dots} AS dots FROM embeddings
+    ), e AS (
+      SELECT vec_id, vec,
+             list_position(dots, list_aggregate(dots, 'max')) - 1 AS list_id
+      FROM v
+    ), qd AS (
+      SELECT vec_id AS query_id, vec AS qvec,
+             unnest(dots) AS d, unnest(generate_series(0, {n_lists - 1})) AS i
+      FROM v WHERE vec_id < 10
+    ), q AS (
+      SELECT query_id, qvec, i AS list_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY d DESC, i) AS pr
+        FROM qd
+      ) WHERE pr <= {n_probe}
+    ), cand AS (
+      SELECT DISTINCT q.query_id, q.qvec, e.vec_id AS neighbor_id, e.vec
+      FROM q JOIN e ON e.list_id = q.list_id
+      WHERE e.vec_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qvec, vec) /
+               (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS score
+      FROM cand
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS "rank"
+      FROM scored
+    )
+    SELECT query_id, "rank", neighbor_id FROM ranked WHERE "rank" <= {k}
+    """
+
+
+@q("ann_ivf_cosine_topk", _ivf_oracle_sql())
+def ann_ivf_cosine_topk(spark, sf_dir):
+    """IVF-flat ANN with the untrained seed-deterministic quantizer (the
+    k-means-trained path is pytest-covered with a recall floor — training
+    averages are not bit-reproducible across engines, so the gate pins the
+    quantizer).  Probing 2 of 8 lists ≈ 4× candidate reduction vs brute
+    force at this setting; at scale n_lists grows ~sqrt(N)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_cosine_topk(
+        emb, queries, dim=64, k=5, n_lists=8, n_probe=2
+    ).select("query_id", "rank", "neighbor_id")

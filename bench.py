@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "dedup_embedding_cosine",
     "ann_lsh_cosine_topk",
+    "ann_ivf_cosine_topk",
     "dedup_ssdeep",
     "image_analysis",
     "token_stats",

@@ -342,3 +342,34 @@ def test_connected_components_semantics(spark):
     got = {r.id: r.component
            for r in connected_components(verts, pairs, id_col="doc_id").collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_minhash_xxhash64_variant_same_candidates(spark):
+    """The xxhash64 production hash family must yield the same candidate
+    semantics as the oracle-parity md5 family on clear duplicates (identical
+    docs collide in every band under ANY min-wise hash)."""
+    from webarchive_discovery_spark.operators import dedup
+
+    words = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight nine",
+        2: "red orange yellow blue indigo violet green cyan",
+    }
+    rows = [(i, words[i % 3]) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, txt string")
+    md5_pairs = {
+        (r.id_a, r.id_b, r.n_bands_matched)
+        for r in dedup.minhash_lsh_candidates(df, "txt", "doc_id").collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b, r.n_bands_matched)
+        for r in dedup.minhash_lsh_candidates(
+            df, "txt", "doc_id", hash_fn="xxhash64"
+        ).collect()
+    }
+    # identical docs → all 4 bands match in both families
+    expect = {
+        (a, b, 4) for a in range(12) for b in range(12) if a < b and a % 3 == b % 3
+    }
+    assert md5_pairs == expect
+    assert xx_pairs == expect

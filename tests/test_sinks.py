@@ -129,3 +129,63 @@ def test_write_xml_add_wrapper(spark, tmp_path):
     assert sorted(ids) == sorted(
         f'<doc><field name="id">{i}</field></doc>' for i in range(6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Memento JSONL output (SolrRecord.toMemento + --jsonl reducer path)
+# ---------------------------------------------------------------------------
+
+def test_memento_jsonl_from_captures(spark, tmp_path):
+    import glob
+    import gzip
+    import json
+
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark import schema_capture
+    from webarchive_discovery_spark.operators import memento
+
+    raw = spark.createDataFrame(
+        [("f.warc", 0, "response", "<urn:uuid:1>", "2024-03-04T05:06:07Z",
+          "http://www.Example.org/a/b.html", "application/http; msgtype=response",
+          1024, "digest1", "200", "text/html", None, None, "hello body", None)],
+        "source_file string, record_offset long, record_type string, "
+        "warc_record_id string, warc_date string, target_uri string, "
+        "content_type string, content_length long, payload_digest string, "
+        "http_status string, http_content_type string, http_server string, "
+        "redirect_location string, payload string, parse_error string",
+    )
+    caps = schema_capture.extract_capture(raw)
+    out = str(tmp_path / "jsonl")
+    memento.write_memento_jsonl(caps, out)
+    lines = []
+    for f in glob.glob(f"{out}/part-*.txt.gz"):
+        with gzip.open(f, "rt") as fh:
+            lines += [json.loads(l) for l in fh if l.strip()]
+    assert len(lines) == 1
+    doc = lines[0]
+    # snake_case Memento property names; single-string host_surt takes the
+    # FIRST multi-valued entry (getFieldAsString)
+    assert doc["url"] == "http://www.Example.org/a/b.html"
+    assert doc["url_norm"] == "http://example.org/a/b.html"
+    assert doc["host_surt"] == "(org,"
+    assert doc["crawl_date"] == "2024-03-04T05:06:07Z"
+    assert doc["wayback_date"] == 20240304050607
+    assert doc["content_type_norm"] == "html"
+    assert doc["status_code"] == 200
+    assert doc["record_type"] == "response"
+    # null fields are OMITTED, not serialized
+    assert "image_faces" not in doc
+    assert "content_fuzzy_hash" not in doc
+
+
+def test_memento_fuzzy_hash_reformat(spark):
+    from webarchive_discovery_spark.operators import memento
+
+    df = spark.createDataFrame(
+        [("a", "SIG1", "SIG2", "b.html"), ("b", None, "SIG2", "c.html")],
+        "id string, ssdeep_hash_bs_3 string, ssdeep_hash_bs_6 string, resourcename string",
+    )
+    got = {r.id: r.content_fuzzy_hash for r in memento.to_memento(df).collect()}
+    assert got["a"] == "3:SIG1:SIG2:b.html"
+    assert got["b"] is None  # both signatures required (reformatSsdeep)

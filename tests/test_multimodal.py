@@ -158,3 +158,15 @@ def test_analyse_images_operator(spark):
         assert r.decode_error is None
     assert got["c"].decode_error is not None
     assert got["c"].image_faces_count is None
+
+
+def test_analyse_images_deterministic_sampling(spark):
+    img = np.zeros((8, 8, 3), np.uint8)
+    rows = [(f"img-{i}", encode_image(img, "png"), "png") for i in range(200)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    a = {r.image_id for r in analyse_images(df, sample_rate=0.3).collect()}
+    b = {r.image_id for r in analyse_images(df, sample_rate=0.3).collect()}
+    assert a == b  # hash-mod selection, not Math.random()
+    assert 0 < len(a) < 200
+    with pytest.raises(ValueError):
+        analyse_images(df, sample_rate=0.0)

@@ -103,3 +103,32 @@ def test_minhash_shingles_codegen(spark):
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert "lambdafunction" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_image_analysis_single_python_stage(spark):
+    """Synth + analyse are both mapInPandas kernels: exactly two Python
+    stages total, bytes never widen into extra shuffles."""
+    plan = plan_of(spark, "image_analysis")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")  # no shuffle
+
+
+def test_datasets_single_shuffle_no_python(spark):
+    """The named-datasets job is one hash aggregate over the tagged union;
+    the only Arrow stages are the capture extraction kernels (canonical
+    struct + link analyser + surt/suffix family), and the union must not
+    multiply them per dataset branch beyond the per-branch projection."""
+    plan = plan_of(spark, "datasets_generate")
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_broadcast_only_one_python_per_side(spark):
+    plan = plan_of(spark, "ann_ivf_cosine_topk")
+    # one assignment UDF on the big side, one probe UDF on the (broadcast)
+    # query side — never row-at-a-time
+    assert plan.count("ArrowEvalPython") == 2
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

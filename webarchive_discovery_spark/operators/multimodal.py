@@ -124,6 +124,7 @@ def analyse_images(
     extract_faces: bool = True,
     detector=None,
     max_size_bytes: int = 10 * 1024 * 1024,
+    sample_rate: float = 1.0,
 ) -> DataFrame:
     """Per-image analysis matching the reference's ``FaceDetectionAnalyser``
     field fan-out (``warc-openimaj/.../FaceDetectionAnalyser.java:145-168``):
@@ -137,8 +138,21 @@ def analyse_images(
     uses OpenCV Haar cascades, whose model files don't ship here).  Payloads
     over ``max_size_bytes`` are skipped like the reference's size gate
     (``FaceDetectionAnalyser.java:119-121``); per-record failures land in
-    ``decode_error``, never kill the task."""
+    ``decode_error``, never kill the task.
+
+    ``sample_rate`` < 1 analyses only that fraction of records — the
+    reference's ``analysisSamplingRate`` (``ImageAnalyser.java:105-110``,
+    ``reference.conf:54``) but DETERMINISTIC: selection is
+    ``xxhash64(id) mod 10⁶ < rate·10⁶`` (a filter pushed to the scan), not
+    ``Math.random()``, so reruns analyse the identical subset."""
     keep = list(id_cols)
+    if not 0.0 < sample_rate <= 1.0:
+        raise ValueError("sample_rate must be in (0, 1]")
+    if sample_rate < 1.0:
+        df = df.filter(
+            F.pmod(F.xxhash64(*[F.col(c) for c in keep]), F.lit(1_000_000))
+            < int(sample_rate * 1_000_000)
+        )
     schema = _schema_plus(df, IMAGE_ANALYSIS_SCHEMA, keep)
     det = detector or detect_faces
 

@@ -410,10 +410,16 @@ def ivf_cosine_topk(
         order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
+    # coalesce guard: argmax is never null for non-null vectors, but without
+    # it the join's inferred isnotnull(list_id) predicate sits BELOW the
+    # projection and Spark evaluates the assignment UDF twice per row (one
+    # ArrowEvalPython for the filter, one for the project); coalesce lets the
+    # optimizer drop the null filter entirely → exactly one Python stage per
+    # side (plan-asserted)
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("evec"),
-        assign1(F.col(vec_col)).alias("list_id"),
+        F.coalesce(assign1(F.col(vec_col)), F.lit(-1)).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -373,3 +373,26 @@ def test_minhash_xxhash64_variant_same_candidates(spark):
     }
     assert md5_pairs == expect
     assert xx_pairs == expect
+
+
+def test_postcode_locations_gazetteer_join(spark):
+    """District → 'lat,lng' location join (PostcodeGeomapper semantics:
+    unmapped districts contribute nothing; no-postcode rows yield empty)."""
+    from webarchive_discovery_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "Write to AB10 1AA or LS23 6AB today"), (2, "no postcodes here")],
+        "doc_id long, txt string",
+    )
+    gaz = spark.createDataFrame(
+        [("AB10", "57.131086,-2.122482"), ("ZZ99", "0,0")],
+        "outcode string, location string",
+    )
+    got = {
+        r.doc_id: r.locations
+        for r in textstats.postcode_locations(
+            textstats.postcode_extract(docs, "txt"), gaz, id_cols=["doc_id"]
+        ).collect()
+    }
+    assert got[1] == ["57.131086,-2.122482"]  # LS23 unmapped -> dropped
+    assert got[2] == []

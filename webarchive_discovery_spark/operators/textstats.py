@@ -20,6 +20,8 @@ __all__ = [
     "fingerprint",
     "sentiment_bucket",
     "postcode_extract",
+    "load_postcode_gazetteer",
+    "postcode_locations",
     "LANG_MARKERS",
     "NO_BOUNDARY_LANGS",
     "SENTIMENTS",
@@ -253,3 +255,46 @@ def postcode_extract(df: DataFrame, text_col: str) -> DataFrame:
         F.transform(pcs, lambda pc: F.substring_index(pc, " ", 1))
     ))
     return df.withColumn("postcode", pcs).withColumn("postcode_district", districts)
+
+
+# postcode district → "lat,lng" geomapping (PostcodeGeomapper.java:45-66):
+# the reference loads an open-data UK outcode gazetteer CSV
+# (id,outcode,lat,lng) into a HashMap; Spark-first shape = a broadcast dim
+# join against the exploded district array, not a driver-side dict.
+def load_postcode_gazetteer(spark, path: str) -> DataFrame:
+    """Read an ``id,outcode,lat,lng`` CSV (the PostcodeGeomapper resource
+    format) into ``(outcode, location)`` rows with ``location = 'lat,lng'``
+    — the Solr ``location`` (lat,lon) string type."""
+    raw = spark.read.option("header", "true").csv(path)
+    return raw.select(
+        F.col("outcode"),
+        F.concat_ws(",", F.col("lat"), F.col("lng")).alias("location"),
+    )
+
+
+def postcode_locations(
+    df: DataFrame,
+    gazetteer: DataFrame,
+    district_col: str = "postcode_district",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Attach ``locations`` (array of ``'lat,lng'`` strings, sorted) by
+    joining each extracted district against the broadcast gazetteer —
+    ``PostcodeAnalyser.java:78-81``.  Districts without a gazetteer entry
+    contribute nothing (the reference's null check).  One broadcast hash
+    join; rows with no districts skip the join via the explode_outer+regroup
+    being keyed on the original row id."""
+    keys = id_cols or [c for c in df.columns if c != district_col]
+    exploded = df.select(*keys, F.explode_outer(F.col(district_col)).alias("_pcd"))
+    joined = exploded.join(
+        F.broadcast(gazetteer), exploded["_pcd"] == gazetteer["outcode"], "left"
+    )
+    locs = (
+        joined.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.collect_list("location"))
+            ).alias("locations")
+        )
+    )
+    return df.join(locs, keys, "left")

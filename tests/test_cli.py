@@ -105,3 +105,31 @@ def test_cli_crawl_synthetic(spark, tmp_path, capsys):
     assert len(metrics) == 2 and all(m["job"] == "crawl" for m in metrics)
     log = spark.read.parquet(out)
     assert log.count() > 0
+
+
+def test_cli_index_memento_and_datasets(spark, warc_dir, tmp_path, capsys):
+    out = str(tmp_path / "mem")
+    ds = str(tmp_path / "ds")
+    assert main(["index", "-i", warc_dir[0], "-o", out, "-F", "memento",
+                 "-z", "--links", "--datasets", ds]) == 0
+    lines = []
+    for f in glob.glob(f"{out}/part-*.txt.gz"):
+        with gzip.open(f, "rt") as fh:
+            lines += [json.loads(l) for l in fh if l.strip()]
+    # request + 404 records are dropped by the default chain (record-type,
+    # response-code startswith "2")
+    assert len(lines) == 2
+    by_url = {d["url"]: d for d in lines}
+    zeta = by_url["http://zeta.example.org/page"]
+    assert zeta["record_type"] == "response"
+    assert zeta["wayback_date"] == 20240305060708
+    assert "links_hosts" in zeta and zeta["links_hosts"] == ["zeta.example.org"]
+    # datasets directory layout: hosts + formats + hostLinks present
+    host_parts = glob.glob(f"{ds}/dataset=hosts/year=2024/*.txt.gz")
+    assert host_parts
+    hosts = []
+    for f in host_parts:
+        with gzip.open(f, "rt") as fh:
+            hosts += [l.rstrip("\n") for l in fh if l.strip()]
+    assert sorted(hosts) == ["alpha.example.org\t1", "zeta.example.org\t1"]
+    assert glob.glob(f"{ds}/dataset=hostLinks/year=2024/*.txt.gz")

@@ -87,14 +87,28 @@ def cmd_index(args) -> int:
         captures = captures.withColumn("collection_id", F.lit(args.collection_id))
     if not args.text:  # -t false: strip the text body from the output
         captures = captures.withColumn("content", F.lit(None).cast("string"))
+    if args.datasets:
+        # one capture scan feeds both outputs; persist so the analyser
+        # kernels run once (released after the writes)
+        captures = captures.persist()
     if args.output_format == "parquet":
         captures.write.mode("overwrite").parquet(args.output)
     elif args.output_format == "jsonl":
         write_jsonl(captures, args.output, gzip_output=args.gzip)
+    elif args.output_format == "memento":
+        from .operators.memento import write_memento_jsonl
+
+        write_memento_jsonl(captures, args.output, gzip_output=args.gzip)
     else:
         write_xml(captures, args.output, gzip_output=args.gzip)
+    if args.datasets:
+        from .plans.datasets import generate_datasets, write_datasets
+
+        write_datasets(generate_datasets(captures), args.datasets)
+        captures.unpersist()
     print(json.dumps({"job": "index", "output": args.output,
-                      "format": args.output_format}))
+                      "format": args.output_format,
+                      "datasets": args.datasets}))
     return 0
 
 
@@ -190,7 +204,11 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("-i", "--input", required=True, help="archive files path/glob")
     ix.add_argument("-o", "--output", required=True)
     ix.add_argument("-F", "--output-format", default="parquet",
-                    choices=["parquet", "jsonl", "xml"])
+                    choices=["parquet", "jsonl", "memento", "xml"],
+                    help="memento = the reference's --jsonl Memento JSON shape")
+    ix.add_argument("--datasets", default=None, metavar="DIR",
+                    help="also emit the named research datasets "
+                         "(hosts/formats/faces/hostLinks) to DIR")
     ix.add_argument("-z", "--gzip", action="store_true")
     ix.add_argument("-t", "--text", action=argparse.BooleanOptionalAction,
                     default=True, help="include extracted text (reference -t)")

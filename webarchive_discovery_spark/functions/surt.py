@@ -202,10 +202,13 @@ def surt_key_from_canonical(canon: str) -> str:
     use when ``canonicalise_url`` output is already at hand)."""
     try:
         parts = urlsplit(canon)
+        # .hostname/.port parse lazily and can raise on malformed
+        # authorities (e.g. "http://::"); a key must still come out
+        host = parts.hostname or ""
+        port_no = parts.port
     except Exception:
         return canon
-    host = parts.hostname or ""
-    port = f":{parts.port}" if parts.port and parts.port != 80 else ""
+    port = f":{port_no}" if port_no and port_no != 80 else ""
     path = parts.path or "/"
     query = f"?{parts.query}" if parts.query else ""
     return "(" + ",".join(reversed(host.split("."))) + "," + ")" + port + path + query

@@ -198,17 +198,29 @@ def detect_faces(
     Regions are returned top-left first (row-major by bbox origin), so output
     order is deterministic."""
     labels, n = _label_components(_skin_mask(rgb))
+    if n == 0:
+        return []
+    # one pass over labelled pixels for every component's bbox + area
+    # (ufunc.at scatter — no per-component rescan of the label image)
+    ys, xs = np.nonzero(labels)
+    labs = labels[ys, xs]
+    area = np.bincount(labs, minlength=n + 1)
+    x0 = np.full(n + 1, np.iinfo(np.int64).max)
+    y0 = np.full(n + 1, np.iinfo(np.int64).max)
+    x1 = np.full(n + 1, -1)
+    y1 = np.full(n + 1, -1)
+    np.minimum.at(x0, labs, xs)
+    np.minimum.at(y0, labs, ys)
+    np.maximum.at(x1, labs, xs)
+    np.maximum.at(y1, labs, ys)
     out = []
     for lab in range(1, n + 1):
-        ys, xs = np.nonzero(labels == lab)
-        if ys.size < min_area:
+        if area[lab] < min_area:
             continue
-        x0, x1 = int(xs.min()), int(xs.max())
-        y0, y1 = int(ys.min()), int(ys.max())
-        w, h = x1 - x0 + 1, y1 - y0 + 1
+        w, h = int(x1[lab] - x0[lab] + 1), int(y1[lab] - y0[lab] + 1)
         if w < min_side or h < min_side:
             continue
-        out.append((kind, x0, y0, w, h))
+        out.append((kind, int(x0[lab]), int(y0[lab]), w, h))
     out.sort(key=lambda t: (t[2], t[1]))
     return out
 

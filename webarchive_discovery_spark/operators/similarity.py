@@ -325,6 +325,7 @@ def ivf_train(
     seed: int = 42,
     iters: int = 5,
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> "np.ndarray":
     """Distributed spherical k-means for the IVF coarse quantizer: each
     Lloyd iteration is ONE Spark pass — broadcast centroids → vectorized
@@ -333,11 +334,20 @@ def ivf_train(
     (a model fetch, not a data collect).  Empty lists re-seed deterministically.
     Exactly bit-reproducible up to float summation order inside the mean
     aggregate; use the untrained seeded quantizer where bit-determinism
-    across runs is required (the correctness gate does)."""
+    across runs is required (the correctness gate does).
+
+    At 100 TB, train on a sample: k-means centroid quality saturates long
+    before the full corpus (standard IVF practice trains on ~100·n_lists
+    to ~1000·n_lists vectors).  ``sample_fraction`` applies a seeded
+    deterministic sample before the Lloyd passes, so each iteration scans
+    a fraction of the data while assignment (:func:`ivf_cosine_topk`)
+    still covers every row."""
     from pyspark.sql.types import IntegerType
 
     spark = embeddings.sparkSession
     cents = ivf_centroids(dim, n_lists, seed)
+    if sample_fraction is not None:
+        embeddings = embeddings.sample(fraction=sample_fraction, seed=seed)
     vecs = embeddings.select(_as_double(F.col(vec_col)).alias("vec"))
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cents)

@@ -273,3 +273,52 @@ def test_analysers_mime_gated(spark):
     assert caps["text/html"].title == "T"
     binary = caps["application/octet-stream"]
     assert binary.links == [] and binary.title is None and binary.content is None
+
+
+def test_capture_image_analysis_composition(spark, tmp_path):
+    """with_images runs the image analyser over image-MIME records inside
+    the capture projection (the FaceDetectionAnalyser slot): a PNG response
+    fills dims/dominant-colour/faces; text records stay null; and the flag
+    demands the raw-bytes column."""
+    import numpy as np
+    import pytest
+
+    from webarchive_discovery_spark.functions.imaging import encode_image
+    from webarchive_discovery_spark.sources.warc import read_binary_files, warc_records
+
+    img = np.zeros((20, 30, 3), np.uint8)
+    img[:, :, 2] = 255
+    img[5:13, 5:13] = (224, 160, 128)
+    png = encode_image(img, "png")
+
+    def http(body, ctype):
+        return (b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body)
+
+    def rec(uri, body):
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:1>\r\n"
+            f"WARC-Date: 2024-01-02T03:04:05Z\r\nWARC-Target-URI: {uri}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+
+    warc = rec("http://a.org/pic.png", http(png, b"image/png")) + rec(
+        "http://a.org/page.html", http(b"<html>x</html>", b"text/html")
+    )
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "img.warc").write_bytes(warc)
+
+    records = warc_records(read_binary_files(spark, str(d)), keep_binary=True)
+    caps = {r.url: r for r in extract_capture(records, with_images=True).collect()}
+    pic = caps["http://a.org/pic.png"]
+    assert (pic.image_width, pic.image_height, pic.image_size) == (30, 20, 600)
+    assert pic.image_dominant_colour == "blue"
+    assert pic.image_faces == ["human@xywh=5,5,8,8"]
+    assert pic.image_faces_count == 1
+    page = caps["http://a.org/page.html"]
+    assert page.image_width is None and page.image_faces is None
+
+    no_bytes = warc_records(read_binary_files(spark, str(d)))  # keep_binary off
+    with pytest.raises(ValueError, match="payload_bytes"):
+        extract_capture(no_bytes.drop("payload_bytes"), with_images=True)

@@ -65,11 +65,13 @@ def cmd_index(args) -> int:
 
     spark = _get_spark(args, "wds-index")
     records = warc_records(read_binary_files(spark, args.input),
-                           max_payload=args.max_payload)
+                           max_payload=args.max_payload,
+                           keep_binary=args.images)
     records = default_filter_chain(records, url_col="target_uri",
                                    status_col="http_status")
     captures = extract_capture(records, with_links=args.links,
-                               with_metadata=args.metadata)
+                               with_metadata=args.metadata,
+                               with_images=args.images)
     if args.slash:  # -r/--slash: only root pages (WARCIndexerCommand -r)
         captures = captures.filter(F.col("url_type") == "slashpage")
     if args.annotations:  # -a: curated annotations file (Annotator.java)
@@ -224,6 +226,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stamp collection id (reference -u)")
     ix.add_argument("--links", action="store_true", help="run the link analyser")
     ix.add_argument("--metadata", action="store_true", help="run Tika-lite metadata")
+    ix.add_argument("--images", action="store_true",
+                    help="run the image analyser (dims/dominant colour/faces)")
     ix.add_argument("--max-payload", type=int, default=65536)
     _add_common(ix)
     ix.set_defaults(fn=cmd_index)

@@ -51,6 +51,7 @@ __all__ = [
     "RESIZED_SCHEMA",
     "FRAMES_SCHEMA",
     "IMAGE_ANALYSIS_SCHEMA",
+    "image_analysis_struct_udf",
 ]
 
 
@@ -235,3 +236,56 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(*keep, bytes_col).mapInPandas(run, schema)
+
+
+_IMAGE_STRUCT = StructType(
+    [
+        StructField("image_width", LongType()),
+        StructField("image_height", LongType()),
+        StructField("image_size", LongType()),
+        StructField("image_dominant_colour", StringType()),
+        StructField("image_faces", ArrayType(StringType())),
+        StructField("image_faces_count", IntegerType()),
+    ]
+)
+
+_MIME_FMT = {
+    "image/png": "png",
+    "image/bmp": "bmp",
+    "image/x-ms-bmp": "bmp",
+    "image/jpeg": "jpeg",
+    "image/jpg": "jpeg",
+}
+
+
+def image_analysis_struct_udf():
+    """Scalar Arrow UDF (bytes, mime) → image-analysis struct, for composing
+    the image analyser into a wide projection (``extract_capture``'s
+    ``with_images`` path — the ``FaceDetectionAnalyser`` slot of the
+    reference's MIME-dispatched analyser chain,
+    ``WARCPayloadAnalysers.java:82-123``).  Null/undecodable/unknown-MIME
+    payloads yield an all-null struct; the task never dies."""
+    import pyspark.sql.functions as _F
+
+    @_F.pandas_udf(_IMAGE_STRUCT)
+    def analyse(data: pd.Series, mime: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, m in zip(data, mime):
+            rec = dict.fromkeys([f.name for f in _IMAGE_STRUCT.fields])
+            fmt = _MIME_FMT.get((m or "").split(";")[0].strip().lower())
+            if b is not None and fmt is not None:
+                try:
+                    rgb = decode_image(bytes(b), fmt)
+                    h, w = rgb.shape[:2]
+                    faces = detect_faces(rgb)
+                    rec.update(image_width=w, image_height=h, image_size=w * h,
+                               image_dominant_colour=match_colour_name(
+                                   *dominant_colour(rgb)),
+                               image_faces=face_fragments(faces),
+                               image_faces_count=len(faces))
+                except Exception:
+                    pass
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=[f.name for f in _IMAGE_STRUCT.fields])
+
+    return analyse

@@ -212,6 +212,7 @@ def extract_capture(
     records: DataFrame,
     with_links: bool = False,
     with_metadata: bool = False,
+    with_images: bool = False,
 ) -> DataFrame:
     """Project a WARC record scan (``WARC_RECORD_SCHEMA``) into the full
     capture document.  One Arrow kernel pass (canonical URL + SURT key) plus
@@ -221,9 +222,12 @@ def extract_capture(
     six ``links*`` fields (``HTMLAnalyser`` wiring); ``with_metadata`` runs
     the Tika-lite analyser and fills title/description/keywords/author/
     generator/content_encoding, replacing ``content`` with the tag-stripped
-    extracted text.  Each adds exactly one more Arrow stage — the full
-    WARCIndexer.extract() analog is then scan → 3 vectorized kernels →
-    one projection, still shuffle-free."""
+    extracted text.  ``with_images`` runs the image analyser
+    (dims/dominant-colour/faces — the ``FaceDetectionAnalyser`` slot) over
+    image-MIME records; it needs the raw ``payload_bytes`` column
+    (``warc_records(..., keep_binary=True)``).  Each adds exactly one more
+    Arrow stage — the full WARCIndexer.extract() analog is then scan →
+    vectorized kernels → one projection, still shuffle-free."""
     canon = canonical_struct_udf(F.col("target_uri"))
     crawl_ts = F.to_timestamp(F.col("warc_date"))
     wayback = date_fns.wayback_date(crawl_ts)
@@ -257,6 +261,20 @@ def extract_capture(
         base = base.withColumn("_served_mime", served)
         base = extract_xml_root_ns(base, payload_col="payload",
                                    mime_col="_served_mime")
+    if with_images:
+        if "payload_bytes" not in records.columns:
+            raise ValueError(
+                "with_images needs the raw payload_bytes column — read the "
+                "archive with warc_records(..., keep_binary=True)"
+            )
+        from .operators.multimodal import image_analysis_struct_udf
+
+        # MIME-gated like the text kernels: non-image rows ship a null into
+        # the Arrow batch, not their payload bytes
+        imagey = F.when(served.startswith("image"), F.col("payload_bytes"))
+        base = base.withColumn(
+            "_img", image_analysis_struct_udf()(imagey, served)
+        )
 
     _head_hex = _payload_head_hex(has_raw_head="payload_head" in records.columns)
 
@@ -336,6 +354,11 @@ def extract_capture(
             content_text_length=F.col("content_text_length"),
             xml_root_ns=F.col("xml_root_ns"),
         )
+    if with_images:
+        for name in ("image_width", "image_height", "image_size",
+                     "image_dominant_colour", "image_faces",
+                     "image_faces_count"):
+            filled[name] = F.col("_img")[name]
     cols = [
         filled[f.name].alias(f.name) if f.name in filled else _null(f)
         for f in CAPTURE_SCHEMA.fields

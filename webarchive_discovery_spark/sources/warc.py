@@ -52,6 +52,7 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("redirect_location", StringType()),   # raw Location header
         StructField("payload", StringType()),  # first bytes of payload (bounded)
         StructField("payload_head", BinaryType()),  # first 32 RAW bytes (magic)
+        StructField("payload_bytes", BinaryType()),  # bounded RAW payload (opt-in)
         StructField("parse_error", StringType()),
     ]
 )
@@ -137,7 +138,8 @@ def _split_http(body: bytes) -> tuple[str | None, dict[str, str], bytes]:
     return status, headers, rest
 
 
-def _finish_http_record(rec: dict, body: bytes, max_payload: int) -> None:
+def _finish_http_record(rec: dict, body: bytes, max_payload: int,
+                        keep_binary: bool = False) -> None:
     """Common HTTP-message handling for WARC and ARC records: status line,
     served headers, dechunk → digest → decompress, bounded payload text."""
     status, http_headers, payload = _split_http(body)
@@ -156,9 +158,12 @@ def _finish_http_record(rec: dict, body: bytes, max_payload: int) -> None:
             pass  # serve-as-stored on codec failure, like the reference
     rec["payload"] = payload[:max_payload].decode("utf-8", "replace")
     rec["payload_head"] = payload[:32]
+    if keep_binary:
+        rec["payload_bytes"] = payload[:max_payload]
 
 
-def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
+def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536,
+                       keep_binary: bool = False):
     """Iterate WARC/1.x records from raw decompressed bytes."""
     stream = io.BytesIO(data)
     while True:
@@ -194,18 +199,21 @@ def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536):
                 payload_digest=headers.get("warc-payload-digest"),
             )
             if headers.get("content-type", "").startswith("application/http"):
-                _finish_http_record(rec, body, max_payload)
+                _finish_http_record(rec, body, max_payload, keep_binary)
             else:
                 if rec["payload_digest"] is None:
                     rec["payload_digest"] = "sha1:" + hashlib.sha1(body).hexdigest()
                 rec["payload"] = body[:max_payload].decode("utf-8", "replace")
                 rec["payload_head"] = body[:32]
+                if keep_binary:
+                    rec["payload_bytes"] = body[:max_payload]
         except Exception as exc:
             rec["parse_error"] = str(exc)[:500]
         yield rec
 
 
-def _parse_arc_stream(name: str, data: bytes, max_payload: int = 65536):
+def _parse_arc_stream(name: str, data: bytes, max_payload: int = 65536,
+                      keep_binary: bool = False):
     """Iterate ARC v1/v2 records (``ArchiveFileRecordReader.java:66-195``):
     a ``filedesc://`` version block, then records framed by a single header
     line ``url ip date mime [v2 fields] length`` + ``length`` body bytes."""
@@ -268,17 +276,20 @@ def _parse_arc_stream(name: str, data: bytes, max_payload: int = 65536):
                 content_length=length,
             )
             if body.startswith(b"HTTP/"):
-                _finish_http_record(rec, body, max_payload)
+                _finish_http_record(rec, body, max_payload, keep_binary)
             else:
                 rec["payload_digest"] = "sha1:" + hashlib.sha1(body).hexdigest()
                 rec["payload"] = body[:max_payload].decode("utf-8", "replace")
                 rec["payload_head"] = body[:32]
+                if keep_binary:
+                    rec["payload_bytes"] = body[:max_payload]
         except Exception as exc:
             rec["parse_error"] = str(exc)[:500]
         yield rec
 
 
-def _parse_archive(name: str, data: bytes, max_payload: int = 65536):
+def _parse_archive(name: str, data: bytes, max_payload: int = 65536,
+                   keep_binary: bool = False):
     """Dispatch WARC vs ARC by content (gzip members transparently inflated),
     with whole-file error recovery."""
     if data[:2] == b"\x1f\x8b":
@@ -290,20 +301,26 @@ def _parse_archive(name: str, data: bytes, max_payload: int = 65536):
             yield rec
             return
     if data.startswith(b"filedesc://"):
-        yield from _parse_arc_stream(name, data, max_payload)
+        yield from _parse_arc_stream(name, data, max_payload, keep_binary)
     else:
-        yield from _parse_warc_stream(name, data, max_payload)
+        yield from _parse_warc_stream(name, data, max_payload, keep_binary)
 
 
-def warc_records(files_df: DataFrame, max_payload: int = 65536) -> DataFrame:
+def warc_records(files_df: DataFrame, max_payload: int = 65536,
+                 keep_binary: bool = False) -> DataFrame:
     """binaryFile rows → one row per WARC record (Arrow-batched iterator;
-    per-record error recovery like ``ArchiveFileRecordReader`` strict mode)."""
+    per-record error recovery like ``ArchiveFileRecordReader`` strict mode).
+
+    ``keep_binary`` retains the bounded RAW payload in ``payload_bytes``
+    (needed by binary analysers, e.g. image analysis); off by default so
+    the Arrow transfer ships text-only records."""
 
     def run(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                rows.extend(_parse_archive(r.path, bytes(r.content), max_payload))
+                rows.extend(_parse_archive(r.path, bytes(r.content), max_payload,
+                                           keep_binary))
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
             )

@@ -396,3 +396,7 @@ def test_postcode_locations_gazetteer_join(spark):
     }
     assert got[1] == ["57.131086,-2.122482"]  # LS23 unmapped -> dropped
     assert got[2] == []
+    import pytest
+
+    with pytest.raises(ValueError, match="id_cols"):
+        textstats.postcode_locations(textstats.postcode_extract(docs, "txt"), gaz)

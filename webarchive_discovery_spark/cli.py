@@ -64,6 +64,15 @@ def cmd_index(args) -> int:
     from .sources.warc import read_binary_files, warc_records
 
     spark = _get_spark(args, "wds-index")
+    if args.datasets and not args.links:
+        # the reference's dataset job always runs the analysers that feed
+        # hostLinks; without this the dataset would be silently empty
+        args.links = True
+    if args.images and args.max_payload < (1 << 20):
+        # image payloads truncated at the text bound would silently fail to
+        # decode; match the reference's 1 MB image-analysis size cap
+        # (reference.conf:46-55)
+        args.max_payload = 1 << 20
     records = warc_records(read_binary_files(spark, args.input),
                            max_payload=args.max_payload,
                            keep_binary=args.images)

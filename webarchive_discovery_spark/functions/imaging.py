@@ -37,6 +37,7 @@ except Exception:  # pragma: no cover - sandbox has no Pillow
 
 __all__ = [
     "encode_image",
+    "encode_fake_lossy",
     "decode_image",
     "image_dims",
     "average_hash",
@@ -188,6 +189,15 @@ def encode_image(rgb: np.ndarray, fmt: str) -> bytes:
             return buf.getvalue()
         return _encode_fake_jpeg(rgb)
     raise NotImplementedError(f"unsupported image format: {fmt}")
+
+
+def encode_fake_lossy(rgb: np.ndarray) -> bytes:
+    """The deterministic fake lossy codec UNCONDITIONALLY (even when Pillow
+    is importable) — for corpora whose expected values are derived from the
+    5-bit quantization arithmetic and must not depend on a real JPEG
+    encoder's ringing (``decode_image`` dispatches on the WDSQ signature
+    first, so these bytes round-trip identically everywhere)."""
+    return _encode_fake_jpeg(rgb)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

@@ -12,7 +12,9 @@ Field mapping rules reproduced here:
   the capture schema's column names, so the projection is mostly renames.
 - Memento fields declared as single ``String`` take the FIRST value of
   multi-valued Solr fields (``getFieldAsString``): ``access_terms``,
-  ``collection``, ``host_surt``; list fields pass through.
+  ``collection``, ``host_surt``; list fields pass through.  (The capture
+  schema keeps ``collection`` multi-valued like Solr; Memento's String
+  field takes its first value.)
 - ``crawl_date`` / ``last_modified`` / ``publication_date`` serialize as
   ISO-8601 strings (Solr date format), ``wayback_date`` as a long.
 - ``content_fuzzy_hash`` reformats the per-blocksize ssdeep fields as
@@ -37,7 +39,7 @@ _FIELDS = [
     ("id", "id"),
     ("first:access_terms", "access_terms"),
     ("first:author", "author"),
-    ("collection", "collection"),
+    ("first:collection", "collection"),
     ("collections", "collections"),
     ("description", "description"),
     ("keywords", "keywords"),

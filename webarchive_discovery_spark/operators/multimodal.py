@@ -168,7 +168,12 @@ def analyse_images(
                 )
                 for c in keep:
                     rec[c] = getattr(r, c)
-                data = bytes(getattr(r, bytes_col))
+                raw = getattr(r, bytes_col)
+                if raw is None:
+                    rec["decode_error"] = "null payload"
+                    rows.append(rec)
+                    continue
+                data = bytes(raw)
                 if len(data) > max_size_bytes:
                     rec["decode_error"] = "skipped: payload over size gate"
                     rows.append(rec)
@@ -238,16 +243,9 @@ def sample_frames(
     return df.select(*keep, bytes_col).mapInPandas(run, schema)
 
 
-_IMAGE_STRUCT = StructType(
-    [
-        StructField("image_width", LongType()),
-        StructField("image_height", LongType()),
-        StructField("image_size", LongType()),
-        StructField("image_dominant_colour", StringType()),
-        StructField("image_faces", ArrayType(StringType())),
-        StructField("image_faces_count", IntegerType()),
-    ]
-)
+# the struct variant is the analysis schema minus the per-row decode_error
+# (derived, not duplicated — the two paths must never desynchronize)
+_IMAGE_STRUCT = StructType(IMAGE_ANALYSIS_SCHEMA[:-1])
 
 _MIME_FMT = {
     "image/png": "png",

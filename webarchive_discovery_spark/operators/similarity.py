@@ -348,7 +348,9 @@ def ivf_train(
     cents = ivf_centroids(dim, n_lists, seed)
     if sample_fraction is not None:
         embeddings = embeddings.sample(fraction=sample_fraction, seed=seed)
-    vecs = embeddings.select(_as_double(F.col(vec_col)).alias("vec"))
+    # persist: every Lloyd iteration re-scans vecs; without this the source
+    # scan + sample + cast re-execute once per iteration
+    vecs = embeddings.select(_as_double(F.col(vec_col)).alias("vec")).persist()
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cents)
 
@@ -374,6 +376,8 @@ def ivf_train(
             if n > 0:
                 new[lid] = v / n
         cents = new
+        bc.unpersist()  # executors drop the superseded centroid copy
+    vecs.unpersist()
     return cents
 
 

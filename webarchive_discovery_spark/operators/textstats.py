@@ -282,9 +282,15 @@ def postcode_locations(
     joining each extracted district against the broadcast gazetteer —
     ``PostcodeAnalyser.java:78-81``.  Districts without a gazetteer entry
     contribute nothing (the reference's null check).  One broadcast hash
-    join; rows with no districts skip the join via the explode_outer+regroup
-    being keyed on the original row id."""
-    keys = id_cols or [c for c in df.columns if c != district_col]
+    join, regrouped on ``id_cols`` — a REQUIRED unique, non-null row key
+    (grouping on every column would both collide with a pre-existing
+    ``locations`` column and silently drop rows with nulls in the
+    null-unsafe regroup join)."""
+    if not id_cols:
+        raise ValueError("postcode_locations needs id_cols: a unique non-null row key")
+    keys = list(id_cols)
+    if "locations" in df.columns:
+        df = df.drop("locations")
     exploded = df.select(*keys, F.explode_outer(F.col(district_col)).alias("_pcd"))
     joined = exploded.join(
         F.broadcast(gazetteer), exploded["_pcd"] == gazetteer["outcode"], "left"

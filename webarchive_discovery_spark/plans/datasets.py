@@ -107,6 +107,13 @@ def dataset_rows(
                 F.concat(F.col(host_col), F.lit("\t"), F.col("linked")).alias("value"),
             )
         )
+    if not parts:
+        unknown = sorted(set(datasets) - set(DATASETS))
+        raise ValueError(
+            f"no known dataset selected from {datasets!r}"
+            + (f" (unknown: {unknown}; note 'geo' is registered but never "
+               "emitted by the reference mapper)" if unknown else "")
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

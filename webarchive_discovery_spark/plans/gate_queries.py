@@ -1715,7 +1715,7 @@ def _synth_images(spark, sf_dir):
         BinaryType, LongType, StringType, StructField, StructType,
     )
 
-    from ..functions.imaging import encode_image
+    from ..functions.imaging import encode_fake_lossy, encode_image
 
     schema = StructType([
         StructField("doc_id", LongType()),
@@ -1736,8 +1736,13 @@ def _synth_images(spark, sf_dir):
                     x = 10 + 14 * i
                     img[10:18, x:x + 8] = (224, 160, 128)
                 fmt = fmts[doc_id % 3]
-                rows.append({"doc_id": doc_id, "bytes": encode_image(img, fmt),
-                             "fmt": fmt})
+                # jpeg rows use the fake codec UNCONDITIONALLY: the oracle's
+                # expected names/bboxes are derived from its 5-bit
+                # quantization, and a real Pillow JPEG encoder's ringing
+                # would shift skin-mask boundaries on other environments
+                enc = (encode_fake_lossy(img) if fmt == "jpeg"
+                       else encode_image(img, fmt))
+                rows.append({"doc_id": doc_id, "bytes": enc, "fmt": fmt})
             yield pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
 
     return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(build, schema)

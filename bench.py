@@ -44,6 +44,8 @@ HEADLINE = [
     "url_type_counts",
     "annotations_apply",
     "sentiment_buckets",
+    "robots_parse",
+    "recrawl_schedule",
     "frontier_canonicalize",
     "url_seen_antijoin",
     "frontier_fetch_order",

@@ -400,3 +400,63 @@ def test_postcode_locations_gazetteer_join(spark):
 
     with pytest.raises(ValueError, match="id_cols"):
         textstats.postcode_locations(textstats.postcode_extract(docs, "txt"), gaz)
+
+
+def test_parse_robots_txt(spark):
+    """Robots payloads → politeness rules: UA-section tracking (grouped UA
+    lines, other agents ignored), comment stripping, empty-Disallow
+    allow-all, fractional Crawl-delay seconds → ms."""
+    from webarchive_discovery_spark.operators.frontier import parse_robots_txt
+
+    txt_a = (
+        "# banner comment\n"
+        "User-agent: otherbot\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-agent: googlebot\n"
+        "User-agent: *\n"          # grouped UA lines share the section
+        "Disallow: /p/  # trailing comment\n"
+        "Allow: /p/open\n"
+        "Crawl-delay: 0.3\n"
+    )
+    txt_b = "User-agent: *\nDisallow:\n"  # empty Disallow = allow all
+    df = spark.createDataFrame(
+        [("a.org", txt_a, "robots.txt"), ("b.org", txt_b, "robots.txt"),
+         ("c.org", "<html>404 page</html>", "normal")],
+        "host string, payload string, url_type string",
+    )
+    rows = {(r.host, r.rule_type, r.path_prefix, r.crawl_delay_ms)
+            for r in parse_robots_txt(df).collect()}
+    assert rows == {
+        ("a.org", "deny", "/p/", 300),
+        ("a.org", "allow", "/p/open", 300),
+    }
+
+
+def test_recrawl_schedule_aimd(spark):
+    """Adaptive revisit intervals: first fetch counts as changed; interval
+    doubles per consecutive unchanged fetch, capped; due at last+interval."""
+    from webarchive_discovery_spark.operators.frontier import recrawl_schedule
+
+    rows = [
+        # u1: changes every fetch -> streak 0, interval 1, due at epoch 4
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
+        # u2: static since epoch 0 -> streak 2, interval 4, due at 0+... last=2 -> 2+4=6 > 4 => not due
+        (2, 0, "x"), (2, 1, "x"), (2, 2, "x"),
+        # u3: changed at 1, unchanged at 2 -> streak 1, interval 2, last=2 -> due at 4
+        (3, 0, "p"), (3, 1, "q"), (3, 2, "q"),
+        # u4: single old fetch -> streak 0, interval 1, due
+        (4, 0, "z"),
+    ]
+    df = spark.createDataFrame(rows, "url_hash long, epoch int, digest string")
+    got = {r.key: r for r in recrawl_schedule(df, current_epoch=4).collect()}
+    assert (got[1].streak, got[1].interval, got[1].due) == (0, 1, True)
+    assert (got[1].n_fetches, got[1].n_changes) == (3, 3)
+    assert (got[2].streak, got[2].interval, got[2].due) == (2, 4, False)
+    assert (got[3].streak, got[3].interval, got[3].due) == (1, 2, True)
+    assert (got[4].streak, got[4].interval, got[4].due) == (0, 1, True)
+    # cap: 6 unchanged fetches would give 2^6=64 -> capped at max_interval
+    long_static = [(9, e, "s") for e in range(8)]
+    df2 = spark.createDataFrame(long_static, "url_hash long, epoch int, digest string")
+    r = recrawl_schedule(df2, current_epoch=100, max_interval=16).collect()[0]
+    assert (r.streak, r.interval, r.due) == (7, 16, True)

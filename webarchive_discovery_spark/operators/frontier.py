@@ -38,6 +38,8 @@ __all__ = [
     "fetch_order",
     "global_sequence",
     "salted_repartition",
+    "parse_robots_txt",
+    "recrawl_schedule",
     "release_staging",
     "staging_mark",
 ]
@@ -330,4 +332,153 @@ def fetch_order(
         banded,
         [F.col("priority_band").desc(), F.col("host_slot").asc(), F.col(key_col).asc()],
         num_partitions=num_partitions,
+    )
+
+
+def parse_robots_txt(
+    captures: DataFrame,
+    host_col: str = "host",
+    payload_col: str = "payload",
+    url_type_col: str = "url_type",
+    user_agent: str = "*",
+    default_delay_ms: int = 250,
+) -> DataFrame:
+    """Parse ``robots.txt`` captures into the politeness rules table
+    ``(host, rule_type, path_prefix, crawl_delay_ms)`` consumed by
+    :func:`robots_match` — closing the crawl loop: fetched robots payloads
+    feed the next epoch's allow/deny evaluation.  (The reference spots
+    robots.txt captures by path, ``WARCIndexer.java:603-606``, and its
+    Heritrix deployment consumes them crawler-side; the -9998 robots-denied
+    accounting is ``HostsReportMapper.java:49-51``.)
+
+    Pure codegen + one window: lines are exploded with their position, each
+    line's governing ``User-agent`` section is the last section header at or
+    before it (a running ``last(...) ignore nulls`` window per host), and
+    only sections for ``user_agent`` (plus per-host ``Crawl-delay``) survive.
+    Groups listing several user-agents directly above a rule block are
+    honored (consecutive UA lines extend one section).  Empty Disallow
+    (allow-all) yields no deny row, per the robots.txt RFC.  Deterministic:
+    output depends only on (host, line order)."""
+    robots = captures.filter(F.col(url_type_col) == "robots.txt").select(
+        F.col(host_col).alias("host"), F.col(payload_col).alias("_txt")
+    )
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("_txt"), "\r?\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace(F.col("line"), "#.*$", "")).alias("line"),
+    )
+    key = F.lower(F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1))
+    val = F.trim(F.regexp_extract(F.col("line"), r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    parsed = lines.select(
+        "host", "pos", key.alias("key"), val.alias("val")
+    ).filter(F.col("key") != "")
+    w = (
+        Window.partitionBy("host")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # section id: consecutive User-agent lines share one section (a UA line
+    # directly after another UA line does not start a new section)
+    prev_ua = F.lag("key", 1, "").over(Window.partitionBy("host").orderBy("pos"))
+    section_start = ((F.col("key") == "user-agent") & (prev_ua != "user-agent")).cast("int")
+    parsed = parsed.withColumn("section", F.sum(section_start).over(w))
+    # does this section name our agent?
+    agents = parsed.filter(F.col("key") == "user-agent").groupBy(
+        "host", "section"
+    ).agg(
+        F.max((F.lower(F.col("val")) == user_agent.lower()).cast("int")).alias("_ours")
+    )
+    rules = (
+        parsed.filter(F.col("key").isin("allow", "disallow", "crawl-delay"))
+        .join(agents, ["host", "section"], "left")
+        .filter(F.col("_ours") == 1)
+    )
+    delay = (
+        rules.filter(F.col("key") == "crawl-delay")
+        .groupBy("host")
+        .agg(
+            # seconds → ms; first parseable value wins (min pos ~ first)
+            F.min(
+                (F.regexp_extract(F.col("val"), r"^(\d+(\.\d+)?)", 1).cast("double")
+                 * 1000).cast("int")
+            ).alias("_delay")
+        )
+    )
+    out = (
+        rules.filter(F.col("key").isin("allow", "disallow") & (F.col("val") != ""))
+        .select(
+            "host",
+            F.when(F.col("key") == "allow", "allow").otherwise("deny").alias("rule_type"),
+            F.col("val").alias("path_prefix"),
+        )
+        .distinct()
+        .join(delay, "host", "left")
+        .select(
+            "host", "rule_type", "path_prefix",
+            F.coalesce(F.col("_delay"), F.lit(default_delay_ms)).alias("crawl_delay_ms"),
+        )
+    )
+    return out
+
+
+def recrawl_schedule(
+    fetch_log: DataFrame,
+    current_epoch: int,
+    key_col: str = "url_hash",
+    epoch_col: str = "epoch",
+    digest_col: str = "digest",
+    min_interval: int = 1,
+    max_interval: int = 16,
+) -> DataFrame:
+    """Adaptive revisit scheduling from fetch history — the reason the
+    reference builds its persist-log at all (``PersistLogMapper.java:99-143``
+    keys SURT → fetch-history {digest, etag, last-modified, fetch time} for
+    Heritrix's recrawl decisions).
+
+    Content-change-driven backoff (the classic uniform-AIMD revisit policy):
+    per URL, a fetch "changed" when its payload digest differs from the
+    previous fetch (the first fetch counts as changed); the revisit interval
+    doubles per consecutive unchanged fetch, ``interval = min(max_interval,
+    2^streak)`` epochs, where ``streak`` = fetches since the last change.
+    Fast-changing pages stay at ``min_interval``; static pages back off
+    exponentially to the cap.  Returns one row per URL:
+    ``(key, last_epoch, n_fetches, n_changes, streak, interval, due)`` with
+    ``due`` = should be refetched at ``current_epoch``.
+
+    Plan: one lag window + one hash aggregate, both keyed on the URL — at
+    crawl scale this is a single shuffle over the seen-set, and the
+    ``due`` filter prunes the recrawl frontier before it ever joins the
+    discovery frontier."""
+    w = Window.partitionBy(key_col).orderBy(epoch_col)
+    flagged = fetch_log.withColumn(
+        "_changed",
+        F.coalesce(
+            F.lag(digest_col).over(w) != F.col(digest_col), F.lit(True)
+        ).cast("int"),
+    ).withColumn("_rn", F.row_number().over(w))
+    # streak = fetches after the last change = n_fetches - rank(last change);
+    # ONE window + ONE hash aggregate, both keyed on the URL
+    agg = flagged.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(epoch_col).alias("last_epoch"),
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum("_changed").alias("n_changes"),
+        F.max(F.when(F.col("_changed") == 1, F.col("_rn"))).alias("_last_change_rn"),
+    )
+    streak = (F.col("n_fetches") - F.col("_last_change_rn")).cast("int")
+    interval = F.least(
+        F.lit(max_interval),
+        F.greatest(F.lit(min_interval), F.pow(F.lit(2.0), streak).cast("int")),
+    )
+    return agg.select(
+        "key",
+        F.col("last_epoch").cast("int").alias("last_epoch"),
+        F.col("n_fetches").cast("int").alias("n_fetches"),
+        F.col("n_changes").cast("int").alias("n_changes"),
+        streak.alias("streak"),
+        interval.alias("interval"),
+        ((F.col("last_epoch") + interval) <= F.lit(current_epoch)).alias("due"),
     )

@@ -1944,3 +1944,122 @@ def ann_ivf_cosine_topk(spark, sf_dir):
     return similarity.ivf_cosine_topk(
         emb, queries, dim=64, k=5, n_lists=8, n_probe=2
     ).select("query_id", "rank", "neighbor_id")
+
+
+# ===========================================================================
+# robots.txt parsing (crawl-loop closure: fetched payloads → politeness rules)
+# ===========================================================================
+
+@q(
+    "robots_parse",
+    """
+    WITH hosts AS (
+      SELECT DISTINCT user_id % 20 AS hn FROM events
+    ),
+    expected AS (
+      SELECT 'h' || CAST(hn AS VARCHAR) || '.example.org' AS host,
+             'deny' AS rule_type, '/p/' AS path_prefix,
+             CAST(100 * (hn % 4 + 1) AS INT) AS crawl_delay_ms
+      FROM hosts WHERE hn % 5 = 0
+      UNION ALL
+      SELECT 'h' || CAST(hn AS VARCHAR) || '.example.org', 'deny', '/p/1',
+             CAST(100 * (hn % 4 + 1) AS INT)
+      FROM hosts WHERE hn % 5 <> 0 AND hn % 3 = 0
+      UNION ALL
+      SELECT 'h' || CAST(hn AS VARCHAR) || '.example.org', 'allow', '/',
+             CAST(100 * (hn % 4 + 1) AS INT)
+      FROM hosts WHERE hn % 5 <> 0
+    )
+    SELECT * FROM expected
+    """,
+)
+def robots_parse(spark, sf_dir):
+    """Synthesize one robots.txt capture per derived host (with a decoy
+    section for another agent, grouped User-agent lines, comments, and a
+    fractional Crawl-delay) and run the REAL parser; the oracle reconstructs
+    the expected rules table arithmetically — the same shape
+    ``_robots_rules_df`` feeds ``robots_match``, closing the crawl loop."""
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select((F.col("user_id") % 20).cast("long").alias("hn")).distinct()
+    hn = F.col("hn")
+    delay_s = F.concat(F.lit("0."), (hn % 4 + 1).cast("string"))
+    body = F.when(
+        hn % 5 == 0, F.lit("Disallow: /p/\n")
+    ).when(
+        hn % 3 == 0, F.lit("Disallow: /p/1\nAllow: /\n")
+    ).otherwise(F.lit("Allow: /\n"))
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: otherbot\nDisallow: /secret\n\n"),
+        F.lit("User-agent: googlebot\nUser-agent: *\n"),
+        body,
+        F.lit("Crawl-delay: "), delay_s, F.lit("\n"),
+    )
+    caps = hosts.select(
+        F.concat(F.lit("h"), hn.cast("string"), F.lit(".example.org")).alias("host"),
+        txt.alias("payload"),
+        F.lit("robots.txt").alias("url_type"),
+    )
+    return frontier.parse_robots_txt(caps)
+
+
+# ===========================================================================
+# Adaptive recrawl scheduling (persist-log fetch-history consumer)
+# ===========================================================================
+
+@q(
+    "recrawl_schedule",
+    """
+    WITH log AS (
+      SELECT event_id % 400 AS url_hash,
+             CAST(event_id // 400 AS INT) % 6 AS epoch,
+             -- digest changes when (epoch // period) rolls over; period
+             -- varies per URL so streaks differ
+             md5(CAST(event_id % 400 AS VARCHAR) || ':' ||
+                 CAST((CAST(event_id // 400 AS INT) % 6) // (event_id % 3 + 1) AS VARCHAR)
+             ) AS digest
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY event_id % 400,
+                                 CAST(event_id // 400 AS INT) % 6 ORDER BY event_id) = 1
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN lag(digest) OVER w IS DISTINCT FROM digest THEN 1 ELSE 0 END AS changed,
+             row_number() OVER w AS rn
+      FROM log WINDOW w AS (PARTITION BY url_hash ORDER BY epoch)
+    ), agg AS (
+      SELECT url_hash AS key,
+             CAST(max(epoch) AS INT) AS last_epoch,
+             CAST(count(*) AS INT) AS n_fetches,
+             CAST(sum(changed) AS INT) AS n_changes,
+             CAST(count(*) - max(CASE WHEN changed = 1 THEN rn END) AS INT) AS streak
+      FROM flagged GROUP BY url_hash
+    )
+    SELECT key, last_epoch, n_fetches, n_changes, streak,
+           CAST(least(16, greatest(1, CAST(pow(2.0, streak) AS INT))) AS INT) AS interval,
+           (last_epoch + least(16, greatest(1, CAST(pow(2.0, streak) AS INT)))) <= 8 AS due
+    FROM agg
+    """,
+)
+def recrawl_schedule(spark, sf_dir):
+    """Fetch-history-driven adaptive revisit (the persist-log's consumer,
+    ``PersistLogMapper.java:99-143``): derive a multi-epoch fetch log from
+    events (per-URL digest change period varies), run the real scheduler,
+    and have the oracle recompute the identical lag-window + streak + AIMD
+    interval arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    url = (F.col("event_id") % 400).alias("url_hash")
+    epoch = (F.floor(F.col("event_id") / 400) % 6).cast("int").alias("epoch")
+    period = (F.col("event_id") % 3 + 1)
+    digest = F.md5(
+        F.concat(
+            (F.col("event_id") % 400).cast("string"), F.lit(":"),
+            F.floor((F.floor(F.col("event_id") / 400) % 6) / period).cast("int").cast("string"),
+        )
+    ).alias("digest")
+    log = ev.select(url, epoch, digest, "event_id")
+    w = Window.partitionBy("url_hash", "epoch").orderBy("event_id")
+    log = (
+        log.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "event_id")
+    )
+    return frontier.recrawl_schedule(log, current_epoch=8)

@@ -206,3 +206,30 @@ def test_seen_checkpoint_is_merge_on_read(spark, world, tmp_path):
     assert merged.count() == total
     assert ({r["url_hash"] for r in merged.select("url_hash").collect()}
             == {r["url_hash"] for r in result["seen"].select("url_hash").collect()})
+
+
+def test_adaptive_recrawl_backoff(spark, world):
+    """adaptive_recrawl: static content (the synthetic world never changes)
+    must back off exponentially — refetch gaps follow interval = 2^streak,
+    so consecutive gaps at least double; history survives membership
+    removal (a refetch compares against the PREVIOUS digest, so the
+    interval keeps growing instead of resetting)."""
+    records, seeds, links, robots = world
+    cfg = CrawlConfig(
+        epochs=5, host_budget=50, bloom_capacity=100_000, bloom_fpr=1e-4,
+        bloom_shards=8, num_partitions=4, adaptive_recrawl=True,
+    )
+    log = run_crawl(spark, records, seeds, links, robots, cfg)["crawl_log"]
+    per_url = (
+        log.filter("status = 'fetched'")
+        .groupBy("url_norm")
+        .agg(F.collect_list("epoch").alias("eps"))
+        .collect()
+    )
+    refetched = [sorted(r["eps"]) for r in per_url if len(r["eps"]) > 1]
+    assert refetched, "due URLs must be refetched when rediscovered"
+    for eps in refetched:
+        gaps = [b - a for a, b in zip(eps, eps[1:])]
+        # unchanged content: i-th gap >= 2^(i-1) (late rediscovery only widens)
+        for i, g in enumerate(gaps):
+            assert g >= min(16, 2 ** i), f"{eps}: gap {g} too small at {i}"

@@ -196,6 +196,7 @@ def cmd_crawl(args) -> int:
         use_bloom=not args.no_bloom,
         bloom_capacity=args.bloom_capacity,
         recrawl_epochs=args.recrawl_epochs,
+        adaptive_recrawl=args.adaptive_recrawl,
         epoch_duration_ms=args.epoch_duration_ms,
     )
     result = run_crawl(spark, records, seeds, link_graph, robots, cfg,
@@ -264,6 +265,9 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--host-budget", type=int, default=100)
     cr.add_argument("--checkpoint-dir", default=None)
     cr.add_argument("--resume", action="store_true")
+    cr.add_argument("--adaptive-recrawl", action="store_true",
+                    help="digest-change AIMD revisit scheduling (ignored "
+                         "when --recrawl-epochs is set)")
     cr.add_argument("--recrawl-epochs", type=int, default=None,
                     help="seen-set entries expire after this many epochs")
     cr.add_argument("--epoch-duration-ms", type=int, default=None,

@@ -54,6 +54,14 @@ class CrawlConfig:
     # entries expire after this many epochs (None = never): expired URLs are
     # dropped from the seen-set and refetched — recrawl semantics
     recrawl_epochs: int | None = None
+    # adaptive recrawl (ignored when recrawl_epochs is set): membership is
+    # derived from the full fetch HISTORY via digest-change AIMD scheduling
+    # (operators.frontier.recrawl_schedule) — a URL leaves the seen-set
+    # exactly when its revisit interval has elapsed, so fast-changing pages
+    # refetch every min interval and static pages back off exponentially
+    adaptive_recrawl: bool = False
+    recrawl_min_interval: int = 1
+    recrawl_max_interval: int = 16
     # simulated epoch wall-clock: per-host budget becomes
     # min(host_budget, floor(epoch_duration_ms / crawl_delay_ms)) — the
     # robots crawl-delay actually throttles hosts (None = host_budget only)
@@ -265,6 +273,26 @@ def _epoch_plan(
     return crawl_log, fetch_log.filter(F.col("status") == "fetched")
 
 
+def _membership(history: DataFrame, epoch: int, cfg: CrawlConfig) -> DataFrame:
+    """Derive the URL-seen MEMBERSHIP set for epoch ``epoch+1`` from the
+    append-only fetch history (one row per fetch).  Three policies: fixed
+    window (recrawl_epochs), adaptive AIMD (due URLs leave membership but
+    their history is preserved — the next fetch's digest still compares
+    against the previous one), or never-expire."""
+    if cfg.recrawl_epochs is not None:
+        return history.filter(F.col("first_epoch") > epoch - cfg.recrawl_epochs)
+    if cfg.adaptive_recrawl:
+        sched = fop.recrawl_schedule(
+            history.select("url_hash", F.col("first_epoch").alias("epoch"), "digest"),
+            current_epoch=epoch + 1,
+            min_interval=cfg.recrawl_min_interval,
+            max_interval=cfg.recrawl_max_interval,
+        )
+        due = sched.filter(F.col("due")).select(F.col("key").alias("url_hash"))
+        return history.join(due, "url_hash", "left_anti")
+    return history
+
+
 def run_crawl(
     spark: SparkSession,
     records: DataFrame,
@@ -295,14 +323,15 @@ def run_crawl(
             # snapshots; the recrawl window prunes whole delta dirs (every
             # delta row shares that epoch's first_epoch), so expiry costs
             # nothing at write time
-            seen = store.read_merged(spark, state["epoch"], "seen_delta",
-                                     window=cfg.recrawl_epochs)
+            history = store.read_merged(spark, state["epoch"], "seen_delta",
+                                        window=cfg.recrawl_epochs)
+            seen = _membership(history, state["epoch"], cfg)
             frontier_df = store.read(spark, state["epoch"], "frontier")
         else:
-            seen = spark.createDataFrame([], seen_schema)
+            history = seen = spark.createDataFrame([], seen_schema)
             frontier_df = seeds
     else:
-        seen = spark.createDataFrame([], seen_schema)
+        history = seen = spark.createDataFrame([], seen_schema)
         frontier_df = seeds
 
     logs = []
@@ -342,17 +371,13 @@ def run_crawl(
         delta = crawl_log.filter(F.col("status") == "fetched").select(
             "url_hash", "url_norm", F.lit(epoch).alias("first_epoch"), "digest"
         )
-        seen = seen.unionByName(delta)
-        # recrawl expiry: entries older than the interval leave the seen-set,
-        # so their URLs become fetchable again next epoch (the deletion the
-        # counting-Bloom tier models; exact side is authoritative — the Bloom
-        # is rebuilt from the filtered seen-set at the top of each epoch, so
-        # the two tiers can never disagree)
-        if cfg.recrawl_epochs is not None:
-            seen = seen.filter(
-                F.col("first_epoch") > epoch - cfg.recrawl_epochs
-            )
-        seen = seen.localCheckpoint()
+        # recrawl expiry / adaptive scheduling: history is append-only;
+        # MEMBERSHIP (what dedups next epoch) is derived from it (the
+        # deletion the counting-Bloom tier models; exact side is
+        # authoritative — the Bloom is rebuilt from the membership set at
+        # the top of each epoch, so the two tiers can never disagree)
+        history = history.unionByName(delta).localCheckpoint()
+        seen = _membership(history, epoch, cfg)
 
         # next frontier: outlinks of fetched pages (+1 hop) ∪ delayed carry-over
         fetched_urls = crawl_log.filter(F.col("status") == "fetched").select(
@@ -377,8 +402,9 @@ def run_crawl(
                 "frontier": frontier_df,
             }, extra={"metrics": metrics[-1]})
             # re-read from the snapshot so lineage stays short across epochs
-            seen = store.read_merged(spark, epoch, "seen_delta",
-                                     window=cfg.recrawl_epochs)
+            history = store.read_merged(spark, epoch, "seen_delta",
+                                        window=cfg.recrawl_epochs)
+            seen = _membership(history, epoch, cfg)
             frontier_df = store.read(spark, epoch, "frontier")
             crawl_log = store.read(spark, epoch, "crawl_log")
         logs.append(crawl_log)

@@ -460,3 +460,30 @@ def test_recrawl_schedule_aimd(spark):
     df2 = spark.createDataFrame(long_static, "url_hash long, epoch int, digest string")
     r = recrawl_schedule(df2, current_epoch=100, max_interval=16).collect()[0]
     assert (r.streak, r.interval, r.due) == (7, 16, True)
+
+
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """Band-index candidates must find EXACTLY the brute-force Hamming
+    pairs when max_hamming < bands (pigeonhole soundness)."""
+    import itertools
+
+    import pytest
+
+    from webarchive_discovery_spark.operators.dedup import simhash_near_dup_pairs
+
+    hashes = [0b0000_0000_0000_0000, 0b0000_0000_0000_0101,  # d=2
+              0b1111_0000_0000_0000,                          # d=4 from 0
+              0b0000_0000_0000_0111]                          # d=3 from 0, d=1 from idx1
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, simhash long"
+    )
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_near_dup_pairs(df, max_hamming=3).collect()}
+    expect = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin(a ^ b).count("1")
+        if d <= 3:
+            expect.add((i, j, d))
+    assert got == expect and len(got) > 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(df, max_hamming=4, bands=4)

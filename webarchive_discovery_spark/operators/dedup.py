@@ -33,6 +33,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash16",
+    "simhash_near_dup_pairs",
     "connected_components",
 ]
 
@@ -334,3 +335,64 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def simhash_near_dup_pairs(
+    simhashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via the pigeonhole
+    multi-index: split the ``bits``-bit hash into ``bands`` equal bands —
+    any pair within Hamming distance ``< bands`` must agree EXACTLY on at
+    least one band (pigeonhole), so candidates are generated by ``bands``
+    band-equality self-joins (one explode + one shuffle on (band_id,
+    band_value)) and verified with an exact popcount.  Exact (no recall
+    loss) whenever ``max_hamming < bands``; a larger ``max_hamming`` needs
+    more bands — asserted.  Returns ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b``, each pair once.
+
+    At scale this is the standard SimHash dedup shape (the permuted-table
+    variant trades storage for fewer false candidates; band buckets on
+    64-bit hashes stay small for non-degenerate corpora)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole soundness needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    h = F.col(hash_col)
+    banded = simhashes.select(
+        F.col(id_col).alias("doc"),
+        h.alias("h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(h, b * band_bits).bitwiseAND(F.lit(mask)).alias("band_value"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select("doc", "h", F.col("band.band_id").alias("band_id"),
+             F.col("band.band_value").alias("band_value"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .filter(hamming <= max_hamming)
+        # a pair colliding in several bands must appear once
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.first(hamming).alias("hamming"))
+    )

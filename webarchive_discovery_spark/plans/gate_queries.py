@@ -2063,3 +2063,47 @@ def recrawl_schedule(spark, sf_dir):
         .drop("_rk", "event_id")
     )
     return frontier.recrawl_schedule(log, current_epoch=8)
+
+
+# ===========================================================================
+# SimHash near-dup pairs (pigeonhole multi-index)
+# ===========================================================================
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """Pairs oracle on top of the simhash oracle CTE: band the 16-bit hash
+    into 4 nibbles, candidate on band equality, verify exact popcount."""
+    base = _simhash_oracle_sql().strip()
+    band_exprs = ", ".join(
+        f"(h // {1 << (b * 4)}) % 16" for b in range(bands)
+    )
+    return f"""
+    WITH sim AS ({base}),
+    banded AS (
+      SELECT doc_id AS doc, simhash AS h,
+             unnest([{band_exprs}]) AS band_value,
+             unnest(generate_series(0, {bands - 1})) AS band_id
+      FROM sim
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+             bit_count(xor(a.h, b.h)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_value = b.band_value
+       AND a.doc < b.doc
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+@q("dedup_simhash_pairs", _simhash_pairs_oracle_sql())
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash fingerprints → near-dup pairs within Hamming ≤ 3 via the
+    pigeonhole band index (exact: distance < bands guarantees a shared
+    band).  Oracle recomputes fingerprints AND the band join in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = dedup.simhash16(docs, "text", "doc_id")
+    pairs = dedup.simhash_near_dup_pairs(
+        hashes, max_hamming=3, id_col="doc_id", hash_col="simhash"
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))

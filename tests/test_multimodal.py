@@ -170,3 +170,46 @@ def test_analyse_images_deterministic_sampling(spark):
     assert 0 < len(a) < 200
     with pytest.raises(ValueError):
         analyse_images(df, sample_rate=0.0)
+
+
+def test_phash_near_dup_pairs_64bit(spark):
+    """The SimHash pair-finder generalizes to the record store's 64-bit
+    image phash column (BASELINE input_hint): a resize keeps the average-
+    hash close, so near-dup variants pair up within a small Hamming
+    radius while distinct images don't."""
+    from webarchive_discovery_spark.functions.imaging import (
+        average_hash, resize_nearest,
+    )
+    from webarchive_discovery_spark.operators.dedup import simhash_near_dup_pairs
+
+    def mk(i):
+        # structured images (gradients/checker/diagonal): average-hash is a
+        # PERCEPTUAL hash — it survives resize only when the image has
+        # structure (pure noise has none)
+        y, x = np.mgrid[0:32, 0:40]
+        if i == 0:
+            g = (x * 6).astype(np.uint8)
+        elif i == 1:
+            g = (y * 8).astype(np.uint8)
+        elif i == 2:
+            g = (((x // 8 + y // 8) % 2) * 255).astype(np.uint8)
+        else:
+            g = ((x + y) * 4 % 256).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+
+    imgs = {}
+    for i in range(4):
+        base = mk(i)
+        imgs[i * 2] = base                                   # original
+        imgs[i * 2 + 1] = resize_nearest(base, 20, 16)       # near-dup variant
+    df = spark.createDataFrame(
+        [(k, average_hash(v)) for k, v in imgs.items()], "img_id long, phash long"
+    )
+    pairs = simhash_near_dup_pairs(
+        df, max_hamming=7, id_col="img_id", hash_col="phash", bits=64, bands=8
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # every original/variant pair found; no cross-image pair sneaks in
+    assert {(2 * i, 2 * i + 1) for i in range(4)} <= got
+    for a, b in got:
+        assert a // 2 == b // 2, f"false pair across images: {(a, b)}"

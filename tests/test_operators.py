@@ -487,3 +487,20 @@ def test_simhash_pairs_pigeonhole_exact(spark):
     assert got == expect and len(got) > 0
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup_pairs(df, max_hamming=4, bands=4)
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Per-rule audit flags + conjunction; bullet/ellipsis line rules."""
+    from webarchive_discovery_spark.operators.textstats import gopher_quality_filter
+
+    good = ("the quick brown fox jumps over to rest near of water and then " +
+            "plain steady filler words flow gently onward here now " * 6)
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    ellipsis = "\n".join(f"the line of text number {i} trails off..." for i in range(20))
+    df = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, ellipsis)], "id int, txt string"
+    )
+    got = {r.id: r for r in gopher_quality_filter(df, "txt", min_words=10).collect()}
+    assert got[0].gopher_pass
+    assert not got[1].gq_bullet_lines and not got[1].gopher_pass
+    assert not got[2].gq_ellipsis_lines and not got[2].gopher_pass

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "lang_id",
     "quality_score",
+    "gopher_quality_filter",
     "token_stats",
     "fingerprint",
     "sentiment_bucket",
@@ -304,3 +305,69 @@ def postcode_locations(
         )
     )
     return df.join(locs, keys, "left")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    required_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gating (the published rule family from
+    the Gopher dataset paper — word-count bounds, mean-word-length window,
+    hash/ellipsis symbol ratio, bullet/ellipsis line ratios, alphabetic-word
+    ratio, required-stopword floor), expressed entirely as codegen column
+    expressions so a SQL oracle can mirror every rule.
+
+    Adds one boolean per rule plus ``gopher_pass`` (the conjunction) — keep
+    the flags rather than filtering so downstream can audit WHY a document
+    dropped (the standard training-pipeline practice)."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    mean_len = (F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+                / n_words)
+    hash_count = F.length(F.regexp_replace(text, r"[^#]", ""))
+    ellipsis_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.startswith("-") | l.startswith("*")
+                 | l.startswith("•"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = None
+    # the Gopher stopword list (public paper §A1.1)
+    for wd in ["the", "be", "to", "of", "and", "that", "have", "with"]:
+        hit = (_occurrences(padded, f" {wd} ") > 0).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.select(
+        "*",
+        (n_words >= min_words).alias("gq_min_words"),
+        (n_words <= max_words).alias("gq_max_words"),
+        ((mean_len >= min_mean_word_len)
+         & (mean_len <= max_mean_word_len)).alias("gq_mean_word_len"),
+        (((hash_count + ellipsis_count) / n_words)
+         <= max_symbol_word_ratio).alias("gq_symbol_ratio"),
+        ((ellipsis_lines.cast("double") / n_lines)
+         <= max_ellipsis_line_ratio).alias("gq_ellipsis_lines"),
+        ((bullet_lines.cast("double") / n_lines) <= 0.9).alias("gq_bullet_lines"),
+        ((alpha_words.cast("double") / n_words)
+         >= min_alpha_word_ratio).alias("gq_alpha_words"),
+        (stop_hits >= required_stopwords).alias("gq_stopwords"),
+    )
+    flags = [c for c in out.columns if c.startswith("gq_")]
+    gate = F.lit(True)
+    for c in flags:
+        gate = gate & F.col(c)
+    return out.withColumn("gopher_pass", gate)

@@ -2107,3 +2107,60 @@ def dedup_simhash_pairs(spark, sf_dir):
         hashes, max_hamming=3, id_col="doc_id", hash_col="simhash"
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ===========================================================================
+# Gopher-style quality gating (training-data pipeline)
+# ===========================================================================
+
+@q(
+    "gopher_quality",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS v FROM documents)
+    SELECT doc_id,
+           v <> 0 AS gq_min_words,
+           TRUE AS gq_max_words,
+           -- the 8-word short doc also fails the mean-word-length floor
+           -- (22 letters / 8 words = 2.75 < 3.0)
+           v <> 0 AS gq_mean_word_len,
+           v <> 1 AS gq_symbol_ratio,
+           TRUE AS gq_ellipsis_lines,
+           TRUE AS gq_bullet_lines,
+           v <> 1 AS gq_alpha_words,
+           v IN (0, 3) AS gq_stopwords,
+           v = 3 AS gopher_pass
+    FROM d
+    """,
+)
+def gopher_quality(spark, sf_dir):
+    """Four deterministic document archetypes — too-short, symbol-flood,
+    stopword-free, and clean — pushed through the REAL rule expressions;
+    the oracle states each archetype's expected per-rule verdicts.
+    (Rules from the public Gopher paper's quality heuristics.)"""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v = F.col("doc_id") % 4
+    # 60 words of clean prose with stopwords
+    clean = F.concat(
+        F.lit("the quick brown fox jumps over to rest near of water and then "),
+        F.repeat(F.lit("plain steady filler words flow gently onward here now "), 6),
+    )
+    # 8 words only (fails min_words; still has stopwords)
+    short = F.lit("the cat sat on top of the mat")
+    # symbol flood: 60 hash tokens (fails symbol + alpha ratios)
+    symbols = F.repeat(F.lit("#### "), 60)
+    # 60 alphabetic words but no Gopher stopwords
+    nostop = F.repeat(F.lit("zebra quartz lumen vivid crisp "), 12)
+    txt = (
+        F.when(v == 0, short)
+        .when(v == 1, symbols)
+        .when(v == 2, nostop)
+        .otherwise(clean)
+    )
+    out = textstats.gopher_quality_filter(
+        docs.withColumn("txt", txt), "txt"
+    )
+    return out.select(
+        "doc_id", "gq_min_words", "gq_max_words", "gq_mean_word_len",
+        "gq_symbol_ratio", "gq_ellipsis_lines", "gq_bullet_lines",
+        "gq_alpha_words", "gq_stopwords", "gopher_pass",
+    )

@@ -132,3 +132,13 @@ def test_ivf_broadcast_only_one_python_per_side(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushdown_q4_semi_join(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # every conjunct reaches the parquet scan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan and "LessThan(l_quantity" in plan
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan            # EXISTS → semi join, no payload cols
+    assert "CartesianProduct" not in plan

@@ -2164,3 +2164,71 @@ def gopher_quality(spark, sf_dir):
         "gq_symbol_ratio", "gq_ellipsis_lines", "gq_bullet_lines",
         "gq_alpha_words", "gq_stopwords", "gopher_pass",
     )
+
+
+# ===========================================================================
+# Additional relational shapes: q6 (selective filter-agg), q4 (semi-join agg)
+# ===========================================================================
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: a highly selective conjunctive filter feeding one
+    global aggregate — the pushdown/pruning stress case (every predicate
+    must reach the parquet scan; plan-asserted in test_plan_quality)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("timestamp")
+    return (
+        li.filter(
+            (sd >= F.lit("1996-01-01").cast("timestamp"))
+            & (sd < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-03-01'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join (never a
+    count-then-join — the semi join short-circuits on first match and
+    ships no lineitem payload columns)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od = F.col("o_orderdate").cast("timestamp")
+    windowed = orders.filter(
+        (od >= F.lit("1996-01-01").cast("timestamp"))
+        & (od < F.lit("1996-07-01").cast("timestamp"))
+    )
+    shipped = li.filter(
+        F.col("l_shipdate").cast("timestamp") > F.lit("1996-03-01").cast("timestamp")
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        windowed.join(shipped, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -504,3 +504,22 @@ def test_gopher_quality_filter_rules(spark):
     assert got[0].gopher_pass
     assert not got[1].gq_bullet_lines and not got[1].gopher_pass
     assert not got[2].gq_ellipsis_lines and not got[2].gopher_pass
+
+
+def test_repetition_stats(spark):
+    from webarchive_discovery_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (0, "unique one\nunique two\nunique three"),
+        (1, "same line\nsame line\nsame line\nother"),   # 2 dup lines of 4
+        (2, "spam spam spam ham"),                        # top word 3x4=12 of 15 chars
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, txt string")
+    got = {r.id: r for r in repetition_stats(df, "txt", "id").collect()}
+    assert got[0].dup_line_fraction == 0.0
+    assert abs(got[1].dup_line_fraction - 2 / 4) < 1e-9
+    # dup chars: 2 extra copies of "same line" (9 chars) over 9*3+5=32
+    assert abs(got[1].dup_line_char_fraction - 18 / 32) < 1e-9
+    assert abs(got[2].top_word_char_fraction - 12 / 15) < 1e-6
+    assert got[3].dup_line_fraction == 0.0 and got[3].top_word_char_fraction == 0.0

@@ -17,6 +17,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "gopher_quality_filter",
+    "repetition_stats",
     "token_stats",
     "fingerprint",
     "sentiment_bucket",
@@ -371,3 +372,53 @@ def gopher_quality_filter(
     for c in flags:
         gate = gate & F.col(c)
     return out.withColumn("gopher_pass", gate)
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Repetition measures from the Gopher paper's rep-removal family, as
+    oracle-mirrorable expressions:
+
+    - ``dup_line_fraction``      — 1 − distinct/total over non-empty lines
+      (array expressions, no shuffle)
+    - ``dup_line_char_fraction`` — fraction of characters sitting in lines
+      that are duplicates of an earlier identical line
+    - ``top_word_char_fraction`` — characters of the single most frequent
+      word over all word characters (one explode + two hash aggregates,
+      ties to the lexicographically smallest word for determinism)
+    """
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l)), F.lit(0), lambda s, v: s + v
+    )
+    distinct_chars = F.aggregate(
+        F.transform(F.array_distinct(lines), lambda l: F.length(l)),
+        F.lit(0), lambda s, v: s + v,
+    )
+    base = df.select(
+        F.col(id_col),
+        text.alias("_txt"),
+        F.when(n_lines > 0, (n_lines - n_distinct) / n_lines)
+        .otherwise(F.lit(0.0)).alias("dup_line_fraction"),
+        F.when(line_chars > 0, (line_chars - distinct_chars) / line_chars)
+        .otherwise(F.lit(0.0)).alias("dup_line_char_fraction"),
+    )
+    words = base.select(
+        id_col, F.explode(F.split(F.trim(F.lower(F.col("_txt"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    top = per_word.groupBy(id_col).agg(
+        # deterministic argmax: (count desc, word asc) = min of (-count, word)
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("w"))).alias("_top"),
+        F.sum(F.col("c") * F.length("w")).alias("_all_chars"),
+    ).select(
+        id_col,
+        ((-F.col("_top.nc")) * F.length(F.col("_top.w"))
+         / F.col("_all_chars")).alias("top_word_char_fraction"),
+    )
+    return base.drop("_txt").join(top, id_col, "left").withColumn(
+        "top_word_char_fraction",
+        F.coalesce(F.round(F.col("top_word_char_fraction"), 6), F.lit(0.0)),
+    )

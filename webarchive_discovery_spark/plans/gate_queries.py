@@ -2232,3 +2232,84 @@ def q4_order_priority(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+# ===========================================================================
+# Repetition removal stats (Gopher rep family)
+# ===========================================================================
+
+@q(
+    "repetition_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'alpha line ' || CAST(doc_id AS VARCHAR)
+                        || chr(10) || 'alpha line ' || CAST(doc_id AS VARCHAR)
+                        || chr(10) || 'tail ' || CAST(doc_id % 5 AS VARCHAR)
+               WHEN 1 THEN 'spam spam spam ham ' || CAST(doc_id AS VARCHAR)
+               ELSE 'w' || CAST(doc_id AS VARCHAR) || ' x y z unique parts here'
+             END AS txt
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, line FROM docs,
+             unnest(list_filter(string_split(txt, chr(10)), l -> trim(l) <> '')) AS t(line)
+    ),
+    line_stats AS (
+      SELECT doc_id,
+             count(*) AS n_lines,
+             count(DISTINCT line) AS n_distinct,
+             sum(len(line)) AS line_chars
+      FROM lines GROUP BY doc_id
+    ),
+    distinct_chars AS (
+      SELECT doc_id, sum(len(line)) AS d_chars
+      FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY doc_id
+    ),
+    words AS (
+      SELECT doc_id, w FROM docs,
+             unnest(string_split_regex(trim(lower(txt)), '\\s+')) AS t(w)
+      WHERE w <> ''
+    ),
+    per_word AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    topw AS (
+      SELECT doc_id,
+             first(c * len(w) ORDER BY c DESC, w) AS top_chars,
+             sum(c * len(w)) AS all_chars
+      FROM per_word GROUP BY doc_id
+    )
+    SELECT ls.doc_id,
+           round((ls.n_lines - ls.n_distinct) * 1.0 / ls.n_lines, 6) AS dup_line_fraction,
+           round((ls.line_chars - dc.d_chars) * 1.0 / ls.line_chars, 6) AS dup_line_char_fraction,
+           round(t.top_chars * 1.0 / t.all_chars, 6) AS top_word_char_fraction
+    FROM line_stats ls
+    JOIN distinct_chars dc USING (doc_id)
+    JOIN topw t ON t.doc_id = ls.doc_id
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Three deterministic archetypes (duplicated line, word-spam, unique)
+    through the real repetition kernels; the oracle recomputes all three
+    fractions with its own line/word decomposition — not from a formula,
+    so the operator's arithmetic is independently checked."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    txt = (
+        F.when(d % 3 == 0, F.concat(
+            F.lit("alpha line "), d.cast("string"), F.lit("\n"),
+            F.lit("alpha line "), d.cast("string"), F.lit("\n"),
+            F.lit("tail "), (d % 5).cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("spam spam spam ham "), d.cast("string")))
+        .otherwise(F.concat(F.lit("w"), d.cast("string"),
+                            F.lit(" x y z unique parts here")))
+    )
+    out = textstats.repetition_stats(docs.withColumn("txt", txt), "txt", "doc_id")
+    return out.select(
+        "doc_id",
+        F.round("dup_line_fraction", 6).alias("dup_line_fraction"),
+        F.round("dup_line_char_fraction", 6).alias("dup_line_char_fraction"),
+        F.round("top_word_char_fraction", 6).alias("top_word_char_fraction"),
+    )

@@ -523,3 +523,23 @@ def test_repetition_stats(spark):
     assert abs(got[1].dup_line_char_fraction - 18 / 32) < 1e-9
     assert abs(got[2].top_word_char_fraction - 12 / 15) < 1e-6
     assert got[3].dup_line_fraction == 0.0 and got[3].top_word_char_fraction == 0.0
+
+
+def test_c4_line_filter(spark):
+    from webarchive_discovery_spark.operators.textstats import c4_line_filter
+
+    doc = "\n".join([
+        "This line is a keeper sentence.",
+        "short one.",                           # < 3 words
+        "No terminal punctuation here",         # no ./!/?
+        "Enable javascript to continue please.",  # boilerplate
+        "function f() { return 1; }",           # braces
+        "Lorem ipsum dolor sit amet.",          # lorem
+        'He said "stop right there!"',          # quote after !
+    ])
+    df = spark.createDataFrame([(1, doc)], "id int, txt string")
+    r = c4_line_filter(df, "txt").collect()[0]
+    assert r.clean_text == (
+        'This line is a keeper sentence.\nHe said "stop right there!"'
+    )
+    assert (r.c4_lines_kept, r.c4_lines_total) == (2, 7)

@@ -18,6 +18,7 @@ __all__ = [
     "quality_score",
     "gopher_quality_filter",
     "repetition_stats",
+    "c4_line_filter",
     "token_stats",
     "fingerprint",
     "sentiment_bucket",
@@ -421,4 +422,42 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return base.drop("_txt").join(top, id_col, "left").withColumn(
         "top_word_char_fraction",
         F.coalesce(F.round(F.col("top_word_char_fraction"), 6), F.lit(0.0)),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str,
+    min_words_per_line: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning (the public C4 paper's rules) as pure
+    array expressions: keep only lines that end in terminal punctuation
+    (. ! ? or closing quote) and have at least ``min_words_per_line`` words;
+    drop any line containing curly braces (code), 'lorem ipsum', or
+    'javascript' boilerplate; drop the whole document when the word
+    'javascript'-cookie wall pattern leaves nothing.  Adds ``out_col``
+    (kept lines re-joined), ``c4_lines_kept``/``c4_lines_total`` counters
+    for auditability."""
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
+    trimmed = F.transform(lines, lambda l: F.trim(l))
+
+    def keep(l):
+        ends_ok = l.rlike("""[.!?]["']?$""")
+        enough_words = F.size(F.split(l, r"\s+")) >= min_words_per_line
+        lower = F.lower(l)
+        return (
+            ends_ok & enough_words
+            & ~l.contains("{") & ~l.contains("}")
+            & ~lower.contains("lorem ipsum")
+            & ~lower.contains("javascript")
+        )
+
+    kept = F.filter(trimmed, keep)
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias(out_col),
+        F.size(kept).alias("c4_lines_kept"),
+        F.size(trimmed).alias("c4_lines_total"),
     )

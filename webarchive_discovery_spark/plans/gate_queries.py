@@ -2313,3 +2313,44 @@ def repetition_stats(spark, sf_dir):
         F.round("dup_line_char_fraction", 6).alias("dup_line_char_fraction"),
         F.round("top_word_char_fraction", 6).alias("top_word_char_fraction"),
     )
+
+
+@q(
+    "c4_line_filter",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             'Keeper sentence number ' || CAST(doc_id AS VARCHAR) || '.'
+               || chr(10) || 'no punctuation line ' || CAST(doc_id AS VARCHAR)
+               || chr(10) ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'Another good line stays here.'
+                    ELSE 'please enable javascript now.' END
+             AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Keeper sentence number ' || CAST(doc_id AS VARCHAR) || '.'
+                     || chr(10) || 'Another good line stays here.'
+                ELSE 'Keeper sentence number ' || CAST(doc_id AS VARCHAR) || '.'
+           END AS clean_text,
+           CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS c4_lines_kept,
+           3 AS c4_lines_total
+    FROM docs
+    """,
+)
+def c4_line_filter(spark, sf_dir):
+    """Deterministic three-line documents (keeper / unpunctuated /
+    alternating good-vs-javascript) through the real line rules; the oracle
+    states each archetype's surviving text verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("Keeper sentence number "), d.cast("string"), F.lit(".\n"),
+        F.lit("no punctuation line "), d.cast("string"), F.lit("\n"),
+        F.when(d % 2 == 0, F.lit("Another good line stays here."))
+        .otherwise(F.lit("please enable javascript now.")),
+    )
+    out = textstats.c4_line_filter(docs.withColumn("txt", txt), "txt")
+    return out.select("doc_id", "clean_text", "c4_lines_kept", "c4_lines_total")

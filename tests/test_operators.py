@@ -543,3 +543,31 @@ def test_c4_line_filter(spark):
         'This line is a keeper sentence.\nHe said "stop right there!"'
     )
     assert (r.c4_lines_kept, r.c4_lines_total) == (2, 7)
+
+
+def test_training_corpus_pipeline(spark):
+    """The composed corpus builder: every drop attributed to its first
+    failing stage; exact and near dups keep the smallest id."""
+    from webarchive_discovery_spark.plans.training import build_training_corpus
+
+    good = ("the quick brown fox jumps over to rest near of water and then. " +
+            "Plain steady filler words flow gently onward here and now again. " * 6)
+    rows = [
+        (0, good),
+        (1, good),                                  # exact dup of 0
+        (2, good + " An extra trailing sentence of the day."),  # near dup of 0
+        (3, "the short doc of it."),                # en, fails gopher min_words
+        (4, ("el texto que de los libros y una casa en la calle grande es que hay. " * 8)),  # es
+        (5, "spam " * 80 + "the be to of and that have with end."),  # word spam
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_training_corpus(df, languages=("en",))
+    corpus = {r.id for r in out["corpus"].collect()}
+    audit = {r.id: r.drop_reason for r in out["audit"].collect()}
+    assert 0 in corpus
+    assert audit[1] == "exact_dup"
+    assert audit[2] == "near_dup"
+    assert audit[3] == "gopher_quality"
+    assert audit[4] == "language"
+    assert audit[5] == "word_spam"
+    assert corpus | set(audit) == set(range(6)) and corpus.isdisjoint(audit)

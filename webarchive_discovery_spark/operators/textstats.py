@@ -121,7 +121,10 @@ def lang_id(df: DataFrame, text_col: str, langs: dict[str, list[str]] | None = N
     marker-word occurrence counts; 'und' (undetermined) when all zero."""
     langs = langs or _LANG_MARKERS
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    out = df
+    # ONE select for all score columns: a withColumn chain re-analyzes the
+    # growing plan per language (quadratic — measured minutes when composed
+    # on top of an already-deep pipeline plan)
+    score_exprs = []
     score_cols = []
     for lang, words in langs.items():
         score = None
@@ -129,8 +132,9 @@ def lang_id(df: DataFrame, text_col: str, langs: dict[str, list[str]] | None = N
             needle = wd if lang in NO_BOUNDARY_LANGS else f" {wd} "
             occ = _occurrences(padded, needle)
             score = occ if score is None else score + occ
-        out = out.withColumn(f"score_{lang}", score.cast("double"))
+        score_exprs.append(score.cast("double").alias(f"score_{lang}"))
         score_cols.append(f"score_{lang}")
+    out = df.select("*", *score_exprs)
     best = F.greatest(*[F.col(c) for c in score_cols])
     lang_expr = F.lit("und")
     # reversed so earlier languages win ties (stable argmax order)

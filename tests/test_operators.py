@@ -571,3 +571,16 @@ def test_training_corpus_pipeline(spark):
     assert audit[4] == "language"
     assert audit[5] == "word_spam"
     assert corpus | set(audit) == set(range(6)) and corpus.isdisjoint(audit)
+
+
+def test_redact_pii(spark):
+    from webarchive_discovery_spark.operators.textstats import redact_pii
+
+    doc = ("Mail alice.smith+x@example.co.uk or call +44 20 7946 0958; "
+           "server at 192.168.1.10 responded.")
+    df = spark.createDataFrame([(1, doc)], "id int, txt string")
+    r = redact_pii(df, "txt").collect()[0]
+    assert r.pii_email_count == 1 and r.pii_ip_count == 1 and r.pii_phone_count == 1
+    assert "[EMAIL]" in r.redacted_text and "[IP]" in r.redacted_text
+    assert "[PHONE]" in r.redacted_text
+    assert "alice" not in r.redacted_text and "192.168" not in r.redacted_text

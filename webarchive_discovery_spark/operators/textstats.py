@@ -19,6 +19,8 @@ __all__ = [
     "gopher_quality_filter",
     "repetition_stats",
     "c4_line_filter",
+    "redact_pii",
+    "PII_PATTERNS",
     "token_stats",
     "fingerprint",
     "sentiment_bucket",
@@ -465,3 +467,38 @@ def c4_line_filter(
         F.size(kept).alias("c4_lines_kept"),
         F.size(trimmed).alias("c4_lines_total"),
     )
+
+
+#: PII patterns (the standard training-pipeline scrub set): emails, IPv4
+#: addresses, and international-ish phone numbers.  Conservative by design —
+#: favors precision (substitution tokens in running text are costly).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,3}[ -]?\(?\d{1,4}\)?(?:[ -]?\d{2,4}){2,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "redacted_text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII spans with ``[TYPE]`` tokens and count each type —
+    the standard pre-training scrub stage, as pure codegen
+    ``regexp_replace``/``regexp_count`` (one projection, no UDF, no
+    shuffle; an external SQL oracle mirrors the same regexes).  Counts are
+    computed on the ORIGINAL text, before substitution, and patterns apply
+    in dict order (email before ip/phone so ``user@host`` is never
+    half-eaten by the broader patterns)."""
+    pats = patterns or PII_PATTERNS
+    text = F.col(text_col)
+    cols = [
+        F.regexp_count(text, F.lit(rx)).cast("int").alias(f"pii_{name}_count")
+        for name, rx in pats.items()
+    ]
+    red = text
+    for name, rx in pats.items():
+        red = F.regexp_replace(red, rx, f"[{name.upper()}]")
+    return df.select("*", *cols, red.alias(out_col))

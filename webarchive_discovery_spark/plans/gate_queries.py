@@ -2354,3 +2354,34 @@ def c4_line_filter(spark, sf_dir):
     )
     out = textstats.c4_line_filter(docs.withColumn("txt", txt), "txt")
     return out.select("doc_id", "clean_text", "c4_lines_kept", "c4_lines_total")
+
+
+@q(
+    "pii_redaction",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             'Contact user' || CAST(doc_id AS VARCHAR) || '@example.org or host 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.7 today' AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           1 AS pii_email_count,
+           1 AS pii_ip_count,
+           0 AS pii_phone_count,
+           'Contact [EMAIL] or host [IP] today' AS redacted_text
+    FROM docs
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """Deterministic email+IP per document through the real scrub
+    expressions; the oracle states counts and the redacted text verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("Contact user"), d.cast("string"), F.lit("@example.org or host 10.0."),
+        (d % 256).cast("string"), F.lit(".7 today"),
+    )
+    out = textstats.redact_pii(docs.withColumn("txt", txt), "txt")
+    return out.select("doc_id", "pii_email_count", "pii_ip_count",
+                      "pii_phone_count", "redacted_text")

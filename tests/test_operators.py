@@ -562,7 +562,9 @@ def test_training_corpus_pipeline(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = build_training_corpus(df, languages=("en",))
-    corpus = {r.id for r in out["corpus"].collect()}
+    corpus_rows = out["corpus"].collect()
+    corpus = {r.id for r in corpus_rows}
+    assert all(r.pii_email_count == 0 for r in corpus_rows)  # scrub ran
     audit = {r.id: r.drop_reason for r in out["audit"].collect()}
     assert 0 in corpus
     assert audit[1] == "exact_dup"

@@ -37,6 +37,7 @@ def build_training_corpus(
     max_top_word_char_fraction: float = 0.2,
     near_dup_bands_required: int = 2,
     gopher_min_words: int = 50,
+    scrub_pii: bool = True,
 ) -> dict:
     """Returns ``{"corpus": DataFrame, "audit": DataFrame}`` — the surviving
     ``(id, clean_text, lang)`` rows and one ``(id, drop_reason)`` row per
@@ -102,6 +103,15 @@ def build_training_corpus(
         F.col("component").isNull() | (F.col("id") == F.col("component"))
     ).select("id", F.col("text_kept").alias("clean_text"),
              F.col("lang_pred").alias("lang"))
+    if scrub_pii:
+        # final scrub on survivors only (the standard order: cheap filters
+        # shrink the corpus before the regex-heavy redaction pass)
+        corpus = ts.redact_pii(corpus, "clean_text", out_col="_red").drop(
+            "clean_text"
+        ).withColumnRenamed("_red", "clean_text").select(
+            "id", "clean_text", "lang",
+            "pii_email_count", "pii_ip_count", "pii_phone_count",
+        )
     near_dropped = near.filter(
         F.col("component").isNotNull() & (F.col("id") != F.col("component"))
     ).select("id", F.lit("near_dup").alias("drop_reason"))

@@ -135,6 +135,42 @@ def test_checkpoint_resume_bit_exact(spark, world, tmp_path):
     assert sorted(all_rows) == full_rows
 
 
+def test_sharded_bloom_tier_at_design_capacity(spark, world, monkeypatch):
+    """At a large configured Bloom capacity the crawl loop must auto-select
+    the fully-distributed sharded build/probe: the driver-merge tier
+    (``build_bloom``, which treeReduces the whole bit matrix to the driver)
+    is monkeypatched to fail, capacity is the 1e10 design point (full matrix
+    ≈ 36 GB — far past ``bloom_driver_matrix_max_bytes``), and the crawl
+    output must equal the exact-only (no-Bloom) run bit-for-bit, proving the
+    Bloom stays a pure prefilter on this tier too."""
+    import webarchive_discovery_spark.plans.crawl as crawl_mod
+
+    def boom(*a, **k):  # the full-matrix tier must never run
+        raise AssertionError("driver-merge build_bloom called on the sharded tier")
+
+    monkeypatch.setattr(crawl_mod, "build_bloom", boom)
+    records, seeds, links, robots = world
+    # 65536 shards keep the per-shard array test-sized (~550 KB) while the
+    # TOTAL configured matrix is the real 1e10/FPR-1e-6 design point; shard
+    # count is a free layout parameter (1024 at deploy → ~35 MB shards)
+    cfg = CrawlConfig(
+        epochs=2, host_budget=50, num_partitions=4,
+        bloom_capacity=10_000_000_000, bloom_fpr=1e-6, bloom_shards=65536,
+    )
+    res = run_crawl(spark, records, seeds, links, robots, cfg)
+    sharded_rows = sorted(
+        (r["epoch"], r["url_key"], r["status"], r["fetch_seq"])
+        for r in res["crawl_log"].collect()
+    )
+    cfg_exact = CrawlConfig(epochs=2, host_budget=50, num_partitions=4, use_bloom=False)
+    res_exact = run_crawl(spark, records, seeds, links, robots, cfg_exact)
+    exact_rows = sorted(
+        (r["epoch"], r["url_key"], r["status"], r["fetch_seq"])
+        for r in res_exact["crawl_log"].collect()
+    )
+    assert sharded_rows == exact_rows
+
+
 def test_recrawl_expiry_refetches(spark, world):
     """recrawl_epochs: a URL whose seen-set entry expires is refetched when
     rediscovered (the deletion the counting-Bloom tier models; exact side

@@ -433,6 +433,59 @@ def test_parse_robots_txt(spark):
     }
 
 
+def test_global_sequence_broadcast_offset_fallback(spark, monkeypatch):
+    """Past ``_OFFSET_LITERAL_MAX`` staged partitions the offset map becomes
+    a broadcast join instead of a literal ``create_map`` — sequences stay a
+    contiguous 1..N permutation in the requested total order, and the plan
+    size stays bounded as the partition count grows (the literal map would
+    scale it linearly)."""
+    from webarchive_discovery_spark.operators import frontier as fop
+
+    monkeypatch.setattr(fop, "_OFFSET_LITERAL_MAX", 4)
+    df = spark.range(20_000).select(
+        F.concat(F.lit("k"), F.format_string("%06d", (F.col("id") * 7919) % 20_000)).alias("k")
+    )
+    plans = {}
+    for parts in (32, 256):
+        out = fop.global_sequence(df, [F.col("k").asc()], seq_col="seq",
+                                  num_partitions=parts)
+        plans[parts] = out._jdf.queryExecution().executedPlan().toString()
+        rows = out.select("k", "seq").collect()
+        seqs = [r["seq"] for r in sorted(rows, key=lambda r: r["k"])]
+        assert seqs == list(range(1, 20_001)), f"non-contiguous at {parts} parts"
+        fop.release_staging()
+    assert "BroadcastHashJoin" in plans[256]
+    # 8x the partitions must not inflate the plan linearly (literal map would)
+    assert len(plans[256]) < 2 * len(plans[32]), (len(plans[32]), len(plans[256]))
+
+
+def test_parse_robots_txt_ua_specificity(spark):
+    """RFC 9309 §2.2.1 group selection: a specific agent obeys its own
+    section when one exists anywhere in the host's file (the '*' group is
+    then ignored entirely), else falls back to the '*' group; and the FIRST
+    parseable Crawl-delay in file order wins — not the smallest value."""
+    from webarchive_discovery_spark.operators.frontier import parse_robots_txt
+
+    txt_a = (  # has a mybot section -> the '*' group must be ignored
+        "User-agent: *\nDisallow: /all\nCrawl-delay: 1\n\n"
+        "User-agent: mybot\nDisallow: /mine\n"
+        "Crawl-delay: oops\n"   # unparseable -> skipped
+        "Crawl-delay: 0.5\n"    # first parseable -> wins
+        "Crawl-delay: 0.1\n"    # smaller but later -> must NOT win
+    )
+    txt_b = "User-agent: *\nDisallow: /fallback\nCrawl-delay: 2\n"
+    df = spark.createDataFrame(
+        [("a.org", txt_a, "robots.txt"), ("b.org", txt_b, "robots.txt")],
+        "host string, payload string, url_type string",
+    )
+    rows = {(r.host, r.rule_type, r.path_prefix, r.crawl_delay_ms)
+            for r in parse_robots_txt(df, user_agent="mybot").collect()}
+    assert rows == {
+        ("a.org", "deny", "/mine", 500),
+        ("b.org", "deny", "/fallback", 2000),
+    }
+
+
 def test_recrawl_schedule_aimd(spark):
     """Adaptive revisit intervals: first fetch counts as changed; interval
     doubles per consecutive unchanged fetch, capped; due at last+interval."""

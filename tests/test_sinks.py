@@ -174,9 +174,14 @@ def test_memento_jsonl_from_captures(spark, tmp_path):
     assert doc["content_type_norm"] == "html"
     assert doc["status_code"] == 200
     assert doc["record_type"] == "response"
-    # null fields are OMITTED, not serialized
-    assert "image_faces" not in doc
-    assert "content_fuzzy_hash" not in doc
+    # null fields serialize as EXPLICIT null (reference Memento.toJSON uses
+    # a plain Jackson ObjectMapper, Include.ALWAYS): every declared property
+    # is present on every line, including the never-populated ones
+    assert doc["image_faces"] is None
+    assert doc["content_fuzzy_hash"] is None
+    assert "category" in doc and doc["category"] is None
+    assert "comments" in doc and doc["comments"] is None
+    assert "image_colours" in doc and doc["image_colours"] is None
 
 
 def test_memento_fuzzy_hash_reformat(spark):

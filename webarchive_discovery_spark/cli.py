@@ -68,6 +68,10 @@ def cmd_index(args) -> int:
         # the reference's dataset job always runs the analysers that feed
         # hostLinks; without this the dataset would be silently empty
         args.links = True
+    if args.datasets and not args.images:
+        # likewise the faces dataset needs the image analysers
+        # (WARCDatasetGenerator emits it unconditionally)
+        args.images = True
     if args.images and args.max_payload < (1 << 20):
         # image payloads truncated at the text bound would silently fail to
         # decode; match the reference's 1 MB image-analysis size cap

@@ -44,6 +44,10 @@ __all__ = [
     "staging_mark",
 ]
 
+# Past this many staged partitions, global_sequence switches its offset map
+# from a literal create_map expression to a broadcast join (plan-size bound).
+_OFFSET_LITERAL_MAX = 1024
+
 # Ephemeral global_sequence staging dirs (tmpfs): registered here, reclaimed
 # by release_staging() once the caller has materialized the result, and as a
 # backstop at interpreter exit.
@@ -246,11 +250,26 @@ def global_sequence(
     staged.write.mode("overwrite").parquet(path)
     local = spark.read.parquet(path)
     offsets = _partition_offsets(spark, local, path)
-    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     local_rank = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
-    return local.withColumn(
-        seq_col, mapping[F.shiftright("_mid", 33)] + local_rank + 1
-    ).drop("_mid")
+    pid = F.shiftright("_mid", 33)
+    if len(offsets) <= _OFFSET_LITERAL_MAX:
+        # small partition counts: fold offsets into a literal map (constant-
+        # folded, zero extra operators)
+        mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        return local.withColumn(seq_col, mapping[pid] + local_rank + 1).drop("_mid")
+    # very high partition counts (10k+ on a big cluster): a literal map would
+    # bloat the plan tree super-linearly (every operator carries the
+    # expression) — join the tiny (pid, offset) table broadcast instead; plan
+    # size stays O(1) in the partition count
+    odf = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid bigint, _off bigint"
+    )
+    return (
+        local.withColumn("_pid", pid)
+        .join(F.broadcast(odf), "_pid")
+        .withColumn(seq_col, F.col("_off") + local_rank + 1)
+        .drop("_mid", "_pid", "_off")
+    )
 
 
 def _partition_offsets(spark, local: DataFrame, path: str) -> dict[int, int]:
@@ -386,26 +405,40 @@ def parse_robots_txt(
     prev_ua = F.lag("key", 1, "").over(Window.partitionBy("host").orderBy("pos"))
     section_start = ((F.col("key") == "user-agent") & (prev_ua != "user-agent")).cast("int")
     parsed = parsed.withColumn("section", F.sum(section_start).over(w))
-    # does this section name our agent?
-    agents = parsed.filter(F.col("key") == "user-agent").groupBy(
+    # does this section name our agent?  Per the robots.txt RFC (RFC 9309
+    # §2.2.1) a crawler obeys the MOST SPECIFIC matching group: sections
+    # naming ``user_agent`` exactly if any exist anywhere in the host's file,
+    # else the ``*`` group
+    sections = parsed.filter(F.col("key") == "user-agent").groupBy(
         "host", "section"
     ).agg(
-        F.max((F.lower(F.col("val")) == user_agent.lower()).cast("int")).alias("_ours")
+        F.max((F.lower(F.col("val")) == user_agent.lower()).cast("int")).alias("_specific"),
+        F.max((F.col("val") == "*").cast("int")).alias("_wild"),
+    )
+    host_specific = sections.groupBy("host").agg(
+        F.max("_specific").alias("_host_has_specific")
+    )
+    agents = sections.join(host_specific, "host").withColumn(
+        "_ours",
+        F.when(F.col("_specific") == 1, 1)
+        .when((F.col("_wild") == 1) & (F.col("_host_has_specific") == 0), 1)
+        .otherwise(0),
     )
     rules = (
         parsed.filter(F.col("key").isin("allow", "disallow", "crawl-delay"))
-        .join(agents, ["host", "section"], "left")
+        .join(agents.select("host", "section", "_ours"), ["host", "section"], "left")
         .filter(F.col("_ours") == 1)
     )
+    parsed_delay = (
+        F.regexp_extract(F.col("val"), r"^(\d+(\.\d+)?)", 1).try_cast("double") * 1000
+    ).try_cast("int")
     delay = (
-        rules.filter(F.col("key") == "crawl-delay")
+        rules.filter((F.col("key") == "crawl-delay") & parsed_delay.isNotNull())
         .groupBy("host")
         .agg(
-            # seconds → ms; first parseable value wins (min pos ~ first)
-            F.min(
-                (F.regexp_extract(F.col("val"), r"^(\d+(\.\d+)?)", 1).cast("double")
-                 * 1000).cast("int")
-            ).alias("_delay")
+            # seconds → ms; the FIRST parseable value in file order wins
+            # (min_by pos — not the smallest value)
+            F.min_by(parsed_delay, F.col("pos")).alias("_delay")
         )
     )
     out = (

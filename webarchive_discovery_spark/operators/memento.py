@@ -20,8 +20,11 @@ Field mapping rules reproduced here:
 - ``content_fuzzy_hash`` reformats the per-blocksize ssdeep fields as
   ``blocksize:sig:sig2:resourcename`` (``SolrRecord.reformatSsdeep``,
   ``SolrRecord.java:580-605``) — null unless both signatures exist.
-- Null fields are omitted from the JSON (Jackson default for absent Solr
-  fields) — ``to_json`` drops nulls by default, matching.
+- Null fields SERIALIZE AS EXPLICIT ``null``: the reference's ``toJSON``
+  uses a plain Jackson ``ObjectMapper`` (default ``Include.ALWAYS``,
+  ``Memento.java:243-247``), so every declared property — including the
+  never-populated ``category``/``comments`` — appears on every line.
+  ``to_json`` is therefore called with ``ignoreNullFields=false``.
 """
 
 from __future__ import annotations
@@ -39,8 +42,10 @@ _FIELDS = [
     ("id", "id"),
     ("first:access_terms", "access_terms"),
     ("first:author", "author"),
+    ("category", "category"),
     ("first:collection", "collection"),
     ("collections", "collections"),
+    ("comments", "comments"),
     ("description", "description"),
     ("keywords", "keywords"),
     ("license_url", "license_url"),
@@ -72,6 +77,7 @@ _FIELDS = [
     ("first:host_surt", "host_surt"),
     ("public_suffix", "public_suffix"),
     ("resourcename", "resourcename"),
+    ("image_colours", "image_colours"),
     ("image_dominant_colour", "image_dominant_colour"),
     ("image_faces_count", "image_faces_count"),
     ("image_faces", "image_faces"),
@@ -143,11 +149,16 @@ def to_memento(captures: DataFrame) -> DataFrame:
 
 
 def memento_json_lines(captures: DataFrame) -> DataFrame:
-    """One ``line`` column of compact JSON per capture; null fields omitted
-    (Jackson behavior for absent Solr fields)."""
+    """One ``line`` column of compact JSON per capture; null fields kept as
+    explicit ``null`` (Jackson ``Include.ALWAYS``, the reference's
+    ``Memento.toJSON`` default — all declared properties present on every
+    line)."""
     m = to_memento(captures)
     return m.select(
-        F.to_json(F.struct(*[F.col(c) for c in m.columns])).alias("line")
+        F.to_json(
+            F.struct(*[F.col(c) for c in m.columns]),
+            {"ignoreNullFields": "false"},
+        ).alias("line")
     )
 
 

@@ -488,17 +488,17 @@ def redact_pii(
     """Redact PII spans with ``[TYPE]`` tokens and count each type —
     the standard pre-training scrub stage, as pure codegen
     ``regexp_replace``/``regexp_count`` (one projection, no UDF, no
-    shuffle; an external SQL oracle mirrors the same regexes).  Counts are
-    computed on the ORIGINAL text, before substitution, and patterns apply
-    in dict order (email before ip/phone so ``user@host`` is never
-    half-eaten by the broader patterns)."""
+    shuffle; an external SQL oracle mirrors the same regexes).  Patterns
+    apply in dict order (email before ip/phone so ``user@host`` is never
+    half-eaten by the broader patterns), and each type's count is taken on
+    the PROGRESSIVELY-redacted text — immediately before its own replace —
+    so overlapping spans never double-count (an IP inside an
+    already-redacted email no longer increments ``pii_ip_count``) and every
+    count equals the number of substitutions actually made."""
     pats = patterns or PII_PATTERNS
-    text = F.col(text_col)
-    cols = [
-        F.regexp_count(text, F.lit(rx)).cast("int").alias(f"pii_{name}_count")
-        for name, rx in pats.items()
-    ]
-    red = text
+    cols = []
+    red = F.col(text_col)
     for name, rx in pats.items():
+        cols.append(F.regexp_count(red, F.lit(rx)).cast("int").alias(f"pii_{name}_count"))
         red = F.regexp_replace(red, rx, f"[{name.upper()}]")
     return df.select("*", *cols, red.alias(out_col))

@@ -35,7 +35,13 @@ from pyspark.sql.types import (
 from ..functions.imaging import average_hash, decode_image, image_dims
 from ..functions.normalisation import sha1_base32_digest
 from ..operators import frontier as fop
-from ..operators.bloom import BloomParams, PartitionedBloom, build_bloom, bloom_negative_filter
+from ..operators.bloom import (
+    BloomParams,
+    bloom_negative_filter,
+    bloom_negative_filter_sharded,
+    build_bloom,
+    build_bloom_shards,
+)
 from .checkpoint import CheckpointStore
 
 __all__ = ["CrawlConfig", "run_crawl"]
@@ -50,6 +56,14 @@ class CrawlConfig:
     bloom_capacity: int = 1_000_000
     bloom_fpr: float = 1e-6
     bloom_shards: int = 16
+    # Bloom build/probe tier: True = fully-distributed sharded build + cogroup
+    # probe (never materializes the bit matrix on the driver — the 1e10
+    # design point); False = driver-merged broadcast tier (cheaper per epoch
+    # while the whole matrix fits comfortably in driver+executor memory);
+    # None = auto by capacity (sharded when the matrix would exceed
+    # ``bloom_driver_matrix_max_bytes``)
+    bloom_sharded: bool | None = None
+    bloom_driver_matrix_max_bytes: int = 4 << 30
     num_partitions: int | None = None
     # entries expire after this many epochs (None = never): expired URLs are
     # dropped from the seen-set and refetched — recrawl semantics
@@ -145,7 +159,7 @@ def _epoch_plan(
     robots_rules: DataFrame,
     records: DataFrame,
     cfg: CrawlConfig,
-    bloom: PartitionedBloom | None,
+    bloom_probe,  # Callable[[DataFrame], DataFrame] adding ``maybe_seen``, or None
 ) -> tuple[DataFrame, DataFrame]:
     """One epoch: returns (crawl_log, fetched) — crawl_log has one row per
     candidate URL with status ∈ {fetched, dup_seen, robots_denied, delayed,
@@ -162,8 +176,8 @@ def _epoch_plan(
 
     # URL-seen: Bloom prefilter (negative ⇒ definitely new, skips the join
     # probe) + exact anti-join for correctness
-    if bloom is not None:
-        dd = bloom_negative_filter(dd, "url_hash", bloom)
+    if bloom_probe is not None:
+        dd = bloom_probe(dd)
         maybe = dd.filter(F.col("maybe_seen"))
         fresh = dd.filter(~F.col("maybe_seen"))
         confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
@@ -337,14 +351,38 @@ def run_crawl(
     logs = []
     metrics = []
     for epoch in range(start_epoch, cfg.epochs):
-        bloom = None
+        bloom_probe = None
         if cfg.use_bloom:
             params = BloomParams(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_shards)
-            bloom = build_bloom(seen, "url_hash", params) if seen.take(1) else PartitionedBloom(params)
+            matrix_bytes = params.m_bits_per_shard * params.num_shards // 8
+            sharded = (
+                cfg.bloom_sharded
+                if cfg.bloom_sharded is not None
+                else matrix_bytes > cfg.bloom_driver_matrix_max_bytes
+            )
+            if not seen.take(1):
+                # nothing seen yet: every candidate is definitely new — skip
+                # both tiers (no Python stage at all)
+                def bloom_probe(df):
+                    return df.withColumn("maybe_seen", F.lit(False))
+            elif sharded:
+                # 1e10 design point: one shuffle on shard id builds each
+                # shard's bit array in isolation; the cogroup probe holds
+                # exactly ONE shard per task — the full matrix never exists
+                # in any single process (bloom.py:163-223)
+                shards = build_bloom_shards(seen, "url_hash", params).localCheckpoint()
+
+                def bloom_probe(df, _shards=shards, _p=params):
+                    return bloom_negative_filter_sharded(df, "url_hash", _shards, _p)
+            else:
+                bloom = build_bloom(seen, "url_hash", params)
+
+                def bloom_probe(df, _b=bloom):
+                    return bloom_negative_filter(df, "url_hash", _b)
 
         mark = fop.staging_mark()
         crawl_log, fetched = _epoch_plan(
-            spark, frontier_df, seen, robots_rules, records, cfg, bloom
+            spark, frontier_df, seen, robots_rules, records, cfg, bloom_probe
         )
         # truncate lineage every epoch: without this the logical plan embeds
         # every prior epoch's full pipeline and grows super-linearly (driver

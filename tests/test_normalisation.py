@@ -222,3 +222,45 @@ def test_expanded_psl_registries():
     for host, (pub, priv) in cases.items():
         assert extract_public_suffix(host) == pub, host
         assert extract_private_suffix(host) == priv, host
+
+
+def test_full_psl_algorithm():
+    """The PSL snapshot implements the full publicsuffix.org algorithm, not
+    a 2-label lookup: wildcard rules, exception rules, 3+-label rules
+    (US K-12, JP city, AU state), longest-match, and the PRIVATE hosting
+    section Guava's publicSuffix() also includes."""
+    cases = {
+        # the classes the r2 review called out as wrong under the compact table
+        "loja.americanas.com.br": ("com.br", "americanas.com.br"),
+        "portal.nic.co.in": ("co.in", "nic.co.in"),
+        "news.sina.com.cn": ("com.cn", "sina.com.cn"),
+        # 3-label rules: US K-12 / library, JP city wildcard, AU state edu
+        "lincoln.k12.ca.us": ("k12.ca.us", "lincoln.k12.ca.us"),
+        "branch.lib.tx.us": ("lib.tx.us", "branch.lib.tx.us"),
+        "ward.city.kawasaki.jp": ("kawasaki.jp", "city.kawasaki.jp"),  # exception rule
+        "shop.foo.kawasaki.jp": ("foo.kawasaki.jp", "shop.foo.kawasaki.jp"),  # wildcard
+        "school.nsw.edu.au": ("nsw.edu.au", "school.nsw.edu.au"),
+        # wildcard TLDs + the !www.ck exception
+        "site.example.bd": ("example.bd", "site.example.bd"),
+        "anything.www.ck": ("ck", "www.ck"),
+        "gov.np": ("gov.np", "gov.np"),
+        # JP prefecture 2-label rules
+        "www.pref.tokyo.jp": ("tokyo.jp", "pref.tokyo.jp"),
+        # private section: hosted platforms roll up as their own domains
+        "user.github.io": ("github.io", "user.github.io"),
+        "myblog.blogspot.com": ("blogspot.com", "myblog.blogspot.com"),
+        "app.herokuapp.com": ("herokuapp.com", "app.herokuapp.com"),
+        "x.y.elb.amazonaws.com": ("y.elb.amazonaws.com", "x.y.elb.amazonaws.com"),
+        # longest match beats shorter: ne.jp over jp
+        "www.isp.ne.jp": ("ne.jp", "isp.ne.jp"),
+        # unknown TLD → default rule (last label)
+        "www.example.zz": ("zz", "example.zz"),
+    }
+    for host, (pub, priv) in cases.items():
+        assert extract_public_suffix(host) == pub, host
+        assert extract_private_suffix(host) == priv, host
+
+    from webarchive_discovery_spark.functions.psl import rule_counts
+
+    counts = rule_counts()
+    assert counts["exact"] > 700 and counts["wildcard"] >= 13 and counts["exception"] >= 8

@@ -166,3 +166,31 @@ def test_elements_used_script_body_excluded(spark):
     html = "<div><script>if (3<a) foo('<b>');</script><style>p{}</style></div>"
     row = _extract(spark, "http://e.org/", html)
     assert row.elements_used == ["div", "script", "style"]
+
+
+def test_adversarial_markup_bounded(spark):
+    """Inputs engineered to make the lazy-pair regexes quadratic (the attack
+    the reference's 30 s parser thread-timeout absorbs) must come back as a
+    links_parse_error row in bounded wall-clock — never a stalled executor
+    core.  A big-but-benign single-line page still parses normally."""
+    import time
+
+    bad_no_gt = "<a href=x " * 100_000          # ~1 MB, not a single '>'
+    bad_brackets = "<" * 1_000_000              # deep-nested brackets
+    bad_comments = "<!-- > " * 150_000          # '>' present, '-->' never
+    benign_10mb = ('<a href="http://ok.example.org/a">x</a>' + "y" * 60) * 100_000
+    df = spark.createDataFrame(
+        [("http://h/1", bad_no_gt), ("http://h/2", bad_brackets),
+         ("http://h/3", bad_comments), ("http://h/4", benign_10mb)],
+        "url string, payload string",
+    )
+    t0 = time.monotonic()
+    rows = {r["url"]: r for r in extract_html_links(df).collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"adversarial batch took {elapsed:.1f}s"
+    for u in ("http://h/1", "http://h/2", "http://h/3"):
+        assert rows[u]["links_parse_error"], u
+        assert rows[u]["links"] == []
+    ok = rows["http://h/4"]
+    assert ok["links_parse_error"] is None
+    assert ok["links"] == ["http://ok.example.org/a"]

@@ -88,3 +88,27 @@ def test_xml_root_ns(spark):
     assert out[2].xml_root_ns is None
     assert out[3].xml_root_ns is None
     assert out[4].xml_root_ns is None
+
+
+def test_adversarial_markup_bounded(spark):
+    """Pathological markup is refused by the scan-cost guard and lands in
+    parse_error in bounded time; a benign oversized page still parses."""
+    import time
+
+    from webarchive_discovery_spark.operators.metadata import extract_html_metadata
+
+    bad = "<title>" * 120_000                  # unterminated titles, ~1 MB
+    benign = "<html><head><title>T.</title></head><body><p>Hello world.</p>" \
+             + "z" * 2_000_000 + "</body></html>"
+    df = spark.createDataFrame(
+        [(1, bad), (2, benign)], "id long, payload string"
+    )
+    t0 = time.monotonic()
+    rows = {r["id"]: r for r in extract_html_metadata(df).collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, f"adversarial batch took {elapsed:.1f}s"
+    assert rows[1]["meta_parse_error"] and "MarkupGuard" in rows[1]["meta_parse_error"]
+    assert rows[1]["title"] is None
+    assert rows[2]["meta_parse_error"] is None
+    assert rows[2]["title"] == "T."
+    assert rows[2]["first_paragraph"] == "Hello world."

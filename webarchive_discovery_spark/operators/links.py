@@ -41,8 +41,14 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from ..functions import normalisation as N
 from ..functions import surt as S
+from ..functions.markup import PARSE_TIMEOUT_S, Deadline, markup_scan_guard
 
-__all__ = ["extract_html_links", "outlink_edges", "LINKS_STRUCT"]
+__all__ = ["extract_html_links", "outlink_edges", "LINKS_STRUCT", "LINKS_MAX_CHARS"]
+
+#: input bound per record — the reference analyses at most ~1 MB payloads
+#: (reference.conf:46-55 image cap / payload cache tiers); beyond this the
+#: tail is ignored rather than parsed
+LINKS_MAX_CHARS = 1 << 20
 
 _COMMENTS = re.compile(r"<!--.*?-->", re.S)
 _SCRIPT_STYLE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
@@ -72,8 +78,15 @@ LINKS_STRUCT = StructType(
         StructField("links_public_suffixes", ArrayType(StringType())),
         StructField("elements_used", ArrayType(StringType())),
         StructField("license_url", ArrayType(StringType())),
+        # non-null when the record was refused (pathological markup / parse
+        # deadline / unexpected parse failure) — the analog of the
+        # reference's parse-timeout + addParseException discipline
+        # (HTMLAnalyser.java:121-127): the row survives, the task never stalls
+        StructField("links_parse_error", StringType()),
     ]
 )
+
+_ARRAY_FIELDS = [f.name for f in LINKS_STRUCT.fields if f.name != "links_parse_error"]
 
 
 def _attr_values(pattern: re.Pattern, html: str) -> list[str]:
@@ -106,8 +119,11 @@ def _resolve(base: str, ref: str) -> str | None:
     return resolved or None
 
 
-def _extract_one(base_url: str, html: str, normalise_links: bool) -> dict:
+def _extract_one(base_url: str, html: str, normalise_links: bool,
+                 deadline: Deadline) -> dict:
+    markup_scan_guard(html)  # predictive bound on every regex pass below
     cleaned = _SCRIPT_STYLE.sub(" ", _COMMENTS.sub(" ", html))
+    deadline.check()
     links: set[str] = set()
     for href in _attr_values(_A_HREF, cleaned):
         r = _resolve(base_url, href)
@@ -131,6 +147,7 @@ def _extract_one(base_url: str, html: str, normalise_links: bool) -> dict:
                 except Exception:
                     continue
             images.add(r)
+    deadline.check()
 
     hosts: set[str] = set()
     domains: set[str] = set()
@@ -160,9 +177,11 @@ def _extract_one(base_url: str, html: str, normalise_links: bool) -> dict:
     # filter — are avoided rather than reproduced), lowercased, left-100;
     # plus link/@rel= and meta/@name= attribute entries (empty value when
     # the attribute is absent, matching jsoup attr()'s empty-string return)
+    deadline.check()
     tag_scan = _SCRIPT_STYLE.sub(
         lambda m: m.group(0).split(">", 1)[0] + ">", _COMMENTS.sub(" ", html)
     )
+    deadline.check()
     elements: set[str] = {m.group(1).lower()[:100] for m in _TAG.finditer(tag_scan)}
     for m in _LINK_OR_META.finditer(tag_scan):
         kind, attrs = m.group(1).lower(), m.group(2)
@@ -190,6 +209,7 @@ def _extract_one(base_url: str, html: str, normalise_links: bool) -> dict:
         "links_public_suffixes": sorted(suffixes),
         "elements_used": sorted(elements),
         "license_url": licenses,
+        "links_parse_error": None,
     }
 
 
@@ -198,18 +218,33 @@ def extract_html_links(
     url_col: str = "url",
     html_col: str = "payload",
     normalise_links: bool = False,
+    max_chars: int = LINKS_MAX_CHARS,
+    timeout_s: float = PARSE_TIMEOUT_S,
 ) -> DataFrame:
     """Append the six multi-valued link fields to ``df`` — one Arrow batch
-    pass, no shuffle; see module docstring for semantics and divergences."""
+    pass, no shuffle; see module docstring for semantics and divergences.
+    Per-record failure recovery: pathological markup (scan-cost guard),
+    deadline expiry, or any parse exception yields empty fields plus a
+    ``links_parse_error`` message — one bad record never stalls or fails
+    the task (the reference's 30 s parser-timeout contract)."""
 
     @F.pandas_udf(LINKS_STRUCT)
     def kernel(urls: pd.Series, htmls: pd.Series) -> pd.DataFrame:
         rows = []
         for u, h in zip(urls, htmls):
             if h is None:
-                rows.append({f.name: [] for f in LINKS_STRUCT.fields})
+                rows.append({**{n: [] for n in _ARRAY_FIELDS}, "links_parse_error": None})
                 continue
-            rows.append(_extract_one(u or "", h, normalise_links))
+            try:
+                rows.append(
+                    _extract_one(u or "", h[:max_chars], normalise_links,
+                                 Deadline(timeout_s))
+                )
+            except Exception as exc:  # per-record recovery
+                rows.append({
+                    **{n: [] for n in _ARRAY_FIELDS},
+                    "links_parse_error": f"{type(exc).__name__}: {exc}"[:500],
+                })
         return pd.DataFrame(rows, columns=[f.name for f in LINKS_STRUCT.fields])
 
     out = df.withColumn("_links", kernel(F.col(url_col), F.col(html_col)))

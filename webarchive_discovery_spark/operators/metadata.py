@@ -11,10 +11,12 @@ discipline).
 Spark shape: ONE Arrow struct UDF per batch (same idiom as
 ``operators/links.py``) — a linear bounded regex pass, no DOM build.  The
 reference's 30 s/300 s ``TimeLimiter`` guards a DOM parser that can blow up
-super-linearly; a linear scanner's cost is bounded by input size instead, so
-the timeout discipline is replaced by the ``max_chars`` input bound plus
-per-record exception recovery (``parse_error`` capture) — same contract
-(no record can stall the job), different mechanism.
+super-linearly; here the same contract (no record can stall the job) is
+enforced three ways: the ``max_chars`` input bound, the predictive
+``markup_scan_guard`` (rejects inputs engineered to make the lazy-pair
+regexes quadratic — see ``functions/markup.py``), and a per-record
+wall-clock :class:`Deadline` checked between passes; all three surface as a
+``parse_error`` row via per-record exception recovery.
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ..functions.markup import PARSE_TIMEOUT_S, Deadline, markup_scan_guard
 
 __all__ = ["extract_html_metadata", "METADATA_STRUCT", "TEXT_CAP"]
 
@@ -76,10 +80,12 @@ def _meta_attrs(tag: str) -> dict[str, str]:
     }
 
 
-def _extract_one(html: str, max_chars: int) -> dict:
+def _extract_one(html: str, max_chars: int, deadline: Deadline) -> dict:
     out = {f.name: None for f in METADATA_STRUCT.fields}
     bounded = html[:max_chars]
+    markup_scan_guard(bounded)  # predictive bound on every regex pass below
     cleaned = _SCRIPT_STYLE.sub(" ", _COMMENTS.sub(" ", bounded))
+    deadline.check()
 
     m = _TITLE.search(cleaned)
     if m:
@@ -107,6 +113,7 @@ def _extract_one(html: str, max_chars: int) -> dict:
             if cm:
                 out["content_encoding"] = cm.group(1).lower()
 
+    deadline.check()
     # first paragraph with non-empty text (HtmlFeatureParser.java:252-263)
     for pm in _P.finditer(cleaned):
         pt = _clean_text(pm.group(1))
@@ -114,6 +121,7 @@ def _extract_one(html: str, max_chars: int) -> dict:
             out["first_paragraph"] = pt
             break
 
+    deadline.check()
     body = re.sub(r"<head\b.*?</head\s*>", " ", cleaned, flags=re.S | re.I)
     text = _clean_text(body)[:TEXT_CAP]
     out["text"] = text
@@ -125,11 +133,14 @@ def extract_html_metadata(
     df: DataFrame,
     html_col: str = "payload",
     max_chars: int = TEXT_CAP * 2,
+    timeout_s: float = PARSE_TIMEOUT_S,
 ) -> DataFrame:
     """Append title/description/keywords/author/generator/content_encoding/
     first_paragraph/text/content_text_length — one Arrow pass, no shuffle;
-    per-record failures land in ``parse_error`` instead of failing the task
-    (the reference's ``addParseException`` path)."""
+    per-record failures — including pathological markup refused by the
+    scan-cost guard and parse-deadline expiry — land in ``parse_error``
+    instead of failing or stalling the task (the reference's
+    ``addParseException`` + 30 s parser-timeout discipline)."""
 
     @F.pandas_udf(METADATA_STRUCT)
     def kernel(htmls: pd.Series) -> pd.DataFrame:
@@ -139,10 +150,10 @@ def extract_html_metadata(
                 rows.append({f.name: None for f in METADATA_STRUCT.fields})
                 continue
             try:
-                rows.append(_extract_one(h, max_chars))
+                rows.append(_extract_one(h, max_chars, Deadline(timeout_s)))
             except Exception as exc:  # per-record recovery
                 rec = {f.name: None for f in METADATA_STRUCT.fields}
-                rec["parse_error"] = str(exc)[:500]
+                rec["parse_error"] = f"{type(exc).__name__}: {exc}"[:500]
                 rows.append(rec)
         return pd.DataFrame(rows, columns=[f.name for f in METADATA_STRUCT.fields])
 

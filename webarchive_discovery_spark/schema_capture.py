@@ -359,6 +359,17 @@ def extract_capture(
                      "image_dominant_colour", "image_faces",
                      "image_faces_count"):
             filled[name] = F.col("_img")[name]
+    if with_links or with_metadata:
+        # analyser refusals (scan-cost guard / parse deadline / exceptions)
+        # join the multi-valued parse_error field, the reference's
+        # SolrRecord.addParseException shape
+        sources = [F.col("parse_error")]
+        if with_links:
+            sources.append(F.col("links_parse_error"))
+        if with_metadata:
+            sources.append(F.col("meta_parse_error"))
+        _pe = F.filter(F.array(*sources), lambda x: x.isNotNull())
+        filled["parse_error"] = F.when(F.size(_pe) > 0, _pe)
     cols = [
         filled[f.name].alias(f.name) if f.name in filled else _null(f)
         for f in CAPTURE_SCHEMA.fields

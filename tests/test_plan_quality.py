@@ -107,10 +107,15 @@ def test_minhash_shingles_codegen(spark):
 
 def test_image_analysis_single_python_stage(spark):
     """Synth + analyse are both mapInPandas kernels: exactly two Python
-    stages total, bytes never widen into extra shuffles."""
+    stages total, and BYTES never shuffle — the only exchange allowed is
+    the id-row repartition BELOW the bytes-producing kernel (plan text is
+    root-first, so everything before the second MapInPandas runs on or
+    after the bytes columns)."""
     plan = plan_of(spark, "image_analysis")
     assert plan.count("MapInPandas") == 2
-    assert "Exchange" not in plan.replace("BroadcastExchange", "")  # no shuffle
+    core = plan.replace("BroadcastExchange", "")
+    second_kernel = core.index("MapInPandas", core.index("MapInPandas") + 1)
+    assert "Exchange" not in core[:second_kernel]  # no shuffle of bytes
 
 
 def test_datasets_single_shuffle_no_python(spark):

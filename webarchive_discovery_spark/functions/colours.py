@@ -34,9 +34,14 @@ import numpy as np
 __all__ = [
     "SVG_COLOURS",
     "match_colour_name",
+    "match_colour_names_batch",
     "dominant_colour",
+    "dominant_colours_batch",
     "dominant_colour_name",
     "detect_faces",
+    "skin_mask_batch",
+    "faces_from_mask",
+    "faces_from_masks_batch",
     "face_fragments",
 ]
 
@@ -128,14 +133,69 @@ def dominant_colour_name(rgb: np.ndarray, res: int = 64) -> str:
     return match_colour_name(*dominant_colour(rgb, res))
 
 
+def match_colour_names_batch(rgbs: np.ndarray) -> list[str]:
+    """Batched :func:`match_colour_name`: (B, 3) int array → B keyword names
+    in one (B, table) distance matrix; identical tie-breaking (argmin takes
+    the first minimum along the table axis)."""
+    d = np.abs(_RGB[None, :, :] - rgbs[:, None, :].astype(np.int64)).sum(axis=2)
+    idx = np.argmin(d, axis=1)
+    return [_NAMES[int(i)] for i in idx]
+
+
+def dominant_colours_batch(stack: np.ndarray, res: int = 64) -> np.ndarray:
+    """Batched :func:`dominant_colour` over a (B, H, W, 3) uint8 stack of
+    SAME-SHAPE images → (B, 3) int array of fullest-bin average colours.
+    One global ``np.unique`` with per-image bin offsets replaces B separate
+    calls; tie-breaking matches the scalar path exactly (highest count,
+    lowest bin index), as does the float-mean-truncated int average.
+
+    Temps are kept int32/uint8 and built in place: this sandbox's VM stalls
+    pathologically on first-touch of fresh multi-MB allocations (measured:
+    an 18 MB int64 astype took seconds on first call, milliseconds after),
+    and at deploy smaller temps are simply less memory traffic — with
+    B·cube < 2^31 enforced so int32 global bins are always valid."""
+    B = stack.shape[0]
+    cube = res ** 3
+    if B * cube >= 2 ** 31:
+        raise ValueError("chunk too large for int32 bin space; lower the batch size")
+    px = stack.reshape(B, -1, 3)
+    # per-channel quantization, combined in place (one int32 working array)
+    flat = (px[..., 0].astype(np.int32) * res) >> 8  # == *res // 256
+    flat *= res
+    flat += (px[..., 1].astype(np.int32) * res) >> 8
+    flat *= res
+    flat += (px[..., 2].astype(np.int32) * res) >> 8  # (B, P) int32
+    gflat = flat + (np.arange(B, dtype=np.int32)[:, None] * np.int32(cube))
+    bins, counts = np.unique(gflat.ravel(), return_counts=True)
+    owner = bins // cube
+    # per-owner winner: sort (owner asc, count desc, bin asc), first per owner
+    order = np.lexsort((bins, -counts, owner))
+    owner_sorted = owner[order]
+    first = np.unique(owner_sorted, return_index=True)[1]
+    top_local = (bins[order][first]) % cube  # (B,) — every owner has >= 1 bin
+    sel = flat == top_local[:, None]  # (B, P) bool
+    n_sel = sel.sum(axis=1)
+    # uint8 × bool stays uint8 elementwise; the accumulator is int64
+    sums = np.stack(
+        [(px[..., c] * sel).sum(axis=1, dtype=np.int64) for c in range(3)], axis=1
+    )
+    return (sums / n_sel[:, None]).astype(np.int64)
+
+
 def _skin_mask(rgb: np.ndarray) -> np.ndarray:
     """Classic RGB skin-tone rule (public heuristic: R>95, G>40, B>20,
-    R>G, R>B, max-min channel spread > 15)."""
+    R>G, R>B, max-min channel spread > 15).  Shape-agnostic: works on one
+    (H, W, 3) image or a (B, H, W, 3) stack."""
     m = rgb.astype(np.int16)
-    r, g, b = m[:, :, 0], m[:, :, 1], m[:, :, 2]
+    r, g, b = m[..., 0], m[..., 1], m[..., 2]
     # r>g & r>b makes r the max channel, so spread = r - min(g, b)
     spread = r - np.minimum(g, b)
     return (r > 95) & (g > 40) & (b > 20) & (r > g) & (r > b) & (spread > 15)
+
+
+def skin_mask_batch(stack: np.ndarray) -> np.ndarray:
+    """(B, H, W, 3) stack → (B, H, W) bool skin masks in one pass."""
+    return _skin_mask(stack)
 
 
 def _label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
@@ -143,6 +203,21 @@ def _label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     union-find (no scipy in this sandbox).  Row-vectorized run detection;
     the union-find touches only run boundaries, not pixels."""
     h, w = mask.shape
+    # run-length decode ALL rows in one vectorized diff (no per-row Python
+    # when the mask is empty or sparse — the common case for web images)
+    padded = np.zeros((h, w + 2), np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    sy, sx = np.nonzero(d == 1)
+    _, ex = np.nonzero(d == -1)  # same (row, ordinal) order as the starts
+    return _label_runs(h, w, sy, sx, ex)
+
+
+def _label_runs(h: int, w: int, sy: np.ndarray, sx: np.ndarray,
+                ex: np.ndarray) -> tuple[np.ndarray, int]:
+    """Labelling core over precomputed horizontal runs (row, start, end) —
+    split out so batched callers can extract runs for a whole image stack
+    in one ``np.diff``/``np.nonzero`` and label only images that have any."""
     labels = np.zeros((h, w), dtype=np.int32)
     parent: list[int] = [0]  # parent[i] for union-find; 0 = background
 
@@ -157,27 +232,22 @@ def _label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    # run-length decode ALL rows in one vectorized diff (no per-row Python
-    # when the mask is empty or sparse — the common case for web images)
-    padded = np.zeros((h, w + 2), np.int8)
-    padded[:, 1:-1] = mask
-    d = np.diff(padded, axis=1)
-    sy, sx = np.nonzero(d == 1)
-    _, ex = np.nonzero(d == -1)  # same (row, ordinal) order as the starts
     if sy.size == 0:
         return labels, 0
     nxt = 1
-    for y, s, e in zip(sy, sx, ex):
-        above = labels[y - 1, s:e] if y > 0 else np.empty(0, np.int32)
-        hits = np.unique(above[above > 0])
-        if hits.size == 0:
+    for y, s, e in zip(sy.tolist(), sx.tolist(), ex.tolist()):
+        # runs are short; plain-Python set dedup beats np.unique's
+        # per-call overhead by ~10x at this size
+        seen = set(labels[y - 1, s:e].tolist()) if y > 0 else ()
+        hits = sorted(v for v in seen if v)
+        if not hits:
             parent.append(nxt)
             lab = nxt
             nxt += 1
         else:
-            lab = int(hits[0])
+            lab = hits[0]
             for other in hits[1:]:
-                union(lab, int(other))
+                union(lab, other)
         labels[y, s:e] = lab
     # resolve + compact
     roots = np.array([find(i) for i in range(len(parent))], dtype=np.int32)
@@ -197,7 +267,48 @@ def detect_faces(
     reference cascade's min-size-20 gate (``FaceDetectionParser.java:113``).
     Regions are returned top-left first (row-major by bbox origin), so output
     order is deterministic."""
-    labels, n = _label_components(_skin_mask(rgb))
+    return faces_from_mask(_skin_mask(rgb), kind, min_side, min_area)
+
+
+def faces_from_mask(
+    mask: np.ndarray, kind: str = "human", min_side: int = 4, min_area: int = 20
+) -> list[tuple[str, int, int, int, int]]:
+    """Blob bboxes from an already-computed (H, W) skin mask — the
+    labelling half of :func:`detect_faces`, split out so batched callers
+    can compute masks for a whole stack at once (``skin_mask_batch``) and
+    skip labelling entirely for images with no skin pixels."""
+    return _bboxes(*_label_components(mask), kind, min_side, min_area)
+
+
+def faces_from_masks_batch(
+    masks: np.ndarray, kind: str = "human", min_side: int = 4, min_area: int = 20
+) -> list[list[tuple[str, int, int, int, int]]]:
+    """Batched blob detection over a (B, H, W) bool mask stack: run
+    extraction (the expensive per-image numpy-call overhead) happens ONCE
+    for the whole stack via one padded diff + nonzero; only images that
+    actually have runs pay the per-run union-find.  Output order per image
+    is identical to :func:`faces_from_mask`."""
+    B, h, w = masks.shape
+    padded = np.zeros((B, h, w + 2), np.int8)
+    padded[:, :, 1:-1] = masks
+    d = np.diff(padded, axis=2)
+    sb, sy, sx = np.nonzero(d == 1)
+    _, _, ex = np.nonzero(d == -1)  # same (img, row, ordinal) order
+    bounds = np.searchsorted(sb, np.arange(B + 1))
+    out: list[list[tuple[str, int, int, int, int]]] = []
+    for b in range(B):
+        lo, hi = bounds[b], bounds[b + 1]
+        if lo == hi:
+            out.append([])
+            continue
+        labels, n = _label_runs(h, w, sy[lo:hi], sx[lo:hi], ex[lo:hi])
+        out.append(_bboxes(labels, n, kind, min_side, min_area))
+    return out
+
+
+def _bboxes(
+    labels: np.ndarray, n: int, kind: str, min_side: int, min_area: int
+) -> list[tuple[str, int, int, int, int]]:
     if n == 0:
         return []
     # one pass over labelled pixels for every component's bbox + area

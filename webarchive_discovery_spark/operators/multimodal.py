@@ -29,11 +29,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
+import numpy as np
+
 from ..functions.colours import (
     detect_faces,
-    dominant_colour,
+    dominant_colours_batch,
     face_fragments,
-    match_colour_name,
+    faces_from_masks_batch,
+    match_colour_names_batch,
+    skin_mask_batch,
 )
 from ..functions.imaging import (
     average_hash,
@@ -155,48 +159,106 @@ def analyse_images(
             < int(sample_rate * 1_000_000)
         )
     schema = _schema_plus(df, IMAGE_ANALYSIS_SCHEMA, keep)
-    det = detector or detect_faces
 
     def run(batches):
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                rec = dict.fromkeys(
-                    ("image_width", "image_height", "image_size",
-                     "image_dominant_colour", "image_faces",
-                     "image_faces_count", "decode_error")
-                )
-                for c in keep:
-                    rec[c] = getattr(r, c)
-                raw = getattr(r, bytes_col)
-                if raw is None:
-                    rec["decode_error"] = "null payload"
-                    rows.append(rec)
-                    continue
-                data = bytes(raw)
-                if len(data) > max_size_bytes:
-                    rec["decode_error"] = "skipped: payload over size gate"
-                    rows.append(rec)
-                    continue
-                try:
-                    rgb = decode_image(data, getattr(r, fmt_col))
-                    h, w = rgb.shape[:2]
-                    rec["image_width"], rec["image_height"] = w, h
-                    rec["image_size"] = w * h
-                    if extract_dominant:
-                        rec["image_dominant_colour"] = match_colour_name(
-                            *dominant_colour(rgb)
-                        )
-                    if extract_faces:
-                        faces = det(rgb)
-                        rec["image_faces"] = face_fragments(faces)
-                        rec["image_faces_count"] = len(faces)
-                except Exception as exc:
-                    rec["decode_error"] = str(exc)[:200]
-                rows.append(rec)
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            res = _analyse_image_batch(
+                list(pdf[bytes_col]), list(pdf[fmt_col]),
+                extract_dominant, extract_faces, detector, max_size_bytes,
+            )
+            for c in keep:
+                res[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(res, columns=[f.name for f in schema.fields])
 
     return df.select(*keep, bytes_col, fmt_col).mapInPandas(run, schema)
+
+
+#: images per vectorized sub-batch — bounds the stacked-array working set
+#: (256 × a 1-megapixel image ≈ 768 MB int64 histogram scratch is the cap)
+_STACK_CHUNK = 256
+
+
+def _analyse_image_batch(datas, fmts, extract_dominant, extract_faces,
+                         detector, max_size_bytes):
+    """Shared batched analysis core: decode per record (inherently
+    per-format Python), then group decoded images BY SHAPE and run the
+    dominant-colour histogram + colour match + skin mask as single stacked
+    numpy passes per group — the per-image inner loop the r2 review flagged
+    is gone; only component labelling stays per image, and only for images
+    that have skin pixels at all.  Custom ``detector`` callables fall back
+    to per-image invocation (their contract is one rgb array)."""
+    n = len(datas)
+    res = {
+        "image_width": np.full(n, None, dtype=object),
+        "image_height": np.full(n, None, dtype=object),
+        "image_size": np.full(n, None, dtype=object),
+        "image_dominant_colour": np.full(n, None, dtype=object),
+        "image_faces": np.full(n, None, dtype=object),
+        "image_faces_count": np.full(n, None, dtype=object),
+        "decode_error": np.full(n, None, dtype=object),
+    }
+    decoded: list = [None] * n
+    for i, (raw, fmt) in enumerate(zip(datas, fmts)):
+        if raw is None:
+            res["decode_error"][i] = "null payload"
+            continue
+        data = bytes(raw)
+        if len(data) > max_size_bytes:
+            res["decode_error"][i] = "skipped: payload over size gate"
+            continue
+        try:
+            rgb = decode_image(data, fmt)
+        except Exception as exc:
+            res["decode_error"][i] = str(exc)[:200]
+            continue
+        decoded[i] = rgb
+        h, w = rgb.shape[:2]
+        res["image_width"][i] = w
+        res["image_height"][i] = h
+        res["image_size"][i] = w * h
+    by_shape: dict = {}
+    for i, rgb in enumerate(decoded):
+        if rgb is not None:
+            by_shape.setdefault(rgb.shape, []).append(i)
+    for idxs in by_shape.values():
+        for c0 in range(0, len(idxs), _STACK_CHUNK):
+            sub = idxs[c0:c0 + _STACK_CHUNK]
+            try:
+                stack = np.stack([decoded[i] for i in sub])
+                if extract_dominant:
+                    names = match_colour_names_batch(dominant_colours_batch(stack))
+                    for i, nm in zip(sub, names):
+                        res["image_dominant_colour"][i] = nm
+                if extract_faces:
+                    if detector is None:
+                        all_faces = faces_from_masks_batch(skin_mask_batch(stack))
+                        for i, faces in zip(sub, all_faces):
+                            res["image_faces"][i] = face_fragments(faces)
+                            res["image_faces_count"][i] = len(faces)
+                    else:
+                        for i in sub:
+                            faces = detector(decoded[i])
+                            res["image_faces"][i] = face_fragments(faces)
+                            res["image_faces_count"][i] = len(faces)
+            except Exception:
+                # batch-op failure (or a raising custom detector): recover
+                # per image so one bad record costs one row, not the chunk
+                from ..functions.colours import dominant_colour, match_colour_name
+
+                det = detector or detect_faces
+                for i in sub:
+                    try:
+                        if extract_dominant:
+                            res["image_dominant_colour"][i] = match_colour_name(
+                                *dominant_colour(decoded[i])
+                            )
+                        if extract_faces:
+                            faces = det(decoded[i])
+                            res["image_faces"][i] = face_fragments(faces)
+                            res["image_faces_count"][i] = len(faces)
+                    except Exception as exc:
+                        res["decode_error"][i] = str(exc)[:200]
+    return res
 
 
 FRAMES_SCHEMA = [
@@ -267,23 +329,16 @@ def image_analysis_struct_udf():
 
     @_F.pandas_udf(_IMAGE_STRUCT)
     def analyse(data: pd.Series, mime: pd.Series) -> pd.DataFrame:
-        rows = []
-        for b, m in zip(data, mime):
-            rec = dict.fromkeys([f.name for f in _IMAGE_STRUCT.fields])
-            fmt = _MIME_FMT.get((m or "").split(";")[0].strip().lower())
-            if b is not None and fmt is not None:
-                try:
-                    rgb = decode_image(bytes(b), fmt)
-                    h, w = rgb.shape[:2]
-                    faces = detect_faces(rgb)
-                    rec.update(image_width=w, image_height=h, image_size=w * h,
-                               image_dominant_colour=match_colour_name(
-                                   *dominant_colour(rgb)),
-                               image_faces=face_fragments(faces),
-                               image_faces_count=len(faces))
-                except Exception:
-                    pass
-            rows.append(rec)
-        return pd.DataFrame(rows, columns=[f.name for f in _IMAGE_STRUCT.fields])
+        fmts = [
+            _MIME_FMT.get((m or "").split(";")[0].strip().lower()) for m in mime
+        ]
+        # unknown MIME → None payload so the shared batch core null-rows it
+        datas = [b if f is not None else None for b, f in zip(data, fmts)]
+        res = _analyse_image_batch(
+            datas, fmts, extract_dominant=True, extract_faces=True,
+            detector=None, max_size_bytes=10 * 1024 * 1024,
+        )
+        cols = [f.name for f in _IMAGE_STRUCT.fields]
+        return pd.DataFrame({c: res[c] for c in cols}, columns=cols)
 
     return analyse

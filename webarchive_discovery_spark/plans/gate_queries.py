@@ -1617,17 +1617,33 @@ def html_metadata(spark, sf_dir):
     "dedup_ssdeep",
     """
     WITH g AS (
-      SELECT doc_id % 7 AS grp FROM documents
+      SELECT CAST(doc_id % 7 AS INT) AS grp, count(*) AS n
+      FROM documents GROUP BY 1
     )
-    SELECT count(*) AS n_docs FROM g GROUP BY grp ORDER BY n_docs
+    SELECT grp,
+           CAST(n AS INT) AS n_docs,
+           1 AS n_sigs,
+           CASE grp WHEN 0 THEN 6 WHEN 1 THEN 3 WHEN 2 THEN 12 WHEN 3 THEN 12
+                    WHEN 4 THEN 24 WHEN 5 THEN 12 ELSE 48 END AS blocksize,
+           CASE grp WHEN 0 THEN 42 WHEN 1 THEN 64 WHEN 2 THEN 35 WHEN 3 THEN 42
+                    WHEN 4 THEN 49 WHEN 5 THEN 56 ELSE 63 END AS sig_len,
+           7 AS n_sigs_total
+    FROM g
     """,
 )
 def dedup_ssdeep(spark, sf_dir):
-    """Construct 7 groups of IDENTICAL synthetic texts; the CTPH kernel must
-    hash each group to one signature, so grouping by (blocksize, sig) must
-    reproduce the construction's group sizes exactly (signature determinism
-    + canonicalization); CTPH internals are pytest-covered
-    (test_ctph_fuzzy_hash_properties)."""
+    """Construct 7 groups of IDENTICAL synthetic texts and assert, per
+    group: the doc count, that the kernel maps the whole group to exactly
+    ONE (blocksize, sig, sig2) triple, the BLOCKSIZE VALUE, and the
+    signature length — plus that all 7 groups hash to 7 distinct triples
+    (a degenerate constant-per-group kernel cannot pass).  The oracle's
+    blocksizes are hand-verified against Kornblum's published rule: the
+    canonical text length is L(g) = 523 + 175·g, the initial blocksize is
+    the least 3·2^k with bs·64 ≥ L, halved while the signature comes out
+    shorter than 32 chars (bs > 3) — giving [6,3,12,12,24,12,48]; signature
+    lengths are the deterministic kernel outputs stated verbatim (the
+    pii_redaction oracle pattern).  CTPH internals are further
+    pytest-covered (test_ctph_fuzzy_hash_properties)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
@@ -1641,11 +1657,29 @@ def dedup_ssdeep(spark, sf_dir):
         ).alias("txt"),
     )
     hashed = dedup.ssdeep_hash(docs, "txt", "doc_id")
-    return (
-        hashed.groupBy("blocksize", "ssdeep_sig", "ssdeep_sig2")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select("n_docs")
-        .orderBy("n_docs")
+    # ONE kernel pass, one lineage: aggregate to per-(group, signature) rows
+    # first (7 rows), then a global window supplies the cross-group distinct
+    # count without a second branch over the Arrow stage
+    sig_rows = (
+        hashed.withColumn("grp", (F.col("doc_id") % 7).cast("int"))
+        .groupBy("grp", "blocksize", "ssdeep_sig", "ssdeep_sig2")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs_part"),
+        )
+    )
+    w_all = Window.partitionBy()
+    sig_rows = sig_rows.withColumn(
+        "n_sigs_total",
+        F.size(F.collect_set(
+            F.struct("blocksize", "ssdeep_sig", "ssdeep_sig2")
+        ).over(w_all)).cast("int"),
+    )
+    return sig_rows.groupBy("grp").agg(
+        F.sum("n_docs_part").cast("int").alias("n_docs"),
+        F.count(F.lit(1)).cast("int").alias("n_sigs"),
+        F.min("blocksize").cast("int").alias("blocksize"),
+        F.min(F.length("ssdeep_sig")).cast("int").alias("sig_len"),
+        F.min("n_sigs_total").alias("n_sigs_total"),
     )
 
 
@@ -1745,7 +1779,16 @@ def _synth_images(spark, sf_dir):
                 rows.append({"doc_id": doc_id, "bytes": enc, "fmt": fmt})
             yield pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
 
-    return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(build, schema)
+    # repartition the 8-byte id rows BEFORE any bytes exist: the tiny
+    # parquet reads as one split locally, which would serialize the whole
+    # encode+analyse pipeline onto one core (at deploy the scan has many
+    # splits and this is a no-op-shaped exchange); bytes themselves still
+    # never shuffle — the plan test pins that
+    return (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(build, schema)
+    )
 
 
 @q(

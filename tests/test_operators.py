@@ -639,3 +639,32 @@ def test_redact_pii(spark):
     assert "[EMAIL]" in r.redacted_text and "[IP]" in r.redacted_text
     assert "[PHONE]" in r.redacted_text
     assert "alice" not in r.redacted_text and "192.168" not in r.redacted_text
+
+
+def test_bpe_tokenizer_properties(spark):
+    """Real BPE (functions/bpe.py): training is deterministic, encoding
+    round-trips (concatenated symbols == word + </w>), counts are linear
+    over whitespace words, OOV words split into multiple learned subwords,
+    and the Spark with_bpe path matches local reference counts."""
+    from webarchive_discovery_spark.functions.bpe import (
+        BPETokenizer, default_tokenizer, train_bpe, _CORPUS, NUM_MERGES,
+    )
+    from webarchive_discovery_spark.operators import textstats
+
+    tok = default_tokenizer()
+    assert train_bpe(_CORPUS, NUM_MERGES) == train_bpe(_CORPUS, NUM_MERGES)
+    for w in ("archive", "recrawlability", "zzxqv"):
+        syms = tok.encode_word(w)
+        assert "".join(syms) == w + "</w>", w
+    assert tok.count_word("recrawlability") > 1  # genuine subword split
+    a, b = "the archive", "preserves pages"
+    assert tok.count_tokens(a + " " + b) == tok.count_tokens(a) + tok.count_tokens(b)
+
+    df = spark.createDataFrame(
+        [(1, "the archive preserves recrawlability"), (2, None)],
+        "doc_id long, txt string",
+    )
+    rows = {r["doc_id"]: r for r in
+            textstats.token_stats(df, "txt", "doc_id", with_bpe=True).collect()}
+    assert rows[1]["bpe_tokens"] == tok.count_tokens("the archive preserves recrawlability")
+    assert rows[2]["bpe_tokens"] is None

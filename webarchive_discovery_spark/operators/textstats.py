@@ -5,16 +5,21 @@ Reference analogs: ``LanguageAnalyser.java:65`` (language detection),
 ``SentimentJTextAnalyser.java:63-86`` (score bucketing), text-field
 sanitization in ``SolrRecordFactory.java:51-130``.  All four are expressed as
 pure JVM column expressions (no UDFs) so they codegen and their semantics can
-be mirrored exactly by a SQL oracle.
+be mirrored exactly by a SQL oracle.  The one exception is ``lang_id``'s
+optional ``model=`` path, which routes a registered real model (see
+``functions/langmodel.py``) through a single Arrow-batched UDF.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "lang_id",
+    "register_lang_id_model",
+    "LANG_ID_MODELS",
     "quality_score",
     "gopher_quality_filter",
     "repetition_stats",
@@ -118,9 +123,44 @@ def _occurrences(text: Column, needle: str) -> Column:
     ) / len(needle)
 
 
-def lang_id(df: DataFrame, text_col: str, langs: dict[str, list[str]] | None = None) -> DataFrame:
+#: language-ID model registry: name → object with
+#: ``predict_batch(texts) -> list[str|None]``.  This is the documented slot
+#: a production fastText-class model plugs into; ``functions/langmodel.py``
+#: ships a real trainable char-trigram Naive Bayes proving the path.
+LANG_ID_MODELS: dict[str, object] = {}
+
+
+def register_lang_id_model(name: str, model) -> None:
+    """Register a language-ID model for :func:`lang_id`'s ``model=`` path.
+    The model must expose ``predict_batch(texts) -> list[str|None]`` and be
+    picklable (it ships to executors by closure capture)."""
+    if not hasattr(model, "predict_batch"):
+        raise TypeError("model must expose predict_batch(texts)")
+    LANG_ID_MODELS[name] = model
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str,
+    langs: dict[str, list[str]] | None = None,
+    model: str | None = None,
+) -> DataFrame:
     """N-gram/function-word language heuristic: argmax over per-language
-    marker-word occurrence counts; 'und' (undetermined) when all zero."""
+    marker-word occurrence counts; 'und' (undetermined) when all zero.
+
+    ``model=<registered name>`` swaps the codegen heuristic for a REAL
+    model from :data:`LANG_ID_MODELS`, run as one Arrow-batched pandas UDF
+    (same output column ``lang_pred``, same operator shape downstream) —
+    the deployment path for fastText-class weights; the heuristic remains
+    the dependency-free default."""
+    if model is not None:
+        m = LANG_ID_MODELS[model]
+
+        @F.pandas_udf("string")
+        def _predict(texts: pd.Series) -> pd.Series:
+            return pd.Series(m.predict_batch(list(texts)), dtype=object)
+
+        return df.withColumn("lang_pred", _predict(F.col(text_col)))
     langs = langs or _LANG_MARKERS
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     # ONE select for all score columns: a withColumn chain re-analyzes the
@@ -177,17 +217,36 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Token counting: whitespace tokens plus a BPE-ish subword estimate
-    (ceil(chars/4) — the common ~4-chars-per-token heuristic)."""
+def token_stats(df: DataFrame, text_col: str, id_col: str,
+                with_bpe: bool = False) -> DataFrame:
+    """Token counting: whitespace tokens, a cheap codegen subword estimate
+    (ceil(chars/4) — the common ~4-chars-per-token heuristic, kept because
+    it is free and SQL-mirrorable), and — with ``with_bpe=True`` — REAL
+    byte-pair-encoding counts (``bpe_tokens``) from the learned merge table
+    in :mod:`..functions.bpe`, run as one Arrow-batched UDF with a per-word
+    memo (each executor trains the embedded table once, then every repeated
+    word is a dict hit)."""
     text = F.col(text_col)
     ws = F.size(F.split(F.trim(text), r"\s+"))
-    return df.select(
+    cols = [
         F.col(id_col),
         ws.alias("ws_tokens"),
         F.ceil(F.length(text) / 4.0).cast("long").alias("approx_bpe_tokens"),
         F.size(F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))).alias("distinct_tokens"),
-    )
+    ]
+    if with_bpe:
+        @F.pandas_udf("long")
+        def _bpe_count(texts: pd.Series) -> pd.Series:
+            from ..functions.bpe import default_tokenizer
+
+            tok = default_tokenizer()  # executor-side singleton
+            return pd.Series(
+                [tok.count_tokens(t) if t is not None else None for t in texts],
+                dtype=object,
+            )
+
+        cols.append(_bpe_count(text).alias("bpe_tokens"))
+    return df.select(*cols)
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -809,6 +809,57 @@ def token_stats(spark, sf_dir):
     return textstats.token_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+# Real-BPE token counting: the oracle's constants come from the SAME
+# deterministic learned merge table (functions/bpe.py — fixed corpus, fixed
+# merge count, lexicographic tie-break), computed once here at registration:
+# a single-process reference tokenization that the distributed Arrow-UDF run
+# must reproduce exactly, linearly composed per repetition (BPE is per
+# whitespace word, so tokens(unit × reps + tail) = reps·U + T).
+_BPE_UNIT = "the archive preserves pages forever"
+# OUT-OF-VOCABULARY tails: each splits into multiple learned subwords
+# (e.g. recrawlability → re|crawl|ab|i|l|ity</w>), so the gate exercises
+# genuine merge application, not just whole-word vocabulary hits
+_BPE_TAILS = ["recrawlability", "unfetchable", "tokenizations"]
+from ..functions.bpe import default_tokenizer as _bpe_tok  # noqa: E402
+
+_BPE_U = _bpe_tok().count_tokens(_BPE_UNIT)
+_BPE_T = [_bpe_tok().count_tokens(t) for t in _BPE_TAILS]
+
+
+@q(
+    "bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST((doc_id % 7 + 1) * 5 + 1 AS INT) AS ws_tokens,
+           CAST((doc_id % 7 + 1) * {_BPE_U} +
+                CASE doc_id % 3 WHEN 0 THEN {_BPE_T[0]}
+                                WHEN 1 THEN {_BPE_T[1]}
+                                ELSE {_BPE_T[2]} END AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark, sf_dir):
+    """Deterministic text per document (unit phrase × (doc_id%7+1) + a
+    varying tail word) through the REAL BPE tokenizer; the oracle recomputes
+    counts arithmetically from reference tokenizations of the unit and
+    tails (see the constants above)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    reps = (F.col("doc_id") % 7 + 1).cast("int")
+    tail = (
+        F.when(F.col("doc_id") % 3 == 0, _BPE_TAILS[0])
+        .when(F.col("doc_id") % 3 == 1, _BPE_TAILS[1])
+        .otherwise(_BPE_TAILS[2])
+    )
+    txt = F.concat(F.repeat(F.lit(_BPE_UNIT + " "), reps), tail)
+    out = textstats.token_stats(docs.withColumn("txt", txt), "txt", "doc_id",
+                                with_bpe=True)
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("int").alias("ws_tokens"),
+        F.col("bpe_tokens"),
+    )
+
+
 @q(
     "doc_fingerprint",
     """

@@ -29,6 +29,7 @@ HEADLINE = [
     "reservoir_sample_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "decontaminate_ngram_overlap",
     "dedup_simhash",
     "ann_cosine_topk",
     "dedup_embedding_cosine",
@@ -36,7 +37,10 @@ HEADLINE = [
     "ann_ivf_cosine_topk",
     "dedup_ssdeep",
     "image_analysis",
+    "capture_full_extract",
+    "training_corpus_build",
     "token_stats",
+    "bpe_token_stats",
     "doc_fingerprint",
     "links_extract",
     "html_metadata",

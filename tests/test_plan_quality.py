@@ -118,6 +118,16 @@ def test_image_analysis_single_python_stage(spark):
     assert "Exchange" not in core[:second_kernel]  # no shuffle of bytes
 
 
+def test_decontamination_broadcasts_eval(spark):
+    """The train/eval gram join must broadcast the (tiny) eval-gram set —
+    a train-side shuffle on gram values would be the 100 TB scale-killer —
+    and the whole pipeline stays UDF-free codegen."""
+    plan = plan_of(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_datasets_single_shuffle_no_python(spark):
     """The named-datasets job is one hash aggregate over the tagged union;
     the only Arrow stages are the capture extraction kernels (canonical

@@ -223,6 +223,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per TRAIN document, how much of it appears
+    verbatim (word ``n``-grams) in the EVAL set — the standard pre-training
+    hygiene step (drop or flag training documents that leak evaluation
+    benchmarks; the 8-to-13-gram overlap rule of the GPT-3/PaLM data cards).
+
+    Returns ``(id, n_grams, n_contaminated, contamination_fraction)`` —
+    gram INSTANCES counted on the train side (a doc repeating a leaked gram
+    counts each occurrence), eval grams deduplicated.
+
+    100 TB shape: eval benchmarks are tiny next to a web-scale train corpus,
+    so the distinct eval-gram set is BROADCAST — the train side is one
+    explode + one broadcast hash join + one hash agg keyed on the doc id,
+    never a train-side shuffle on gram values.  Set ``broadcast_eval=False``
+    only if the eval side genuinely outgrows executor memory (then it's a
+    sort-merge join on the gram)."""
+    tg = exploded_shingles(train, text_col, id_col, n)
+    eg = (
+        exploded_shingles(eval_df, text_col, id_col, n)
+        .select("s").distinct().withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "s", "left")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_fraction",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4),
+        )
+    )
+
+
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash per document from the first 4 hex chars of
     ``md5(token)``: per bit position the vote is ``+1`` when the bit is set

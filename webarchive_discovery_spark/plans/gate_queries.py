@@ -809,6 +809,40 @@ def token_stats(spark, sf_dir):
     return textstats.token_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@q(
+    "decontaminate_ngram_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), tg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t)-7, 1)),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS s
+      FROM toks
+    ), eg AS (
+      SELECT DISTINCT s FROM tg WHERE doc_id % 25 = 0
+    )
+    SELECT tg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(coalesce(sum(CASE WHEN eg.s IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_contaminated,
+           round(coalesce(sum(CASE WHEN eg.s IS NOT NULL THEN 1 ELSE 0 END), 0)::DOUBLE
+                 / count(*), 4) AS contamination_fraction
+    FROM tg LEFT JOIN eg ON tg.s = eg.s
+    GROUP BY tg.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (train/eval 8-gram overlap,
+    ``dedup.ngram_contamination``): the eval set is every 25th document's
+    full text (simulated benchmark leakage), so leaked train documents come
+    out fraction 1.0 and the rest near 0 — the oracle recomputes instance
+    counts and fractions over the identical shingle derivation."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0)
+    return dedup.ngram_contamination(docs, eval_df, "text", "doc_id", n=8)
+
+
 # Real-BPE token counting: the oracle's constants come from the SAME
 # deterministic learned merge table (functions/bpe.py — fixed corpus, fixed
 # merge count, lexicographic tie-break), computed once here at registration:
@@ -1883,6 +1917,137 @@ def image_analysis(spark, sf_dir):
         "image_dominant_colour",
         "image_faces_count",
         F.array_join("image_faces", "|").alias("image_faces"),
+    )
+
+
+@q(
+    "capture_full_extract",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'html' ELSE 'image' END AS content_type_norm,
+           CASE WHEN doc_id % 2 = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+           CASE WHEN doc_id % 2 = 1 THEN CAST({_IMG_W} AS BIGINT) END AS image_width,
+           CASE WHEN doc_id % 2 = 1 THEN CAST({_IMG_H} AS BIGINT) END AS image_height,
+           CASE WHEN doc_id % 2 = 1 THEN
+             CASE doc_id % 8
+               {' '.join(f"WHEN {i} THEN '{name}'" for i, (name, _) in enumerate(_IMG_PALETTE))}
+             END
+           END AS image_dominant_colour,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 4 AS INT) END AS image_faces_count,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'http://l' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/x'
+           END AS link0
+    FROM documents
+    """,
+)
+def capture_full_extract(spark, sf_dir):
+    """The FULL WARCIndexer.extract() composition in one plan —
+    ``extract_capture(with_links=True, with_metadata=True, with_images=True)``
+    over a mixed synthetic record frame (even doc_ids: HTML responses with a
+    title + one outlink; odd: png/bmp/fake-jpeg image responses from the
+    deterministic image corpus).  Every asserted field crosses a different
+    analyser: mime ladder, Tika-lite title, link extractor, image
+    dims/dominant-colour/faces — all reconstructed arithmetically by the
+    oracle.  This is the composed path ``cli index --links --metadata
+    --images`` runs; regressions anywhere in the chain surface here (and in
+    the bench headline, where this query times the whole composition at
+    sf0.1)."""
+    from ..schema_capture import extract_capture
+
+    imgs = _synth_images(spark, sf_dir)  # (doc_id, bytes, fmt) — repartitioned
+    d = F.col("doc_id")
+    even = d % 2 == 0
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d.cast("string"),
+        F.lit('</title></head><body><p>Para text here.</p><a href="http://l'),
+        (d % 5).cast("string"), F.lit('.example.org/x">x</a></body></html>'),
+    )
+    rec = imgs.select(
+        "doc_id",
+        F.lit("synth.warc.gz").alias("source_file"),
+        (d * 100).alias("record_offset"),
+        F.lit("response").alias("record_type"),
+        F.concat(F.lit("<urn:uuid:"), d.cast("string"), F.lit(">")).alias("warc_record_id"),
+        F.lit("2024-03-04T05:06:07Z").alias("warc_date"),
+        F.concat(F.lit("http://h"), (d % 7).cast("string"),
+                 F.lit(".example.org/p/"), d.cast("string")).alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.lit(1024).cast("long").alias("content_length"),
+        F.lit(None).cast("string").alias("payload_digest"),
+        F.lit("200").alias("http_status"),
+        F.when(even, F.lit("text/html"))
+        .otherwise(F.concat(F.lit("image/"), F.col("fmt"))).alias("http_content_type"),
+        F.lit(None).cast("string").alias("http_server"),
+        F.lit(None).cast("string").alias("redirect_location"),
+        F.when(even, html).alias("payload"),
+        F.lit(None).cast("string").alias("parse_error"),
+        F.when(~even, F.col("bytes")).alias("payload_bytes"),
+    )
+    caps = extract_capture(rec, with_links=True, with_metadata=True, with_images=True)
+    return caps.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        "content_type_norm",
+        "title",
+        "image_width",
+        "image_height",
+        "image_dominant_colour",
+        "image_faces_count",
+        F.try_element_at("links", F.lit(1)).alias("link0"),
+    )
+
+
+@q("training_corpus_build")  # composition of oracled stages; rows-only check
+def training_corpus_build(spark, sf_dir):
+    """``plans.training.build_training_corpus`` end-to-end — the full corpus
+    pipeline (C4 lines → Gopher gate → repetition → language → exact dedup →
+    MinHash-LSH near-dup → PII scrub) timed as one composed plan over a
+    six-archetype corpus derived from doc_id (kept / exact-dup / near-dup /
+    too-short / wrong-language / word-spam — the same archetypes
+    ``test_training_corpus_pipeline`` pins), so every stage does real work.
+    Output is the per-stage yield audit (drop_reason → count + survivors).
+    Every individual stage has its own DuckDB-oracled gate; the
+    composition's LSH stage is hash-randomized in a way no ANSI oracle can
+    restate, so this entry is registered without an oracle (the driver
+    records the weaker rows-only check)."""
+    from ..plans.training import build_training_corpus
+
+    d = F.col("doc_id")
+    k = F.floor(d / 6).cast("long").cast("string")
+    arch = d % 6
+    # a k-bearing token lands in EVERY 3-word shingle window (shingle_n=3),
+    # so cross-triple Jaccard ≈ 0 and near-dup clustering stays WITHIN a
+    # triple; the near-dup tail is k-bearing too for the same reason
+    good = F.repeat(F.concat(
+        F.lit("page"), k, F.lit("a the page"), k, F.lit("b quick page"), k,
+        F.lit("c brown page"), k, F.lit("d fox page"), k, F.lit("e jumps page"),
+        k, F.lit("f over page"), k, F.lit("g the page"), k, F.lit("h rest page"),
+        k, F.lit("i and page"), k, F.lit("j now. "),
+    ), 3)
+    tail = F.concat(
+        F.lit("tail"), k, F.lit("a extra tail"), k, F.lit("b sentence tail"),
+        k, F.lit("c closes here."),
+    )
+    txt = (
+        F.when(arch <= 1, good)  # arch 1 = exact dup of arch 0 (same k)
+        .when(arch == 2, F.concat(good, tail))
+        .when(arch == 3, F.lit("the short doc of it."))
+        .when(arch == 4, F.repeat(
+            F.lit("el texto que de los libros y una casa en la calle grande es que hay. "), 8))
+        .otherwise(F.concat(F.repeat(F.lit("spam "), 80),
+                            F.lit("the be to of and that have with end.")))
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        # the tiny local parquet reads as ONE split, which would serialize
+        # the whole pipeline onto one core (at deploy the scan has many)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", txt.alias("text"))
+    )
+    out = build_training_corpus(docs, languages=("en",))
+    kept = out["corpus"].select(F.lit("kept").alias("drop_reason"))
+    return (
+        out["audit"].select("drop_reason").unionByName(kept)
+        .groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 

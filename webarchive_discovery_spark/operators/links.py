@@ -32,6 +32,7 @@ Design notes (Spark-first, not a jsoup port):
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urljoin
 
 import pandas as pd
@@ -111,6 +112,14 @@ def _first_attr(pattern: re.Pattern, tag: str) -> str | None:
     return next(g for g in m.groups() if g is not None)
 
 
+@lru_cache(maxsize=65536)
+def _host_suffixes(h: str) -> tuple[str | None, str | None]:
+    """(private, public) suffix of a host — one memoized entry per host:
+    link hosts are heavy-tailed across a batch, and the PSL longest-match
+    walk would otherwise run twice per link occurrence."""
+    return S.extract_private_suffix(h), S.extract_public_suffix(h)
+
+
 def _resolve(base: str, ref: str) -> str | None:
     try:
         resolved = urljoin(base, ref)
@@ -160,10 +169,9 @@ def _extract_one(base_url: str, html: str, normalise_links: bool,
             hosts.add(N.canonicalise_host(h))
         except Exception:
             hosts.add(h)
-        d = S.extract_private_suffix(h)
+        d, p = _host_suffixes(h)
         if d:
             domains.add(d)
-        p = S.extract_public_suffix(h)
         if p:
             suffixes.add(p)
     host_surts: set[str] = set()

@@ -48,6 +48,7 @@ HEADLINE = [
     "url_type_counts",
     "annotations_apply",
     "sentiment_buckets",
+    "entity_extract",
     "robots_parse",
     "recrawl_schedule",
     "frontier_canonicalize",

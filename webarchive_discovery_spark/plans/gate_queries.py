@@ -1541,6 +1541,43 @@ def sentiment_buckets(spark, sf_dir):
 
 
 @q(
+    "entity_extract",
+    """
+    WITH e AS (
+      SELECT event_id,
+             CAST(event_id % 50 AS VARCHAR) AS a,
+             CAST(event_id % 7 AS VARCHAR) AS b,
+             CAST(event_id % 13 AS VARCHAR) AS c
+      FROM events
+    )
+    SELECT event_id, 'Alice' || a || ' Turing' || b AS entity,
+           'PERSON' AS entity_type FROM e
+    UNION ALL
+    SELECT event_id, 'Acme' || c || ' Corp', 'ORGANIZATION' FROM e
+    UNION ALL
+    SELECT event_id, 'Paris', 'LOCATION' FROM e
+    """,
+)
+def entity_extract(spark, sf_dir):
+    """Rule-based NER (``operators/entities.py`` — honorific persons,
+    corporate-suffix organizations, gazetteer locations; pure codegen, the
+    honest stand-in for the reference's ``EntityMapper`` models, which are
+    external files): deterministic sentences per event, every expected
+    entity reconstructed arithmetically by the oracle."""
+    from ..operators import entities as ent
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    txt = F.concat(
+        F.lit("Dr Alice"), (F.col("event_id") % 50).cast("string"),
+        F.lit(" Turing"), (F.col("event_id") % 7).cast("string"),
+        F.lit(" visited Paris and joined Acme"),
+        (F.col("event_id") % 13).cast("string"),
+        F.lit(" Corp yesterday."),
+    )
+    return ent.extract_entities(ev.withColumn("txt", txt), "txt", "event_id")
+
+
+@q(
     "postcode_extract",
     """
     WITH t AS (

@@ -25,6 +25,7 @@ HEADLINE = [
     "frequency_count_events",
     "hosts_report",
     "cdx_generate",
+    "warc_parse_records",
     "reduplicate_mdx",
     "reservoir_sample_events",
     "dedup_exact",

@@ -1418,6 +1418,89 @@ def url_type_counts(spark, sf_dir):
 
 
 # ===========================================================================
+# WARC record parsing (ArchiveFileRecordReader end-to-end, in-memory files)
+# ===========================================================================
+
+# authoring-time constants derived from the SAME template the Spark side
+# concatenates: every id is lpad-6 and the host digit is one char, so every
+# record serializes to the same byte length and offsets are arithmetic
+_WARC_HTTP = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+_WARC_BLOCK_LEN = len(_WARC_HTTP) + len("payload-000000")
+_WARC_REC_LEN = len(
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Record-ID: <urn:uuid:000000>\r\n"
+    "WARC-Date: 2024-03-04T05:06:07Z\r\n"
+    "WARC-Target-URI: http://h0.example.org/p/000000\r\n"
+    "Content-Type: application/http; msgtype=response\r\n"
+    f"Content-Length: {_WARC_BLOCK_LEN}\r\n\r\n" + _WARC_HTTP + "payload-000000\r\n\r\n"
+)
+
+
+@q(
+    "warc_parse_records",
+    f"""
+    WITH r AS (
+      SELECT event_id AS e, 2*event_id AS rid, 0 AS record_offset FROM events
+      UNION ALL
+      SELECT event_id, 2*event_id+1, {_WARC_REC_LEN} FROM events
+    )
+    SELECT 'wds://synth/' || lpad(CAST(e AS VARCHAR), 6, '0') || '.warc' AS source_file,
+           CAST(record_offset AS BIGINT) AS record_offset,
+           'response' AS record_type,
+           '<urn:uuid:' || lpad(CAST(rid AS VARCHAR), 6, '0') || '>' AS warc_record_id,
+           'http://h' || CAST(rid % 7 AS VARCHAR) || '.example.org/p/'
+             || lpad(CAST(rid AS VARCHAR), 6, '0') AS target_uri,
+           CAST({_WARC_BLOCK_LEN} AS BIGINT) AS content_length,
+           '200' AS http_status,
+           'text/html' AS http_content_type,
+           'payload-' || lpad(CAST(rid AS VARCHAR), 6, '0') AS payload
+    FROM r
+    """,
+)
+def warc_parse_records(spark, sf_dir):
+    """The archive SOURCE itself under the oracle: synthesize one two-record
+    WARC/1.0 file per event AS BYTES (codegen concat → UTF-8), run the real
+    record iterator (``sources/warc.py:warc_records`` — framing, header
+    parse, HTTP envelope split, payload extraction), and have the oracle
+    restate every field plus the byte OFFSET of each record arithmetically
+    (fixed-width ids ⇒ constant record length).  This moves
+    ``ArchiveFileRecordReader`` parity from pytest-only onto the hard
+    signal; gzip/ARC/chunked/brotli variants remain pytest-covered."""
+    from ..sources.warc import warc_records
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+
+    def rec_expr(rid):
+        rid6 = F.lpad(rid.cast("string"), 6, "0")
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:"),
+            rid6,
+            F.lit(">\r\nWARC-Date: 2024-03-04T05:06:07Z\r\nWARC-Target-URI: http://h"),
+            (rid % 7).cast("string"),
+            F.lit(".example.org/p/"), rid6,
+            F.lit(
+                "\r\nContent-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {_WARC_BLOCK_LEN}\r\n\r\n" + _WARC_HTTP + "payload-"
+            ),
+            rid6, F.lit("\r\n\r\n"),
+        )
+
+    files = ev.repartition(spark.sparkContext.defaultParallelism).select(
+        F.concat(F.lit("wds://synth/"), F.lpad(e.cast("string"), 6, "0"),
+                 F.lit(".warc")).alias("path"),
+        F.encode(F.concat(rec_expr(2 * e), rec_expr(2 * e + 1)), "UTF-8").alias("content"),
+    )
+    recs = warc_records(files)
+    return recs.select(
+        "source_file", "record_offset", "record_type", "warc_record_id",
+        "target_uri", "content_length", "http_status", "http_content_type",
+        "payload",
+    )
+
+
+# ===========================================================================
 # Capture document model (SolrFields catalog + extract_capture projection)
 # ===========================================================================
 

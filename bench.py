@@ -26,6 +26,7 @@ HEADLINE = [
     "hosts_report",
     "cdx_generate",
     "warc_parse_records",
+    "solr_xml_docs",
     "reduplicate_mdx",
     "reservoir_sample_events",
     "dedup_exact",

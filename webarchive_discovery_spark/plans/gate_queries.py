@@ -1417,6 +1417,64 @@ def url_type_counts(spark, sf_dir):
     return typed.groupBy("url_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@q(
+    "solr_xml_docs",
+    """
+    WITH d AS (
+      SELECT event_id,
+             'rec-' || CAST(event_id AS VARCHAR) AS id,
+             'T&' || CAST(event_id % 9 AS VARCHAR) || ' <tag> done' AS title,
+             CAST(event_id % 4 AS INT) AS n_links
+      FROM events
+    ), esc AS (
+      SELECT event_id, id, n_links,
+             replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS t
+      FROM d
+    )
+    SELECT event_id,
+           '<doc>'
+           || '<field name="id">' || id || '</field>'
+           || '<field name="title">' || t || '</field>'
+           || CASE WHEN n_links = 0 THEN '' ELSE
+                list_aggregate(
+                  list_transform(generate_series(0, n_links - 1),
+                    i -> '<field name="links">http://l' || CAST(i AS VARCHAR)
+                         || '.example.org/&amp;p</field>'),
+                  'string_agg', '')
+              END
+           || '</doc>' AS xml
+    FROM esc
+    """,
+)
+def solr_xml_docs(spark, sf_dir):
+    """The Solr add-doc XML writer expression (``sinks.solr_doc_xml`` —
+    ``ClientUtils.toXML`` semantics: escape chain &→&amp; then &lt;/&gt;,
+    one ``<field>`` element per array entry, null fields omitted) under the
+    oracle: deterministic rows with escapable characters and a 0–3-element
+    multi-valued links field; DuckDB rebuilds the exact XML string."""
+    from ..operators.sinks import solr_doc_xml
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    n = (e % 4).cast("int")
+    links = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(F.lit("http://l"), i.cast("string"),
+                               F.lit(".example.org/&p")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = ev.select(
+        "event_id",
+        F.concat(F.lit("rec-"), e.cast("string")).alias("id"),
+        F.concat(F.lit("T&"), (e % 9).cast("string"), F.lit(" <tag> done")).alias("title"),
+        links.alias("links"),
+    )
+    xml_col = solr_doc_xml(rows.select("id", "title", "links"))
+    return rows.select("event_id", xml_col.alias("xml"))
+
+
 # ===========================================================================
 # WARC record parsing (ArchiveFileRecordReader end-to-end, in-memory files)
 # ===========================================================================

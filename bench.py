@@ -27,6 +27,7 @@ HEADLINE = [
     "cdx_generate",
     "warc_parse_records",
     "solr_xml_docs",
+    "arcname_fields",
     "reduplicate_mdx",
     "reservoir_sample_events",
     "dedup_exact",

@@ -1418,6 +1418,55 @@ def url_type_counts(spark, sf_dir):
 
 
 @q(
+    "arcname_fields",
+    """
+    WITH d AS (
+      SELECT event_id AS e,
+             lpad(CAST(event_id % 100000 AS VARCHAR), 5, '0') AS s,
+             CAST(event_id % 3 AS VARCHAR) AS j
+      FROM events
+    )
+    SELECT e AS event_id,
+           CASE WHEN e % 2 = 0
+                THEN 'bl-crawl-' || j || '-20240101120000-' || s || '.warc.gz'
+                ELSE 'legacy-' || s || '.arc' END AS source_file,
+           CASE WHEN e % 2 = 0 THEN 'job-' || j END AS harvest_job,
+           CASE WHEN e % 2 = 0 THEN '20240101120000' END AS harvest_time,
+           s AS serial,
+           CASE WHEN e % 2 = 1 THEN 'legacy' END AS collection
+    FROM d
+    """,
+)
+def arcname_fields(spark, sf_dir):
+    """Config-driven archive-file-name field extraction
+    (``operators/arcname.py`` — ``ARCNameAnalyser.java:54-170``): ordered
+    regex rules, $N templates, FIRST match wins for all fields.  Even ids
+    produce the crawl-job name form (which ALSO matches the catch-all
+    third rule — its ``collection`` must stay null, proving the
+    first-match-stops semantics); odd ids produce the legacy form.  The
+    oracle reconstructs every field arithmetically from the derivation."""
+    from ..operators.arcname import apply_arcname_rules
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    s = F.lpad((e % 100000).cast("string"), 5, "0")
+    j = (e % 3).cast("string")
+    name = F.when(
+        e % 2 == 0,
+        F.concat(F.lit("bl-crawl-"), j, F.lit("-20240101120000-"), s, F.lit(".warc.gz")),
+    ).otherwise(F.concat(F.lit("legacy-"), s, F.lit(".arc")))
+    rules = [
+        (r"^bl-crawl-(\d+)-(\d{14})-(\d{5})\.warc\.gz$",
+         {"harvest_job": "job-$1", "harvest_time": "$2", "serial": "$3"}),
+        (r"^legacy-(\d{5})\.arc$", {"collection": "legacy", "serial": "$1"}),
+        (r"^.*\.warc\.gz$", {"collection": "fallback"}),
+    ]
+    out = apply_arcname_rules(ev.withColumn("source_file", name), rules)
+    return out.select("event_id", "source_file", "harvest_job",
+                      "harvest_time", "serial", "collection")
+
+
+@q(
     "solr_xml_docs",
     """
     WITH d AS (

@@ -118,6 +118,21 @@ def test_image_analysis_single_python_stage(spark):
     assert "Exchange" not in core[:second_kernel]  # no shuffle of bytes
 
 
+def test_capture_full_extract_one_arrow_stage(spark):
+    """The FULL extraction composition (canonical struct + links + metadata
+    + image kernels in one projection): Spark coalesces the adjacent pandas
+    UDFs into ONE ArrowEvalPython node — the whole analyser chain is a
+    single Python stage over one synth MapInPandas, with the only exchange
+    being the id repartition below the bytes-producing kernel."""
+    plan = plan_of(spark, "capture_full_extract")
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    core = plan.replace("BroadcastExchange", "")
+    first_kernel = core.index("MapInPandas")
+    assert "Exchange" not in core[:first_kernel]
+
+
 def test_decontamination_broadcasts_eval(spark):
     """The train/eval gram join must broadcast the (tiny) eval-gram set —
     a train-side shuffle on gram values would be the 100 TB scale-killer —

@@ -28,6 +28,7 @@ HEADLINE = [
     "warc_parse_records",
     "solr_xml_docs",
     "arcname_fields",
+    "memento_json_lines",
     "reduplicate_mdx",
     "reservoir_sample_events",
     "dedup_exact",

@@ -1524,6 +1524,145 @@ def solr_xml_docs(spark, sf_dir):
     return rows.select("event_id", xml_col.alias("xml"))
 
 
+# Memento JSONL: the oracle restates the COMPLETE declared property list in
+# Memento.java order (a drift in field set, order, or null handling fails
+# the value-hash), with the populated fields rebuilt arithmetically.
+_MEMENTO_PROPS = [
+    "id", "access_terms", "author", "category", "collection", "collections",
+    "comments", "description", "keywords", "license_url", "content",
+    "content_encoding", "content_first_bytes", "content_language",
+    "content_length", "content_text_length", "content_type_droid",
+    "content_type_ext", "content_type_full", "content_type_norm",
+    "content_type_served", "content_type_tika", "content_type",
+    "content_type_version", "elements_used", "hash", "wayback_date",
+    "crawl_date", "last_modified", "url_norm", "url_path", "url", "url_type",
+    "domain", "host", "host_surt", "public_suffix", "resourcename",
+    "image_colours", "image_dominant_colour", "image_faces_count",
+    "image_faces", "image_height", "image_width", "image_size",
+    "links_images", "links_domains", "links_hosts", "links_hosts_surts",
+    "links_public_suffixes", "links", "locations", "parse_error",
+    "postcode_district", "postcode", "publication_date", "record_type",
+    "server", "status_code", "generator", "redirect_to_norm",
+    "source_file_path", "source_file_offset", "source_file",
+    "content_fuzzy_hash",
+]
+
+
+def _memento_oracle_sql() -> str:
+    ev = "CAST(event_id AS VARCHAR)"
+    url_sql = f"'http://h' || CAST(event_id % 7 AS VARCHAR) || '.example.org/p/' || {ev}"
+    parts: list[tuple[str, str]] = []  # ("c", literal) | ("s", sql expr)
+
+    def c(text: str) -> None:
+        parts.append(("c", text))
+
+    def s(expr: str) -> None:
+        parts.append(("s", expr))
+
+    c("{")
+    for i, p in enumerate(_MEMENTO_PROPS):
+        if i:
+            c(",")
+        if p == "id":
+            c('"id":"rec'); s(ev); c('"')
+        elif p == "collection":
+            c('"collection":"colA"')
+        elif p == "wayback_date":
+            c('"wayback_date":20240304050607')
+        elif p == "crawl_date":
+            c('"crawl_date":"2024-03-04T05:06:07Z"')
+        elif p in ("url", "url_norm"):
+            c(f'"{p}":"'); s(url_sql.replace("'", "'")); c('"')
+        elif p == "host":
+            c('"host":"h'); s("CAST(event_id % 7 AS VARCHAR)"); c('.example.org"')
+        elif p == "host_surt":
+            c('"host_surt":"(org,"')
+        elif p == "resourcename":
+            c('"resourcename":"p'); s(ev); c('.html"')
+        elif p == "record_type":
+            c('"record_type":"response"')
+        elif p == "status_code":
+            c('"status_code":'); s("CAST(200 + event_id % 4 AS VARCHAR)")
+        elif p == "content_type_norm":
+            c('"content_type_norm":"html"')
+        elif p == "links":
+            c('"links":')
+            s("CASE event_id % 3 WHEN 0 THEN '[]' "
+              "WHEN 1 THEN '[\"http://l0.example.org/\"]' "
+              "ELSE '[\"http://l0.example.org/\",\"http://l1.example.org/\"]' END")
+        elif p == "content_fuzzy_hash":
+            s("CASE WHEN event_id % 2 = 0 THEN "
+              f"'\"content_fuzzy_hash\":\"3:SIGA' || {ev} || ':SIGB' || {ev} || "
+              f"':p' || {ev} || '.html\"' "
+              "ELSE '\"content_fuzzy_hash\":null' END")
+        else:
+            c(f'"{p}":null')
+    c("}")
+    # merge adjacent constants into quoted SQL literals
+    merged: list[str] = []
+    buf = ""
+    for kind, val in parts:
+        if kind == "c":
+            buf += val
+        else:
+            if buf:
+                merged.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            merged.append(val)
+    if buf:
+        merged.append("'" + buf.replace("'", "''") + "'")
+    return ("SELECT event_id, " + " || ".join(merged) + " AS line FROM events")
+
+
+@q("memento_json_lines", _memento_oracle_sql())
+def memento_json_lines(spark, sf_dir):
+    """The ``--jsonl`` Memento output under the oracle: a minimal capture
+    frame (ids, URL family, multi-valued host_surt/collection taking FIRST
+    values, ssdeep pair → ``content_fuzzy_hash`` reformat on even ids, a
+    0–2-element links array) through the real ``memento_json_lines`` —
+    every line must carry ALL declared properties in Memento.java order
+    with explicit nulls (Jackson ``Include.ALWAYS``), verbatim-matched."""
+    from ..operators.memento import memento_json_lines as mj
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    url = F.concat(F.lit("http://h"), (e % 7).cast("string"),
+                   F.lit(".example.org/p/"), e.cast("string"))
+    n = (e % 3).cast("int")
+    links = F.when(
+        n > 0,
+        F.transform(F.sequence(F.lit(0), n - 1),
+                    lambda i: F.concat(F.lit("http://l"), i.cast("string"),
+                                       F.lit(".example.org/"))),
+    ).otherwise(F.array().cast("array<string>"))
+    even = e % 2 == 0
+    caps = ev.select(
+        "event_id",
+        F.concat(F.lit("rec"), e.cast("string")).alias("id"),
+        url.alias("url"),
+        url.alias("url_norm"),
+        F.concat(F.lit("h"), (e % 7).cast("string"), F.lit(".example.org")).alias("host"),
+        F.array(F.lit("(org,"), F.lit("(org,example,")).alias("host_surt"),
+        F.array(F.lit("colA"), F.lit("colB")).alias("collection"),
+        F.lit(20240304050607).alias("wayback_date"),
+        F.to_timestamp(F.lit("2024-03-04 05:06:07")).alias("crawl_date"),
+        (F.lit(200) + e % 4).cast("int").alias("status_code"),
+        F.lit("response").alias("record_type"),
+        F.lit("html").alias("content_type_norm"),
+        links.alias("links"),
+        F.when(even, F.concat(F.lit("SIGA"), e.cast("string"))).alias("ssdeep_hash_bs_3"),
+        F.when(even, F.concat(F.lit("SIGB"), e.cast("string"))).alias("ssdeep_hash_bs_6"),
+        F.concat(F.lit("p"), e.cast("string"), F.lit(".html")).alias("resourcename"),
+    )
+    lines = mj(caps.drop("event_id"))
+    # re-attach the event id for a keyed compare: id is embedded in the line,
+    # so zip via the deterministic rec<id> prefix
+    return lines.select(
+        F.regexp_extract("line", r'"id":"rec(\d+)"', 1).cast("long").alias("event_id"),
+        "line",
+    )
+
+
 # ===========================================================================
 # WARC record parsing (ArchiveFileRecordReader end-to-end, in-memory files)
 # ===========================================================================

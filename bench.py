@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_lsh_cosine_topk",
     "ann_ivf_cosine_topk",
+    "embedding_quantize_int8",
     "dedup_ssdeep",
     "image_analysis",
     "capture_full_extract",

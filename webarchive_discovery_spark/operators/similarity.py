@@ -28,7 +28,49 @@ __all__ = [
     "ivf_centroids",
     "ivf_train",
     "ivf_cosine_topk",
+    "quantize_embeddings",
 ]
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Int8 scalar quantization of an embedding column — the standard 4×
+    storage/bandwidth reduction for vector corpora at 100 TB (store
+    ``(scale, int8 vector)``, dequantize as ``q·scale`` on the probe side).
+
+    Per vector: ``scale = max|v| / 127``; ``q_i = floor(v_i/scale + 0.5)``
+    (explicit round-half-up so a SQL oracle restates the arithmetic
+    bit-for-bit; zero vectors quantize to zeros with scale 0).  Also emits
+    ``max_abs_err`` = max dequantization error, bounded by ``scale/2`` by
+    construction.  Pure codegen array expressions — no UDF, no shuffle."""
+    v = _as_double(F.col(vec_col))
+    # materialize scale as a column first so the per-element lambdas below
+    # reference a computed value, not a re-evaluated max-reduction
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+         / F.lit(127.0)).alias("scale"),
+    )
+    scale = F.col("scale")
+    q = F.when(
+        scale > 0,
+        F.transform(F.col("_v"), lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    staged = staged.withColumn("qvec", q)
+    err = F.when(
+        scale > 0,
+        F.aggregate(
+            F.zip_with(F.col("qvec"), F.col("_v"),
+                       lambda qi, xi: F.abs(qi.cast("double") * scale - xi)),
+            F.lit(0.0),
+            lambda a, b: F.greatest(a, b),
+        ),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        F.col(id_col), scale, F.col("qvec"), err.alias("max_abs_err")
+    )
 
 
 def cosine(a, b):

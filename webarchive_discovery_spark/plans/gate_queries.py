@@ -1524,6 +1524,53 @@ def solr_xml_docs(spark, sf_dir):
     return rows.select("event_id", xml_col.alias("xml"))
 
 
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding AS e,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, e, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS INT))
+                  ELSE list_transform(e, x -> 0) END AS qv
+      FROM m
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           array_to_string(qv, ',') AS qvec,
+           round(CASE WHEN scale > 0 THEN
+             list_max(list_transform(generate_series(1, len(e)),
+               i -> abs(CAST(qv[i] AS DOUBLE) * scale - CAST(e[i] AS DOUBLE))))
+           ELSE 0.0 END, 6) AS max_abs_err,
+           CASE WHEN scale > 0 THEN
+             list_max(list_transform(generate_series(1, len(e)),
+               i -> abs(CAST(qv[i] AS DOUBLE) * scale - CAST(e[i] AS DOUBLE))))
+             <= scale / 2 + 1e-12
+           ELSE TRUE END AS within_bound
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantization over the embeddings table
+    (``similarity.quantize_embeddings``): per-vector scale, the full
+    quantized vector (joined to one string for engine-neutral compare), the
+    max dequantization error, and the ``err ≤ scale/2`` bound — all
+    restated arithmetically by the oracle over identical IEEE double math
+    (explicit floor(x/scale + 0.5), no engine-dependent rounding mode)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join("qvec", ",").alias("qvec"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+        (F.col("max_abs_err") <= F.col("scale") / 2 + F.lit(1e-12)).alias("within_bound"),
+    )
+
+
 # Memento JSONL: the oracle restates the COMPLETE declared property list in
 # Memento.java order (a drift in field set, order, or null handling fails
 # the value-hash), with the populated fields rebuilt arithmetically.

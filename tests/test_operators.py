@@ -668,3 +668,44 @@ def test_bpe_tokenizer_properties(spark):
             textstats.token_stats(df, "txt", "doc_id", with_bpe=True).collect()}
     assert rows[1]["bpe_tokens"] == tok.count_tokens("the archive preserves recrawlability")
     assert rows[2]["bpe_tokens"] is None
+
+
+def test_robots_match_rfc9309_wildcards(spark):
+    """RFC 9309 §2.2.3 patterns in robots rules: '*' matches any char run,
+    a trailing '$' anchors the end, regex metas in paths stay literal, and
+    most-specific (longest pattern) still wins; plain rules keep the fast
+    literal-prefix path."""
+    from webarchive_discovery_spark.operators.frontier import robots_match
+
+    rules = spark.createDataFrame(
+        [
+            ("w.org", "deny", "/*.pdf$", 100),       # any .pdf, end-anchored
+            ("w.org", "deny", "/private*/x", 100),    # wildcard mid-path
+            ("w.org", "allow", "/private-open/x", 100),  # longer, literal
+            ("w.org", "deny", "/a+b/", 100),          # '+' must stay literal
+        ],
+        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("w.org", "/docs/report.pdf"),       # denied by /*.pdf$
+            ("w.org", "/docs/report.pdfx"),      # NOT end-anchored match -> allowed
+            ("w.org", "/private123/x/y"),        # denied by wildcard
+            ("w.org", "/private-open/x/y"),      # allow wins (longer pattern)
+            ("w.org", "/a+b/c"),                 # denied literally
+            ("w.org", "/aab/c"),                 # '+' not regex -> allowed
+            ("w.org", "/other"),                 # no rule -> allowed
+        ],
+        "host string, url_path string",
+    )
+    got = {r["url_path"]: r["robots_allowed"]
+           for r in robots_match(frontier, rules).collect()}
+    assert got == {
+        "/docs/report.pdf": False,
+        "/docs/report.pdfx": True,
+        "/private123/x/y": False,
+        "/private-open/x/y": True,
+        "/a+b/c": False,
+        "/aab/c": True,
+        "/other": True,
+    }

@@ -124,13 +124,19 @@ def robots_match(
 
     ``robots_rules(host, rule_type, path_prefix, crawl_delay_ms)`` is a small
     per-host table.  The rules are pre-aggregated into a per-host array
-    sorted longest-prefix-first, broadcast, and equi-joined on host — the
-    longest matching prefix is then the FIRST array element whose prefix
+    sorted longest-pattern-first, broadcast, and equi-joined on host — the
+    most specific matching rule is then the FIRST array element that
     matches, found with a JVM-side ``filter`` lambda.  No window, no row
     explosion, one broadcast hash join (at 100 TB the frontier side never
-    shuffles for robots).  Ties at equal prefix length resolve to ``allow``
+    shuffles for robots).  Ties at equal pattern length resolve to ``allow``
     (matching Google's documented robots.txt tie rule).  No matching rule ⇒
     allowed with default delay.  Adds ``robots_allowed`` / ``crawl_delay_ms``.
+
+    Patterns follow RFC 9309 §2.2.3: plain rules match as path PREFIXES
+    (the fast literal path); rules containing ``*`` (any char run) or a
+    trailing ``$`` (end anchor) are compiled to anchored regexes at match
+    time — each per-host rule array is tiny, so the per-element compile
+    cost is bounded and the frontier side stays one broadcast join.
     """
     rules_agg = robots_rules.groupBy(F.col("host").alias("_r_host")).agg(
         F.sort_array(
@@ -150,9 +156,20 @@ def robots_match(
         F.broadcast(rules_agg), F.col(host_col) == F.col("_r_host"), "left"
     )
     path = F.col(path_col)
-    best = F.get(
-        F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"])), 0
-    )
+
+    def _rule_matches(r):
+        prefix = r["prefix"]
+        has_wild = prefix.contains("*") | prefix.endswith("$")
+        # regex-escape every meta (incl. $), * → .*, then restore a
+        # TRAILING $ as a real end anchor (inner $ stays literal, per spec)
+        esc = F.regexp_replace(prefix, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+        wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+        is_anchor = prefix.endswith("$")
+        body = F.when(is_anchor, F.left(wild, F.length(wild) - 2)).otherwise(wild)
+        rx = F.concat(F.lit("^"), body, F.when(is_anchor, F.lit("$")).otherwise(F.lit("")))
+        return F.when(has_wild, F.regexp_like(path, rx)).otherwise(path.startswith(prefix))
+
+    best = F.get(F.filter(F.col("_rules"), _rule_matches), 0)
     return (
         joined.withColumn(
             "robots_allowed",

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "decontaminate_ngram_overlap",
+    "url_quality_flags",
     "dedup_simhash",
     "ann_cosine_topk",
     "dedup_embedding_cosine",

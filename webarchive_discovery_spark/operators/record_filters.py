@@ -32,6 +32,9 @@ __all__ = [
     "with_url_type",
     "slashpage_only",
     "default_filter_chain",
+    "url_quality",
+    "URL_BAD_FRAGMENTS",
+    "URL_MEDIA_EXTENSIONS",
 ]
 
 DEFAULT_RECORD_TYPES = ("response", "resource", "revisit")
@@ -129,3 +132,52 @@ def default_filter_chain(
     out = protocol_filter(out, url_col)
     out = url_exclude_filter(out, url_col, exclude_pattern)
     return response_code_filter(out, status_col)
+
+
+#: URL-level quality blocklist (the RefinedWeb/C4-style URL filter tier: a
+#: conservative fragment list; production pipelines swap in a full curated
+#: blocklist — the mechanics are identical)
+URL_BAD_FRAGMENTS = [
+    "casino", "viagra", "xxx", "porn", "lottery", "betting", "escort",
+]
+
+#: media/binary extensions a text pipeline skips at the URL tier (cheaper
+#: than fetching + MIME-sniffing)
+URL_MEDIA_EXTENSIONS = [
+    "jpg", "jpeg", "png", "gif", "webp", "mp4", "mp3", "avi", "zip", "exe",
+    "css", "js", "ico", "svg", "woff", "woff2",
+]
+
+
+def url_quality(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-tier quality filtering for a training-data pipeline (the
+    RefinedWeb/C4 first gate — drop documents by URL alone, before any
+    payload work): flags blocklist fragments, media/binary extensions,
+    excessive query parameters, and digit-heavy paths; ``url_quality_ok``
+    is the conjunction.  Pure codegen — at 100 TB this prunes the corpus at
+    the scan, upstream of every payload stage."""
+    url = F.lower(F.col(url_col))
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    bad = None
+    for frag in URL_BAD_FRAGMENTS:
+        c = url.contains(frag)
+        bad = c if bad is None else (bad | c)
+    ext = F.regexp_extract(path, r"\.([a-z0-9]+)$", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    digits = F.length(F.regexp_replace(path, r"[^0-9]", ""))
+    digit_ratio = F.when(F.length(path) > 0, digits / F.length(path)).otherwise(F.lit(0.0))
+    out = df.select(
+        "*",
+        bad.alias("url_bad_word"),
+        ext.isin(URL_MEDIA_EXTENSIONS).alias("url_media_ext"),
+        n_params.cast("int").alias("url_param_count"),
+        F.round(digit_ratio, 4).alias("url_digit_ratio"),
+    )
+    return out.withColumn(
+        "url_quality_ok",
+        ~F.col("url_bad_word") & ~F.col("url_media_ext")
+        & (F.col("url_param_count") <= 4) & (F.col("url_digit_ratio") <= 0.5),
+    )

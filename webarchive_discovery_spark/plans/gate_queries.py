@@ -1418,6 +1418,54 @@ def url_type_counts(spark, sf_dir):
 
 
 @q(
+    "url_quality_flags",
+    """
+    WITH d AS (
+      SELECT event_id AS e, event_id % 6 AS form,
+             length(CAST(event_id AS VARCHAR)) AS idd
+      FROM events
+    )
+    SELECT e AS event_id,
+           form = 2 AS url_bad_word,
+           form = 1 AS url_media_ext,
+           CAST(CASE WHEN form = 3 THEN 5 ELSE 0 END AS INT) AS url_param_count,
+           round(CASE form
+             WHEN 1 THEN CAST(idd AS DOUBLE) / (15 + idd)
+             WHEN 4 THEN 10.0 / 14
+             WHEN 5 THEN CAST(idd AS DOUBLE) / (6 + idd)
+             ELSE 0.0 END, 4) AS url_digit_ratio,
+           CASE form
+             WHEN 0 THEN TRUE
+             WHEN 5 THEN (CAST(idd AS DOUBLE) / (6 + idd)) <= 0.5
+             ELSE FALSE END AS url_quality_ok
+    FROM d
+    """,
+)
+def url_quality_flags(spark, sf_dir):
+    """URL-tier training-data quality filter (``record_filters.url_quality``
+    — the RefinedWeb/C4 first gate: blocklist fragments, media extensions,
+    parameter count, digit-heavy paths): six deterministic URL forms per
+    event, every flag and the digit ratio restated arithmetically."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    form = e % 6
+    url = F.concat(
+        F.lit("http://h"), (e % 9).cast("string"), F.lit(".example.org"),
+        F.when(form == 0, F.lit("/article/clean-page.html"))
+        .when(form == 1, F.concat(F.lit("/photos/img"), e.cast("string"), F.lit(".jpg")))
+        .when(form == 2, F.lit("/casino/offers.html"))
+        .when(form == 3, F.lit("/p?a=1&b=2&c=3&d=4&e=5"))
+        .when(form == 4, F.lit("/id/1234567890"))
+        .otherwise(F.concat(F.lit("/post/"), e.cast("string"))),
+    )
+    out = record_filters.url_quality(ev.withColumn("url", url))
+    return out.select(
+        "event_id", "url_bad_word", "url_media_ext", "url_param_count",
+        "url_digit_ratio", "url_quality_ok",
+    )
+
+
+@q(
     "arcname_fields",
     """
     WITH d AS (

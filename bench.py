@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "decontaminate_ngram_overlap",
     "url_quality_flags",
+    "boilerplate_extract",
     "dedup_simhash",
     "ann_cosine_topk",
     "dedup_embedding_cosine",

@@ -112,3 +112,29 @@ def test_adversarial_markup_bounded(spark):
     assert rows[2]["meta_parse_error"] is None
     assert rows[2]["title"] == "T."
     assert rows[2]["first_paragraph"] == "Hello world."
+
+
+def test_boilerplate_extraction(spark):
+    """Main-content extraction: link-dense and short blocks drop, article
+    blocks survive, per-record failures (pathological markup) land in
+    boilerplate_parse_error, null payloads stay null."""
+    from webarchive_discovery_spark.operators.boilerplate import extract_main_content
+
+    page = (
+        '<html><body>'
+        '<nav><a href="/1">One</a> <a href="/2">Two</a> <a href="/3">Three</a></nav>'
+        '<p>This is the real article content with plenty of meaningful words '
+        'carrying the substance of the page onward.</p>'
+        '<ul><li><a href="/x">x</a></li><li><a href="/y">y</a></li></ul>'
+        '<footer>tiny footer</footer></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, None), (3, "<title>" * 120_000)],
+        "id long, payload string",
+    )
+    rows = {r["id"]: r for r in extract_main_content(df).collect()}
+    assert rows[1]["main_text"].startswith("This is the real article content")
+    assert rows[1]["blocks_kept"] == 1
+    assert rows[1]["boilerplate_parse_error"] is None
+    assert rows[2]["main_text"] is None and rows[2]["blocks_total"] is None
+    assert rows[3]["boilerplate_parse_error"] and "MarkupGuard" in rows[3]["boilerplate_parse_error"]

@@ -1418,6 +1418,47 @@ def url_type_counts(spark, sf_dir):
 
 
 @q(
+    "boilerplate_extract",
+    """
+    SELECT doc_id,
+           'Article ' || CAST(doc_id AS VARCHAR)
+             || ' body sentence with exactly twelve useful words in total here.'
+             || chr(10)
+             || 'Second paragraph of article ' || CAST(doc_id AS VARCHAR)
+             || ' keeps going with a read more link and sufficient extra words.'
+             AS main_text,
+           4 AS blocks_total,
+           2 AS blocks_kept,
+           33 AS words_total,
+           28 AS words_kept
+    FROM documents
+    """,
+)
+def boilerplate_extract(spark, sf_dir):
+    """Main-content extraction (``operators/boilerplate.py`` — the
+    boilerpipe/Arc90 block heuristic: block split, word count, anchor-text
+    link density): a nav bar (pure links), two article paragraphs (one
+    containing an inline link under the density cap), and a short footer —
+    the oracle states the surviving text and audit counters verbatim."""
+    from ..operators.boilerplate import extract_main_content
+
+    d = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<html><body><nav><a href="/a">Home</a> <a href="/b">About</a> '
+              '<a href="/c">Contact</a></nav><p>Article '), d,
+        F.lit(' body sentence with exactly twelve useful words in total here.'
+              '</p><p>Second paragraph of article '), d,
+        F.lit(' keeps going with a <a href="/x">read more</a> link and '
+              'sufficient extra words.</p><footer>Copyright '), d,
+        F.lit('</footer></body></html>'),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", page.alias("payload"))
+    out = extract_main_content(docs)
+    return out.select("doc_id", "main_text", "blocks_total", "blocks_kept",
+                      "words_total", "words_kept")
+
+
+@q(
     "url_quality_flags",
     """
     WITH d AS (

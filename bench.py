@@ -58,6 +58,7 @@ HEADLINE = [
     "entity_extract",
     "robots_parse",
     "recrawl_schedule",
+    "host_pagerank",
     "frontier_canonicalize",
     "url_seen_antijoin",
     "frontier_fetch_order",

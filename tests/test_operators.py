@@ -709,3 +709,20 @@ def test_robots_match_rfc9309_wildcards(spark):
         "/aab/c": True,
         "/other": True,
     }
+
+
+def test_pagerank_properties(spark):
+    """PageRank invariants: ranks sum to ~1 (dangling mass redistributed),
+    a sink-heavy vertex outranks leaves, and results are deterministic
+    across partitioning (after rounding)."""
+    from webarchive_discovery_spark.operators.graph import pagerank
+
+    # star into 0 plus a dangling vertex 9 (no out-edges)
+    edges = [(i, 0) for i in range(1, 9)] + [(0, 9)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    pr = {r["vertex"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[0] > pr[1] and pr[9] > pr[1]
+    pr2 = {r["vertex"]: round(r["rank"], 9) for r in
+           pagerank(df.repartition(7), iterations=8).collect()}
+    assert {k: round(v, 9) for k, v in pr.items()} == pr2

@@ -1418,6 +1418,61 @@ def url_type_counts(spark, sf_dir):
 
 
 @q(
+    "host_pagerank",
+    """
+    WITH verts AS (SELECT DISTINCT CAST(user_id % 20 AS INT) AS v FROM events),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    edges AS (
+      SELECT v AS s, CAST((v + 1) % 20 AS INT) AS t FROM verts
+      UNION ALL
+      SELECT v, CAST((v * 3) % 20 AS INT) FROM verts
+    ),
+    deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS dc FROM edges GROUP BY s),
+    r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts),
+    r1 AS (
+      SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(x.s, 0) AS r
+      FROM verts LEFT JOIN (
+        SELECT e.t AS v, sum(r0.r / deg.dc) AS s
+        FROM edges e JOIN r0 ON r0.v = e.s JOIN deg ON deg.s = e.s GROUP BY e.t
+      ) x ON x.v = verts.v
+    ),
+    r2 AS (
+      SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(x.s, 0) AS r
+      FROM verts LEFT JOIN (
+        SELECT e.t AS v, sum(r1.r / deg.dc) AS s
+        FROM edges e JOIN r1 ON r1.v = e.s JOIN deg ON deg.s = e.s GROUP BY e.t
+      ) x ON x.v = verts.v
+    ),
+    r3 AS (
+      SELECT verts.v, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(x.s, 0) AS r
+      FROM verts LEFT JOIN (
+        SELECT e.t AS v, sum(r2.r / deg.dc) AS s
+        FROM edges e JOIN r2 ON r2.v = e.s JOIN deg ON deg.s = e.s GROUP BY e.t
+      ) x ON x.v = verts.v
+    )
+    SELECT v AS vertex, round(r, 6) AS rank FROM r3
+    """,
+)
+def host_pagerank(spark, sf_dir):
+    """Distributed power-iteration PageRank (``operators/graph.py``) over a
+    deterministic 20-host graph (each host links to (h+1)%20 and (h·3)%20):
+    three iterations, verified against the same recurrence unrolled in SQL
+    (rounded to 6 decimals to absorb summation-order float noise)."""
+    from ..operators import graph
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).cast("int").alias("v")
+    ).distinct()
+    edges = ev.select(
+        F.col("v").alias("src"), ((F.col("v") + 1) % 20).cast("int").alias("dst")
+    ).unionByName(
+        ev.select(F.col("v").alias("src"), ((F.col("v") * 3) % 20).cast("int").alias("dst"))
+    )
+    pr = graph.pagerank(edges, iterations=3)
+    return pr.select("vertex", F.round("rank", 6).alias("rank"))
+
+
+@q(
     "boilerplate_extract",
     """
     SELECT doc_id,

@@ -269,3 +269,37 @@ def test_adaptive_recrawl_backoff(spark, world):
         # unchanged content: i-th gap >= 2^(i-1) (late rediscovery only widens)
         for i, g in enumerate(gaps):
             assert g >= min(16, 2 ** i), f"{eps}: gap {g} too small at {i}"
+
+
+def test_pagerank_priority_integration(spark, world):
+    """use_pagerank feeds host PageRank into the priority affinity term:
+    the crawl stays deterministic across partitioning (ranks rounded before
+    use) and well-linked hosts fetch earlier than under hops+inlinks
+    alone whenever budgets force a choice."""
+    records, seeds, links, robots = world
+    outs = []
+    for parts in (3, 8):
+        cfg = CrawlConfig(epochs=2, host_budget=50, num_partitions=parts,
+                          bloom_capacity=100_000, bloom_fpr=1e-4,
+                          bloom_shards=8, use_pagerank=True)
+        res = run_crawl(spark, records.repartition(parts), seeds, links,
+                        robots, cfg)
+        outs.append(sorted(
+            (r["epoch"], r["url_key"], r["status"], r["fetch_seq"])
+            for r in res["crawl_log"].collect()
+        ))
+    assert outs[0] == outs[1]
+    # the affinity term must actually move priorities vs the no-pagerank run
+    cfg0 = CrawlConfig(epochs=2, host_budget=50, num_partitions=4,
+                       bloom_capacity=100_000, bloom_fpr=1e-4, bloom_shards=8)
+    base = run_crawl(spark, records, seeds, links, robots, cfg0)
+    pr_p = {r["url_key"]: r["priority"] for r in outs and
+            run_crawl(spark, records, seeds, links, robots,
+                      CrawlConfig(epochs=1, host_budget=50, num_partitions=4,
+                                  bloom_capacity=100_000, bloom_fpr=1e-4,
+                                  bloom_shards=8, use_pagerank=True)
+                      )["crawl_log"].filter("priority is not null").collect()}
+    base_p = {r["url_key"]: r["priority"] for r in
+              base["crawl_log"].filter("epoch = 0 and priority is not null").collect()}
+    moved = [k for k in pr_p if k in base_p and abs(pr_p[k] - base_p[k]) > 1e-9]
+    assert moved, "pagerank affinity changed no priorities"

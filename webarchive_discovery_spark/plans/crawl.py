@@ -80,6 +80,14 @@ class CrawlConfig:
     # min(host_budget, floor(epoch_duration_ms / crawl_delay_ms)) — the
     # robots crawl-delay actually throttles hosts (None = host_budget only)
     epoch_duration_ms: int | None = None
+    # link-structure priority: run PageRank over the host graph once before
+    # the epochs and feed the normalized rank into priority_score's affinity
+    # term (the north rule's third priority input), weighted by
+    # ``pagerank_weight``.  Ranks are rounded to 6 decimals so float
+    # summation order can't perturb the deterministic fetch order.
+    use_pagerank: bool = False
+    pagerank_weight: float = 0.5
+    pagerank_iterations: int = 5
     extra: dict = field(default_factory=dict)
 
 
@@ -160,6 +168,7 @@ def _epoch_plan(
     records: DataFrame,
     cfg: CrawlConfig,
     bloom_probe,  # Callable[[DataFrame], DataFrame] adding ``maybe_seen``, or None
+    host_rank: DataFrame | None = None,  # (host, host_affinity) broadcast dim
 ) -> tuple[DataFrame, DataFrame]:
     """One epoch: returns (crawl_log, fetched) — crawl_log has one row per
     candidate URL with status ∈ {fetched, dup_seen, robots_denied, delayed,
@@ -188,9 +197,15 @@ def _epoch_plan(
         dup = dd.join(seen.select("url_hash"), "url_hash", "left_semi")
 
     rm = fop.robots_match(new, robots_rules)
+    affinity = F.lit(0.0)
+    if host_rank is not None:
+        rm = rm.join(F.broadcast(host_rank), "host", "left")
+        affinity = F.coalesce(F.col("host_affinity"), F.lit(0.0))
     pri = rm.withColumn(
-        "priority", fop.priority_score(F.col("hops"), F.col("inlinks"))
+        "priority", fop.priority_score(F.col("hops"), F.col("inlinks"), affinity)
     )
+    if host_rank is not None:
+        pri = pri.drop("host_affinity")
     w = (
         Window.partitionBy("host")
         .orderBy(F.col("priority").desc(), F.col("url_key"))
@@ -327,6 +342,27 @@ def run_crawl(
         link_graph.select(F.col("src_url").alias("url"), "dst_url"), "url"
     ).select(F.col("url_norm").alias("src_norm"), "dst_url")
 
+    # optional link-structure priority: PageRank over the HOST graph, once,
+    # normalized to [0, weight] and broadcast into every epoch's priority
+    host_rank = None
+    if cfg.use_pagerank:
+        from ..operators.graph import pagerank
+
+        hedges = (
+            link_graph.select(
+                F.try_parse_url(F.col("src_url"), F.lit("HOST")).alias("src"),
+                F.try_parse_url(F.col("dst_url"), F.lit("HOST")).alias("dst"),
+            )
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+        )
+        pr = pagerank(hedges, iterations=cfg.pagerank_iterations)
+        mx = pr.agg(F.max("rank")).collect()[0][0] or 1.0
+        host_rank = pr.select(
+            F.col("vertex").alias("host"),
+            F.round(F.col("rank") / mx * cfg.pagerank_weight, 6).alias("host_affinity"),
+        ).localCheckpoint()
+
     seen_schema = "url_hash long, url_norm string, first_epoch int, digest string"
     start_epoch = 0
     if store and resume:
@@ -382,7 +418,8 @@ def run_crawl(
 
         mark = fop.staging_mark()
         crawl_log, fetched = _epoch_plan(
-            spark, frontier_df, seen, robots_rules, records, cfg, bloom_probe
+            spark, frontier_df, seen, robots_rules, records, cfg, bloom_probe,
+            host_rank=host_rank,
         )
         # truncate lineage every epoch: without this the logical plan embeds
         # every prior epoch's full pipeline and grows super-linearly (driver

@@ -152,7 +152,8 @@ def main():
     # see where this VM's effective-core ceiling bends the curve, not only the
     # passing pair (both pairs in the table; criterion applies to small→large)
     envelope = (
-        [int(x) for x in sys.argv[5].split(",")] if len(sys.argv) > 5
+        ([] if sys.argv[5] == "none" else [int(x) for x in sys.argv[5].split(",")])
+        if len(sys.argv) > 5
         else [small * 2, large * 2]
     )
     r_small = run_level(small, repl, trials)

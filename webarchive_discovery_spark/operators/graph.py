@@ -40,6 +40,7 @@ def pagerank(
         edges.select(F.col(src).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("v")))
         .distinct()
+        .localCheckpoint()  # reused every iteration; vertex count below
     )
     n = verts.count()
     deg = edges.groupBy(F.col(src).alias("v")).agg(F.count(F.lit(1)).alias("deg"))
@@ -47,11 +48,12 @@ def pagerank(
     e = edges.select(F.col(src).alias("v"), F.col(dst).alias("t"))
     for it in range(iterations):
         with_deg = ranks.join(deg, "v", "left")
-        # dangling vertices (no out-edges) donate their mass uniformly
-        dangling = (
+        # dangling vertices (no out-edges) donate their mass uniformly —
+        # carried as a broadcast 1-row scalar, NOT a driver collect: each
+        # iteration stays a lazy plan fragment, no per-step driver sync
+        dangling = F.broadcast(
             with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m"))
         )
         contribs = (
             with_deg.filter(F.col("deg").isNotNull())
@@ -59,13 +61,16 @@ def pagerank(
             .groupBy(F.col("t").alias("v"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_sum"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             verts.join(contribs, "v", "left")
+            .crossJoin(dangling)
             .select(
                 "v",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                 ).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.coalesce(F.col("in_sum"), F.lit(0.0))
+                                        + F.col("_m") / n)
+                ).alias("rank"),
             )
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:

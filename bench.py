@@ -29,6 +29,7 @@ HEADLINE = [
     "solr_xml_docs",
     "arcname_fields",
     "memento_json_lines",
+    "wet_records",
     "reduplicate_mdx",
     "reservoir_sample_events",
     "dedup_exact",

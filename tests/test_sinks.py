@@ -194,3 +194,40 @@ def test_memento_fuzzy_hash_reformat(spark):
     got = {r.id: r.content_fuzzy_hash for r in memento.to_memento(df).collect()}
     assert got["a"] == "3:SIG1:SIG2:b.html"
     assert got["b"] is None  # both signatures required (reformatSsdeep)
+
+
+def test_wet_roundtrip_through_warc_parser(spark, tmp_path):
+    """WET serializer ↔ WARC parser round trip: records written by
+    wet_record_lines/write_wet must parse back through the engine's own
+    archive record reader with type 'conversion', byte-exact multi-byte
+    text, and the stated Content-Length."""
+    import glob
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.operators.wet import wet_record_lines, write_wet
+    from webarchive_discovery_spark.sources.warc import _parse_archive
+
+    caps = spark.createDataFrame(
+        [(i, f"http://h{i}.example.org/p/{i}", "2024-03-04T05:06:07Z",
+          f"<urn:uuid:w{i}>", f"Resumé of page {i} — done.") for i in range(4)],
+        "i long, url string, warc_date string, warc_record_id string, text string",
+    )
+    lines = wet_record_lines(caps)
+    blob = "".join(r["wet_record"] for r in
+                   lines.orderBy("i").select("wet_record").collect())
+    rows = list(_parse_archive("roundtrip.wet", blob.encode("utf-8"), 65536, False))
+    assert len(rows) == 4
+    for i, r in enumerate(rows):
+        assert r["record_type"] == "conversion"
+        assert r["payload"] == f"Resumé of page {i} — done."
+        assert r["content_length"] == len(r["payload"].encode("utf-8"))
+        assert r["target_uri"] == f"http://h{i}.example.org/p/{i}"
+
+    out = str(tmp_path / "wet")
+    write_wet(caps, out)
+    files = glob.glob(f"{out}/part-*.txt.gz")
+    assert files
+    joined = b"".join(gzip.open(f, "rb").read() for f in sorted(files))
+    assert b"WARC-Type: conversion" in joined

@@ -1715,6 +1715,51 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+@q(
+    "wet_records",
+    """
+    SELECT event_id,
+           'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: conversion' || chr(13) || chr(10)
+           || 'WARC-Target-URI: http://h' || CAST(event_id % 7 AS VARCHAR)
+             || '.example.org/p/' || CAST(event_id AS VARCHAR) || chr(13) || chr(10)
+           || 'WARC-Date: 2024-03-04T05:06:07Z' || chr(13) || chr(10)
+           || 'WARC-Record-ID: <urn:uuid:w' || CAST(event_id AS VARCHAR) || '>'
+             || chr(13) || chr(10)
+           || 'WARC-Refers-To: <urn:uuid:r' || CAST(event_id AS VARCHAR) || '>'
+             || chr(13) || chr(10)
+           || 'Content-Type: text/plain' || chr(13) || chr(10)
+           || 'Content-Length: '
+             || CAST(strlen('Resumé of page ' || CAST(event_id AS VARCHAR)
+                            || ' — done.') AS VARCHAR)
+             || chr(13) || chr(10) || chr(13) || chr(10)
+           || 'Resumé of page ' || CAST(event_id AS VARCHAR) || ' — done.'
+           || chr(13) || chr(10) || chr(13) || chr(10) AS wet_record
+    FROM events
+    """,
+)
+def wet_records(spark, sf_dir):
+    """WET conversion-record serialization (``operators/wet.py``): the
+    text block contains MULTI-BYTE characters (é, em dash) so the oracle's
+    byte-exact ``Content-Length`` (DuckDB ``strlen`` = octet length) proves
+    the framing counts UTF-8 octets, not chars."""
+    from ..operators.wet import wet_record_lines
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    caps = ev.select(
+        "event_id",
+        F.concat(F.lit("http://h"), (e % 7).cast("string"),
+                 F.lit(".example.org/p/"), e.cast("string")).alias("url"),
+        F.lit("2024-03-04T05:06:07Z").alias("warc_date"),
+        F.concat(F.lit("<urn:uuid:w"), e.cast("string"), F.lit(">")).alias("warc_record_id"),
+        F.concat(F.lit("<urn:uuid:r"), e.cast("string"), F.lit(">")).alias("refers_to"),
+        F.concat(F.lit("Resumé of page "), e.cast("string"), F.lit(" — done.")).alias("text"),
+    )
+    out = wet_record_lines(caps, refers_to_col="refers_to")
+    return out.select("event_id", "wet_record")
+
+
 # Memento JSONL: the oracle restates the COMPLETE declared property list in
 # Memento.java order (a drift in field set, order, or null handling fails
 # the value-hash), with the populated fields rebuilt arithmetically.

@@ -1420,7 +1420,7 @@ def url_type_counts(spark, sf_dir):
 @q(
     "host_pagerank",
     """
-    WITH verts AS (SELECT DISTINCT CAST(user_id % 20 AS INT) AS v FROM events),
+    WITH verts AS (SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS v),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
     edges AS (
       SELECT v AS s, CAST((v + 1) % 20 AS INT) AS t FROM verts
@@ -1455,14 +1455,14 @@ def url_type_counts(spark, sf_dir):
 )
 def host_pagerank(spark, sf_dir):
     """Distributed power-iteration PageRank (``operators/graph.py``) over a
-    deterministic 20-host graph (each host links to (h+1)%20 and (h·3)%20):
-    three iterations, verified against the same recurrence unrolled in SQL
-    (rounded to 6 decimals to absorb summation-order float noise)."""
+    deterministic 20-host graph (each host links to (h+1)%20 and (h·3)%20 —
+    a fixed vertex set so the graph is CLOSED at every scale factor, no
+    dangling targets outside the derivation): three iterations, verified
+    against the same recurrence unrolled in SQL (rounded to 6 decimals to
+    absorb summation-order float noise)."""
     from ..operators import graph
 
-    ev = _t(spark, sf_dir, "events").select(
-        (F.col("user_id") % 20).cast("int").alias("v")
-    ).distinct()
+    ev = spark.range(20).select(F.col("id").cast("int").alias("v"))
     edges = ev.select(
         F.col("v").alias("src"), ((F.col("v") + 1) % 20).cast("int").alias("dst")
     ).unionByName(

@@ -47,6 +47,9 @@ HEADLINE = [
     "image_analysis",
     "capture_full_extract",
     "training_corpus_build",
+    "training_corpus_build_oracled",
+    "ann_ivf_trained_topk",
+    "bloom_shard_probe",
     "token_stats",
     "bpe_token_stats",
     "doc_fingerprint",
@@ -78,15 +81,26 @@ def main() -> None:
 
     # Methodology: every query is fully materialized through the noop sink
     # (count() would let Catalyst prune projections — e.g. the canonicalize
-    # kernel never runs under count) and timed three times, reporting the
-    # min — the steady-state plan cost. This VM shares a host with invisible
-    # co-tenants (load >9 with nothing running locally was observed); the
-    # min-of-3 is the least-contended window, not a cherry-pick — the plan
-    # executed is identical across trials.
+    # kernel never runs under count).  Per query: ONE untimed warm-up run
+    # (Python UDF worker spin-up, codegen JIT, and shuffle-service warm-up
+    # dominated the first trial by 3-5x in round-3 A/B runs), then three
+    # timed trials reporting the min — the steady-state plan cost.  The
+    # storage cache and tmpfs staging dirs are cleared BETWEEN queries:
+    # round 3 showed late-suite queries paying for cache eviction churn
+    # accumulated by 40 earlier queries' persisted intermediates, which is
+    # suite-order noise, not plan cost.  This VM shares a host with
+    # invisible co-tenants (load >20 with nothing running locally was
+    # observed); the min is the least-contended window, not a cherry-pick —
+    # the plan executed is identical across trials.
+    from webarchive_discovery_spark.operators import frontier as _frontier
+
     timings: dict[str, float] = {}
     frontier_urls = 0
     for name in HEADLINE:
         fn = gate_queries.QUERIES[name]
+        spark.catalog.clearCache()
+        _frontier.release_staging()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
         best = None
         for _ in range(3):
             # time construction + execution: some plans (global_sequence)

@@ -135,6 +135,51 @@ def test_checkpoint_resume_bit_exact(spark, world, tmp_path):
     assert sorted(all_rows) == full_rows
 
 
+def test_checkpoint_resume_from_compacted_snapshot_bit_exact(spark, world, tmp_path):
+    """Iceberg table-maintenance analog: ``compact`` (MERGE the seen-set
+    deltas into one base, committed as a new snapshot id) + ``expire_deltas``
+    (drop the covered delta dirs) must leave resume bit-exact — the resumed
+    epoch equals the uncompacted full run's, and time travel to the
+    pre-compaction snapshot id still reads the deltas."""
+    from webarchive_discovery_spark.plans.checkpoint import CheckpointStore
+
+    full = _run(spark, world, ckdir=str(tmp_path / "full"), epochs=3)
+    full_rows = sorted(
+        (r["epoch"], r["url_key"], r["status"], r["fetch_seq"])
+        for r in full["crawl_log"].collect()
+    )
+
+    partial_dir = str(tmp_path / "partial")
+    _run(spark, world, ckdir=partial_dir, epochs=2)
+    store = CheckpointStore(partial_dir)
+    before = sorted(
+        tuple(r) for r in store.read_merged(spark, 1, "seen_delta").collect()
+    )
+    sid = store.compact(spark, 1, "seen_delta", dedup_cols=["url_hash"])
+    snap = store.snapshot(sid)
+    assert snap["type"] == "compaction" and snap["table"] == "seen_delta"
+    # time travel: one snapshot earlier ignores the base, reads raw deltas
+    tt = sorted(
+        tuple(r)
+        for r in store.read_merged(
+            spark, 1, "seen_delta", snapshot_id=sid - 1
+        ).collect()
+    )
+    assert tt == before
+    removed = store.expire_deltas("seen_delta")
+    assert removed, "expiry must physically drop the covered delta dirs"
+    after = sorted(
+        tuple(r) for r in store.read_merged(spark, 1, "seen_delta").collect()
+    )
+    assert after == before  # base ≡ union of the expired deltas
+    resumed = _run(spark, world, ckdir=partial_dir, epochs=3, resume=True)
+    rows = sorted(
+        (r["epoch"], r["url_key"], r["status"], r["fetch_seq"])
+        for r in resumed["crawl_log"].collect()
+    )
+    assert rows == [t for t in full_rows if t[0] == 2]
+
+
 def test_sharded_bloom_tier_at_design_capacity(spark, world, monkeypatch):
     """At a large configured Bloom capacity the crawl loop must auto-select
     the fully-distributed sharded build/probe: the driver-merge tier

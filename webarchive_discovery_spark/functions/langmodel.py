@@ -24,7 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["CharNgramNB", "train_demo_model", "DEMO_SENTENCES"]
+__all__ = ["CharNgramNB", "train_demo_model", "default_model",
+           "DEMO_SENTENCES", "HELD_OUT"]
 
 
 class CharNgramNB:
@@ -93,10 +94,12 @@ class CharNgramNB:
         return out
 
 
-#: small embedded training corpus (original sentences, one list per
-#: language) — enough signal for char-trigram NB to separate these eight
-#: high-volume web languages; a production deployment swaps in real weights
-#: through the identical registry call
+#: embedded training corpus (original sentences, one list per language) —
+#: enough signal for char-trigram NB to separate 24 high-volume web
+#: languages; a production deployment swaps in real weights through the
+#: identical registry call.  Four shared "concepts" per language keep the
+#: corpus topically balanced so the classifier learns orthography, not
+#: vocabulary domain.
 DEMO_SENTENCES: dict[str, list[str]] = {
     "en": [
         "the quick brown fox jumps over the lazy dog near the river bank",
@@ -146,14 +149,153 @@ DEMO_SENTENCES: dict[str, list[str]] = {
         "этот документ описывает как краулер планирует и загружает новые страницы",
         "библиотека собирает книги и хранит их для будущих читателей",
     ],
+    "pl": [
+        "szybki brązowy lis skacze przez leniwego psa nad brzegiem rzeki",
+        "archiwa sieci zachowują strony które inaczej zostałyby utracone na zawsze",
+        "ten dokument opisuje jak robot planuje i pobiera nowe strony",
+        "biblioteka gromadzi książki i udostępnia je przyszłym czytelnikom",
+    ],
+    "cs": [
+        "rychlá hnědá liška skáče přes líného psa u břehu řeky",
+        "webové archivy uchovávají stránky které by jinak byly navždy ztraceny",
+        "tento dokument popisuje jak robot plánuje a stahuje nové stránky",
+        "knihovna shromažďuje knihy a uchovává je pro budoucí čtenáře",
+    ],
+    "sv": [
+        "den snabba bruna räven hoppar över den lata hunden vid flodstranden",
+        "webbarkiven bevarar sidor som annars skulle gå förlorade för alltid",
+        "detta dokument beskriver hur roboten planerar och hämtar nya sidor",
+        "ett bibliotek samlar böcker och håller dem tillgängliga för framtida läsare",
+    ],
+    "da": [
+        "den hurtige brune ræv springer over den dovne hund ved flodbredden",
+        "webarkiverne bevarer sider som ellers ville gå tabt for altid",
+        "dette dokument beskriver hvordan robotten planlægger og henter nye sider",
+        "et bibliotek samler bøger og holder dem tilgængelige for fremtidige læsere",
+    ],
+    "no": [
+        "den raske brune reven hopper over den late hunden ved elvebredden",
+        "nettarkivene bevarer sider som ellers ville gått tapt for alltid",
+        "dette dokumentet beskriver hvordan roboten planlegger og henter nye sider",
+        "et bibliotek samler bøker og holder dem tilgjengelige for fremtidige lesere",
+    ],
+    "fi": [
+        "nopea ruskea kettu hyppää laiskan koiran yli joen rannalla",
+        "verkkoarkistot säilyttävät sivut jotka muuten katoaisivat ikuisesti",
+        "tämä asiakirja kuvaa kuinka robotti suunnittelee ja noutaa uusia sivuja",
+        "kirjasto kerää kirjoja ja pitää ne tulevien lukijoiden saatavilla",
+    ],
+    "hu": [
+        "a gyors barna róka átugrik a lusta kutya felett a folyóparton",
+        "a webarchívumok megőrzik azokat az oldalakat amelyek különben örökre elvesznének",
+        "ez a dokumentum leírja hogyan tervezi és tölti le a robot az új oldalakat",
+        "a könyvtár könyveket gyűjt és elérhetővé teszi őket a jövő olvasói számára",
+    ],
+    "ro": [
+        "vulpea maro rapidă sare peste câinele leneș lângă malul râului",
+        "arhivele web păstrează paginile care altfel s-ar pierde pentru totdeauna",
+        "acest document descrie cum robotul planifică și descarcă pagini noi",
+        "o bibliotecă adună cărți și le păstrează pentru cititorii viitori",
+    ],
+    "tr": [
+        "hızlı kahverengi tilki nehir kıyısında tembel köpeğin üzerinden atlar",
+        "web arşivleri aksi halde sonsuza dek kaybolacak sayfaları korur",
+        "bu belge tarayıcının yeni sayfaları nasıl planlayıp indirdiğini anlatır",
+        "bir kütüphane kitapları toplar ve gelecekteki okuyucular için saklar",
+    ],
+    "id": [
+        "rubah coklat yang cepat melompati anjing malas di tepi sungai",
+        "arsip web menyimpan halaman yang jika tidak akan hilang selamanya",
+        "dokumen ini menjelaskan bagaimana perayap menjadwalkan dan mengambil halaman baru",
+        "perpustakaan mengumpulkan buku dan menyimpannya untuk pembaca masa depan",
+    ],
+    "vi": [
+        "con cáo nâu nhanh nhẹn nhảy qua con chó lười bên bờ sông",
+        "kho lưu trữ web giữ lại những trang mà nếu không sẽ mất vĩnh viễn",
+        "tài liệu này mô tả cách trình thu thập lên lịch và tải các trang mới",
+        "thư viện thu thập sách và giữ chúng cho độc giả tương lai",
+    ],
+    "sw": [
+        "mbweha mwepesi wa kahawia anaruka juu ya mbwa mvivu kando ya mto",
+        "kumbukumbu za wavuti huhifadhi kurasa ambazo zingepotea milele",
+        "hati hii inaeleza jinsi mtambaazi anavyopanga na kupakua kurasa mpya",
+        "maktaba hukusanya vitabu na kuvihifadhi kwa wasomaji wa baadaye",
+    ],
+    "tl": [
+        "ang mabilis na kayumangging soro ay tumatalon sa tamad na aso sa tabi ng ilog",
+        "iniingatan ng mga archive ng web ang mga pahina na kung hindi ay mawawala magpakailanman",
+        "inilalarawan ng dokumentong ito kung paano nagpaplano at kumukuha ng mga bagong pahina ang crawler",
+        "ang aklatan ay nangongolekta ng mga libro at iniingatan ang mga ito para sa mga susunod na mambabasa",
+    ],
+    "el": [
+        "η γρήγορη καφέ αλεπού πηδά πάνω από το τεμπέλικο σκυλί στην όχθη του ποταμού",
+        "τα αρχεία του ιστού διατηρούν σελίδες που αλλιώς θα χάνονταν για πάντα",
+        "αυτό το έγγραφο περιγράφει πώς ο ανιχνευτής προγραμματίζει και κατεβάζει νέες σελίδες",
+        "μια βιβλιοθήκη συγκεντρώνει βιβλία και τα φυλά για τους μελλοντικούς αναγνώστες",
+    ],
+    "uk": [
+        "швидка руда лисиця стрибає через ледачого пса на березі річки",
+        "вебархіви зберігають сторінки які інакше були б втрачені назавжди",
+        "цей документ описує як краулер планує та завантажує нові сторінки",
+        "бібліотека збирає книжки та зберігає їх для майбутніх читачів",
+    ],
+    "ca": [
+        "la ràpida guineu marró salta per sobre del gos mandrós a la vora del riu",
+        "els arxius del web conserven pàgines que altrament es perdrien per sempre",
+        "aquest document descriu com el rastrejador planifica i descarrega pàgines noves",
+        "una biblioteca aplega llibres i els guarda per als lectors futurs",
+    ],
+}
+
+#: held-out sentences (one per language, same register, NOT in the training
+#: corpus) — the accuracy floor in ``test_langmodel`` evaluates on these
+HELD_OUT: dict[str, str] = {
+    "en": "researchers read old newspapers to better understand the past",
+    "de": "forscher lesen alte zeitungen um die vergangenheit besser zu verstehen",
+    "fr": "les chercheurs lisent de vieux journaux pour mieux comprendre le passé",
+    "es": "los investigadores leen periódicos antiguos para comprender mejor el pasado",
+    "it": "i ricercatori leggono vecchi giornali per comprendere meglio il passato",
+    "pt": "os pesquisadores leem jornais antigos para compreender melhor o passado",
+    "nl": "onderzoekers lezen oude kranten om het verleden beter te begrijpen",
+    "ru": "исследователи читают старые газеты чтобы лучше понять прошлое",
+    "pl": "badacze czytają stare gazety aby lepiej zrozumieć przeszłość",
+    "cs": "výzkumníci čtou staré noviny aby lépe porozuměli minulosti",
+    "sv": "forskare läser gamla tidningar för att bättre förstå det förflutna",
+    "da": "forskere læser gamle aviser for bedre at forstå fortiden",
+    "no": "forskere leser gamle aviser for å forstå fortiden bedre",
+    "fi": "tutkijat lukevat vanhoja sanomalehtiä ymmärtääkseen menneisyyttä paremmin",
+    "hu": "a kutatók régi újságokat olvasnak hogy jobban megértsék a múltat",
+    "ro": "cercetătorii citesc ziare vechi pentru a înțelege mai bine trecutul",
+    "tr": "araştırmacılar geçmişi daha iyi anlamak için eski gazeteleri okur",
+    "id": "para peneliti membaca koran lama untuk memahami masa lalu dengan lebih baik",
+    "vi": "các nhà nghiên cứu đọc báo cũ để hiểu rõ hơn về quá khứ",
+    "sw": "watafiti husoma magazeti ya zamani ili kuelewa historia vizuri zaidi",
+    "tl": "binabasa ng mga mananaliksik ang mga lumang pahayagan upang mas maunawaan ang nakaraan",
+    "el": "οι ερευνητές διαβάζουν παλιές εφημερίδες για να κατανοήσουν καλύτερα το παρελθόν",
+    "uk": "дослідники читають старі газети щоб краще зрозуміти минуле",
+    "ca": "els investigadors llegeixen diaris antics per entendre millor el passat",
 }
 
 
 def train_demo_model() -> CharNgramNB:
-    """Train the embedded demo model (deterministic: fixed corpus, no RNG)."""
+    """Train the embedded model (deterministic: fixed corpus, no RNG)."""
     texts, labels = [], []
     for lang, sents in DEMO_SENTENCES.items():
         for s in sents:
             texts.append(s)
             labels.append(lang)
     return CharNgramNB().fit(texts, labels)
+
+
+_DEFAULT: CharNgramNB | None = None
+
+
+def default_model() -> CharNgramNB:
+    """The committed 24-language model, trained once per process — the
+    default scorer behind ``lang_id(..., model="default")`` (the codegen
+    marker heuristic stays the model=None tier: it is the SQL-restatable
+    path the arithmetic oracles gate)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = train_demo_model()
+    return _DEFAULT

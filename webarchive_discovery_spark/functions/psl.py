@@ -6,9 +6,12 @@ which implements the publicsuffix.org algorithm over the full list —
 including the PRIVATE section (so ``blogspot.com``-style hosted platforms
 count as public suffixes, exactly what a links_domains rollup wants).
 
-This module embeds a SNAPSHOT of the list in the canonical PSL file format
+This module loads the COMPLETE upstream list from a system copy when one
+exists (the ``publicsuffix`` OS package or the JDK ship it — see
+``_PSL_SYSTEM_PATHS``; ~9,500 rules, full Guava parity) and otherwise
+falls back to an embedded SNAPSHOT in the canonical PSL file format
 (one rule per line, ``*.`` wildcard rules, ``!`` exception rules, ``//``
-comments) and implements the published matching algorithm:
+comments).  Either way it implements the published matching algorithm:
 
 1. a rule matches when its labels are a suffix of the host's labels
    (``*`` matches exactly one label);
@@ -996,19 +999,48 @@ s3.amazonaws.com
 """
 
 
-def _build():
+#: Where a COMPLETE upstream list may live: the ``publicsuffix`` OS package
+#: and the JDK both ship publicsuffix.org's full file.  When one is present
+#: it replaces the embedded snapshot (same format, same parser), giving the
+#: full ~9,500-rule coverage Guava has; the snapshot keeps the module
+#: standalone when neither exists.
+_PSL_SYSTEM_PATHS = (
+    "/usr/share/publicsuffix/public_suffix_list.dat",
+    "/usr/share/publicsuffix/effective_tld_names.dat",
+    "/etc/java-17-openjdk/security/public_suffix_list.dat",
+)
+
+
+def _load_full_list() -> list[str] | None:
+    import os
+
+    for p in _PSL_SYSTEM_PATHS:
+        if os.path.isfile(p):
+            try:
+                with open(p, encoding="utf-8") as f:
+                    text = f.read()
+            except OSError:
+                continue
+            # sanity: must look like the canonical file (both sections)
+            if "===BEGIN ICANN DOMAINS===" in text:
+                return text.splitlines()
+    return None
+
+
+def _build(lines: list[str] | None = None):
     exact: set[str] = set()
     wildcards: set[str] = set()  # stored WITHOUT the "*." prefix
     exceptions: set[str] = set()  # stored WITHOUT the "!" prefix
-    lines = _PSL_SNAPSHOT.splitlines()
-    for st in _US_STATES:  # US locality registries (PSL us section)
-        lines += [f"{st}.us", f"k12.{st}.us", f"cc.{st}.us", f"lib.{st}.us"]
-    for p in _JP_PREFECTURES:  # JP prefecture registries
-        lines.append(f"{p}.jp")
-    for c in _JP_CITY_WILDCARDS:  # JP city wildcards + city.X exceptions
-        lines += [f"*.{c}.jp", f"!city.{c}.jp"]
-    for st in _AU_STATES:  # AU state education/government registries
-        lines += [f"{st}.edu.au", f"{st}.gov.au"]
+    if lines is None:
+        lines = _PSL_SNAPSHOT.splitlines()
+        for st in _US_STATES:  # US locality registries (PSL us section)
+            lines += [f"{st}.us", f"k12.{st}.us", f"cc.{st}.us", f"lib.{st}.us"]
+        for p in _JP_PREFECTURES:  # JP prefecture registries
+            lines.append(f"{p}.jp")
+        for c in _JP_CITY_WILDCARDS:  # JP city wildcards + city.X exceptions
+            lines += [f"*.{c}.jp", f"!city.{c}.jp"]
+        for st in _AU_STATES:  # AU state education/government registries
+            lines += [f"{st}.edu.au", f"{st}.gov.au"]
     for raw in lines:
         rule = raw.strip()
         if not rule or rule.startswith("//"):
@@ -1022,7 +1054,9 @@ def _build():
     return exact, wildcards, exceptions
 
 
-_EXACT, _WILDCARDS, _EXCEPTIONS = _build()
+_FULL_LIST = _load_full_list()
+_EXACT, _WILDCARDS, _EXCEPTIONS = _build(_FULL_LIST)
+USING_FULL_LIST = _FULL_LIST is not None
 
 
 def public_suffix_of(host: str) -> str:

@@ -134,10 +134,22 @@ def robots_match(
 
     Patterns follow RFC 9309 §2.2.3: plain rules match as path PREFIXES
     (the fast literal path); rules containing ``*`` (any char run) or a
-    trailing ``$`` (end anchor) are compiled to anchored regexes at match
-    time — each per-host rule array is tiny, so the per-element compile
-    cost is bounded and the frontier side stays one broadcast join.
+    trailing ``$`` (end anchor) are matched as anchored regexes.  The regex
+    text is derived ONCE per rule on the tiny rules side (pre-broadcast) and
+    carried in the rule struct — the hot frontier side evaluates only
+    ``startswith`` for literal rules and ``regexp_like`` for the (rare)
+    wildcard rules; no per-row pattern construction.
     """
+    # regex-escape every meta (incl. $), * → .*, then restore a TRAILING $
+    # as a real end anchor (inner $ stays literal, per spec).  Computed once
+    # per rule row on the small dimension side.
+    prefix = F.col("path_prefix")
+    is_anchor = prefix.endswith("$")
+    has_wild = prefix.contains("*") | is_anchor
+    esc = F.regexp_replace(prefix, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    wild = F.replace(esc, F.lit("*"), F.lit(".*"))
+    body = F.when(is_anchor, F.left(wild, F.length(wild) - 2)).otherwise(wild)
+    rx = F.concat(F.lit("^"), body, F.when(is_anchor, F.lit("$")).otherwise(F.lit("")))
     rules_agg = robots_rules.groupBy(F.col("host").alias("_r_host")).agg(
         F.sort_array(
             F.collect_list(
@@ -147,6 +159,8 @@ def robots_match(
                     F.col("path_prefix").alias("prefix"),
                     F.col("rule_type").alias("rtype"),
                     F.col("crawl_delay_ms").alias("delay"),
+                    has_wild.alias("wild"),
+                    F.when(has_wild, rx).alias("rx"),
                 )
             ),
             asc=False,
@@ -158,16 +172,9 @@ def robots_match(
     path = F.col(path_col)
 
     def _rule_matches(r):
-        prefix = r["prefix"]
-        has_wild = prefix.contains("*") | prefix.endswith("$")
-        # regex-escape every meta (incl. $), * → .*, then restore a
-        # TRAILING $ as a real end anchor (inner $ stays literal, per spec)
-        esc = F.regexp_replace(prefix, r"([.^$+?(){}\[\]\\|])", r"\\$1")
-        wild = F.replace(esc, F.lit("*"), F.lit(".*"))
-        is_anchor = prefix.endswith("$")
-        body = F.when(is_anchor, F.left(wild, F.length(wild) - 2)).otherwise(wild)
-        rx = F.concat(F.lit("^"), body, F.when(is_anchor, F.lit("$")).otherwise(F.lit("")))
-        return F.when(has_wild, F.regexp_like(path, rx)).otherwise(path.startswith(prefix))
+        return F.when(r["wild"], F.regexp_like(path, r["rx"])).otherwise(
+            path.startswith(r["prefix"])
+        )
 
     best = F.get(F.filter(F.col("_rules"), _rule_matches), 0)
     return (
@@ -333,14 +340,32 @@ def _partition_offsets(spark, local: DataFrame, path: str) -> dict[int, int]:
     return offsets
 
 
+_SALT_ID_CANDIDATES = ("url_hash", "url_key", "record_id", "event_id",
+                       "doc_id", "emb_id", "image_id", "url")
+
+
+def _salt_columns(df: DataFrame, key_col: str) -> list[str]:
+    """Cheap, deterministic per-row salt inputs: the key plus one narrow
+    unique-ish id column.  Never binary/payload columns — hashing a 1 MB
+    ``bytes`` column per row just to pick a salt bucket is wasted CPU."""
+    for cand in _SALT_ID_CANDIDATES:
+        if cand in df.columns and cand != key_col:
+            return [key_col, cand]
+    cheap = [f.name for f in df.schema.fields
+             if f.dataType.typeName() not in ("binary", "array", "map", "struct")]
+    return cheap or [key_col]
+
+
 def salted_repartition(df: DataFrame, key_col: str, salt_buckets: int = 16,
                        num_partitions: int | None = None) -> DataFrame:
-    """Skew-breaking repartition: partition by (key, xxhash64(row) % buckets)
-    so one hot host spreads over ``salt_buckets`` partitions.  Replaces the
-    reference's random reducer keys (``WARCIndexerMapper.java:222-230``) with
-    a *deterministic* salt (hash of data, not ``rand()``), preserving
-    reproducibility."""
-    salt = (F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))).alias("_salt")
+    """Skew-breaking repartition: partition by (key, xxhash64(key, id) %
+    buckets) so one hot host spreads over ``salt_buckets`` partitions.
+    Replaces the reference's random reducer keys
+    (``WARCIndexerMapper.java:222-230``) with a *deterministic* salt (hash of
+    narrow key/id columns, not ``rand()`` and not full-row payload bytes),
+    preserving reproducibility at zero per-row payload-hash cost."""
+    salt = (F.pmod(F.xxhash64(*_salt_columns(df, key_col)),
+                   F.lit(salt_buckets))).alias("_salt")
     out = df.withColumn("_salt", salt)
     if num_partitions:
         return out.repartition(num_partitions, F.col(key_col), F.col("_salt")).drop("_salt")

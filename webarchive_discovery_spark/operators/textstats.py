@@ -151,9 +151,16 @@ def lang_id(
     ``model=<registered name>`` swaps the codegen heuristic for a REAL
     model from :data:`LANG_ID_MODELS`, run as one Arrow-batched pandas UDF
     (same output column ``lang_pred``, same operator shape downstream) —
-    the deployment path for fastText-class weights; the heuristic remains
-    the dependency-free default."""
+    the deployment path for fastText-class weights.  ``model="default"``
+    resolves to the committed 24-language char-trigram NB
+    (``functions.langmodel.default_model``, trained lazily once per
+    process); the heuristic remains the ``model=None`` tier — it is the
+    SQL-restatable codegen path the arithmetic oracles gate."""
     if model is not None:
+        if model == "default" and model not in LANG_ID_MODELS:
+            from ..functions.langmodel import default_model
+
+            register_lang_id_model("default", default_model())
         m = LANG_ID_MODELS[model]
 
         @F.pandas_udf("string")

@@ -757,6 +757,50 @@ def lang_id_counts(spark, sf_dir):
     return tagged.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _langid_model_oracle_sql() -> str:
+    """Expected per-language counts for the MODEL path: document ``d``
+    carries sentence ``d % 4`` of language ``(d // 4) % 24`` from the
+    committed training corpus; the 24-language trigram NB classifies its
+    training sentences with verified 1.0 accuracy (``test_langmodel``
+    asserts it), so the expected label is the assignment arithmetic."""
+    from ..functions.langmodel import DEMO_SENTENCES
+
+    langs = sorted(DEMO_SENTENCES)
+    whens = " ".join(
+        f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(langs)
+    )
+    return f"""
+    SELECT lang_pred, count(*) AS cnt FROM (
+      SELECT CASE CAST((doc_id // 4) % {len(langs)} AS INT) {whens} END AS lang_pred
+      FROM documents
+    ) GROUP BY lang_pred
+    """
+
+
+@q("lang_id_model_counts", _langid_model_oracle_sql())
+def lang_id_model_counts(spark, sf_dir):
+    """Language ID through the REAL-model registry path (``model="default"``
+    → the committed 24-language char-trigram Naive Bayes, one Arrow-batched
+    pandas UDF): each document carries a known-language sentence from the
+    embedded corpus and the model's predictions must reproduce the
+    assignment exactly.  The production deployment path for fastText-class
+    weights (reference: ``LanguageAnalyser.java:65`` wrapping langdetect's
+    n-gram profiles — the same char-n-gram log-frequency family this model
+    implements)."""
+    from ..functions.langmodel import DEMO_SENTENCES
+
+    langs = sorted(DEMO_SENTENCES)
+    flat = [DEMO_SENTENCES[lang][s] for lang in langs for s in range(4)]
+    arr = F.array(*[F.lit(t) for t in flat])
+    d = F.col("doc_id")
+    idx = ((F.floor(d / 4) % len(langs)) * 4 + d % 4).cast("int")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.element_at(arr, idx + 1).alias("txt")
+    )
+    tagged = textstats.lang_id(docs, "txt", model="default")
+    return tagged.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 @q(
     "quality_scores",
     """
@@ -2747,12 +2791,16 @@ def datasets_generate(spark, sf_dir):
 # ===========================================================================
 
 def _ivf_oracle_sql(dim: int = 64, n_lists: int = 8, n_probe: int = 2, k: int = 5,
-                    seed: int = 42) -> str:
-    """DuckDB rebuild of the seed-deterministic untrained IVF quantizer:
-    per-vector argmax list assignment, per-query top-``n_probe`` probed
-    lists, exact cosine inside probed lists only — the same arithmetic as
-    ``similarity.ivf_cosine_topk`` (centroids shared via ``ivf_centroids``)."""
-    cents = similarity.ivf_centroids(dim, n_lists, seed)
+                    seed: int = 42, cents=None) -> str:
+    """DuckDB rebuild of the IVF quantizer assignment: per-vector argmax
+    list assignment, per-query top-``n_probe`` probed lists, exact cosine
+    inside probed lists only — the same arithmetic as
+    ``similarity.ivf_cosine_topk``.  ``cents`` defaults to the untrained
+    seed-deterministic quantizer (shared via ``ivf_centroids``); pass an
+    explicit matrix (e.g. the replicated k-means training output) to oracle
+    a trained quantizer."""
+    if cents is None:
+        cents = similarity.ivf_centroids(dim, n_lists, seed)
 
     def lit(row):
         return "[" + ",".join(repr(float(x)) for x in row) + "]"
@@ -2804,6 +2852,93 @@ def ann_ivf_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_cosine_topk(
         emb, queries, dim=64, k=5, n_lists=8, n_probe=2
+    ).select("query_id", "rank", "neighbor_id")
+
+
+# --- trained-quantizer IVF gate ------------------------------------------
+# The k-means TRAINING itself goes under the oracle: train on a fixed
+# synthetic set designed so every Lloyd step is bit-exact (integer column
+# sums → order-independent means), replicate the training in driver-side
+# numpy for the oracle's centroid literals, and round both sides to 6 dp.
+
+_IVF_TRAIN_N = 256
+_IVF_TRAIN_LISTS = 8
+_IVF_TRAIN_DIM = 64
+_IVF_TRAIN_SEED = 7
+_IVF_TRAIN_ITERS = 3
+
+
+def _ivf_train_patterns():
+    """8 orthogonal {0,1} cluster patterns (4 ones each, disjoint support).
+    With all member vectors of a cluster identical and integer-valued, the
+    distributed per-(list, dim) ``avg`` is an integer sum divided once —
+    exact regardless of partial-aggregation order — so the Spark-side
+    training and the numpy replica below agree to the last bit."""
+    import numpy as np
+
+    pats = np.zeros((_IVF_TRAIN_LISTS, _IVF_TRAIN_DIM))
+    for c in range(_IVF_TRAIN_LISTS):
+        pats[c, 8 * c: 8 * c + 4] = 1.0
+    return pats
+
+
+def _ivf_train_replica():
+    """Driver-side numpy replica of ``similarity.ivf_train`` over the fixed
+    synthetic training set (vector i belongs to cluster i % 8): same seeded
+    init (``ivf_centroids``), same normalized-argmax assignment, same
+    raw-value means, same empty-list keep + unit normalization — the
+    training oracle feeding centroid literals into the assignment SQL."""
+    import numpy as np
+
+    pats = _ivf_train_patterns()
+    clusters = np.arange(_IVF_TRAIN_N) % _IVF_TRAIN_LISTS
+    x = pats[clusters]
+    cents = similarity.ivf_centroids(_IVF_TRAIN_DIM, _IVF_TRAIN_LISTS,
+                                     _IVF_TRAIN_SEED)
+    for _ in range(_IVF_TRAIN_ITERS):
+        m = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(m @ cents.T, axis=1)
+        new = cents.copy()  # empty lists keep their previous position
+        for lid in np.unique(assign):
+            v = x[assign == lid].mean(axis=0)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[lid] = v / n
+        cents = new
+    return np.round(cents, 6)
+
+
+@q("ann_ivf_trained_topk", _ivf_oracle_sql(cents=_ivf_train_replica()))
+def ann_ivf_trained_topk(spark, sf_dir):
+    """IVF-flat ANN through the TRAINED quantizer path: the distributed
+    k-means (``similarity.ivf_train`` — broadcast centroids → vectorized
+    assignment → one hash-aggregate mean per Lloyd pass) runs for real on a
+    bit-exact synthetic training set, and the resulting centroids (rounded
+    6 dp) drive list assignment + probing over the embeddings table; the
+    oracle replays the identical training in numpy and restates assignment
+    + probe + cosine in SQL."""
+    import numpy as np
+
+    pats = _ivf_train_patterns()
+    arrs = [F.array(*[F.lit(float(v)) for v in row]) for row in pats]
+    cid = F.col("id") % _IVF_TRAIN_LISTS
+    expr = F.when(cid == 0, arrs[0])
+    for c in range(1, _IVF_TRAIN_LISTS):
+        expr = expr.when(cid == c, arrs[c])
+    train = (
+        spark.range(_IVF_TRAIN_N)
+        .repartition(8)  # multi-partition so partial aggregation is real
+        .select(expr.alias("embedding"))
+    )
+    cents = similarity.ivf_train(
+        train, dim=_IVF_TRAIN_DIM, n_lists=_IVF_TRAIN_LISTS,
+        seed=_IVF_TRAIN_SEED, iters=_IVF_TRAIN_ITERS,
+    )
+    cents = np.round(cents, 6)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_cosine_topk(
+        emb, queries, dim=64, k=5, n_lists=8, n_probe=2, centroids=cents
     ).select("query_id", "rank", "neighbor_id")
 
 
@@ -3246,3 +3381,248 @@ def pii_redaction(spark, sf_dir):
     out = textstats.redact_pii(docs.withColumn("txt", txt), "txt")
     return out.select("doc_id", "pii_email_count", "pii_ip_count",
                       "pii_phone_count", "redacted_text")
+
+
+# ===========================================================================
+# Sharded Bloom seen-set (the 1e10-capable tier) under the correctness gate
+# ===========================================================================
+
+@q(
+    "bloom_shard_probe",
+    """
+    WITH u AS (
+      SELECT DISTINCT event_id AS url_hash FROM events
+    )
+    SELECT CAST(url_hash % 32 AS BIGINT) AS bucket,
+           count(*) AS n_unseen
+    FROM u WHERE url_hash % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def bloom_shard_probe(spark, sf_dir):
+    """The production URL-seen shape at the 1e10 design point, end-to-end:
+    ``build_bloom_shards`` (ONE shuffle on ``hash mod num_shards``; each
+    task owns one shard's bit array — never a driver matrix) → cogrouped
+    ``bloom_negative_filter_sharded`` probe → exact anti-join verify of the
+    maybe-seen candidates only.  The Bloom prefilter prunes most of the
+    anti-join's left side; no-false-negatives means the final unseen set is
+    EXACT, so the oracle is the plain set-difference restated in SQL — a
+    wrong bit array would surface as missing rows.  (Replaces the
+    reference's per-record seen lookups, ``MDXReduplicatingReducer``
+    family; Bloom sizing per ``BloomParams`` — FPR ≤ 1e-6 at capacity.)"""
+    from ..operators import bloom as B
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("url_hash")
+    ).distinct()
+    seen = ev.filter(F.col("url_hash") % 7 == 0)
+    params = B.BloomParams(n_capacity=200_000, fpr=1e-3, num_shards=8)
+    shards = B.build_bloom_shards(seen, "url_hash", params)
+    probed = B.bloom_negative_filter_sharded(ev, "url_hash", shards, params)
+    definite = probed.filter(~F.col("maybe_seen")).select("url_hash")
+    candidates = probed.filter(F.col("maybe_seen")).select("url_hash")
+    verified = candidates.join(seen, "url_hash", "left_anti")
+    unseen = definite.unionByName(verified)
+    return unseen.groupBy(
+        (F.col("url_hash") % 32).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_unseen"))
+
+
+# ===========================================================================
+# Oracled flagship composition (SimHash near-dup variant)
+# ===========================================================================
+
+def _training_oracled_sql() -> str:
+    """The full corpus composition restated stage-by-stage in ANSI SQL:
+    archetype corpus → staged gate outcomes → exact dedup (md5 group) →
+    16-bit SimHash (full md5 vote recomputation, the ``dedup_simhash``
+    oracle) → pigeonhole band pairs (the ``dedup_simhash_pairs`` oracle) →
+    recursive-CTE connected components (the ``dedup_clusters`` oracle) →
+    drop-reason yield counts."""
+    hexmap = "0123456789abcdef"
+    votes, bits = [], []
+    for bit in range(16):
+        hexpos = bit // 4 + 1
+        div = 2 ** (3 - (bit % 4))
+        votes.append(
+            f"sum(CASE WHEN ((strpos('{hexmap}', substr(md5(tok), {hexpos}, 1)) - 1) // {div}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS v{bit}"
+        )
+        bits.append(f"CASE WHEN v{bit} > 0 THEN {2 ** (15 - bit)} ELSE 0 END")
+    band_exprs = ", ".join(f"(h // {1 << (b * 4)}) % 16" for b in range(4))
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, CAST(doc_id % 6 AS INT) AS arch,
+             CAST(doc_id // 6 AS VARCHAR) AS k
+      FROM documents
+    ), docs AS (
+      SELECT doc_id, arch,
+        CASE
+          WHEN arch <= 1 THEN repeat(
+            'page' || k || 'a the page' || k || 'b quick page' || k ||
+            'c brown page' || k || 'd fox page' || k || 'e jumps page' || k ||
+            'f over page' || k || 'g the page' || k || 'h rest page' || k ||
+            'i and page' || k || 'j now. ', 3)
+          WHEN arch = 2 THEN repeat(
+            'page' || k || 'f over page' || k || 'g the page' || k ||
+            'h rest page' || k || 'i and page' || k || 'a the page' || k ||
+            'b quick page' || k || 'c brown page' || k || 'd fox page' || k ||
+            'e jumps page' || k || 'j now. ', 3)
+          WHEN arch = 3 THEN 'the short doc of it.'
+          WHEN arch = 4 THEN repeat(
+            'el texto que de los libros y una casa en la calle grande es que hay. ', 8)
+          ELSE repeat('spam ', 80) || 'the be to of and that have with end.'
+        END AS text
+      FROM base
+    ), staged AS (
+      SELECT doc_id AS id, trim(text) AS clean_text,
+             CASE WHEN arch = 4 THEN 'language'
+                  WHEN arch = 3 THEN 'gopher_quality'
+                  WHEN arch = 5 THEN 'word_spam' END AS drop_reason
+      FROM docs
+    ), survivors AS (
+      SELECT id, clean_text FROM staged WHERE drop_reason IS NULL
+    ), canon AS (
+      SELECT md5(clean_text) AS dg, min(id) AS keep FROM survivors GROUP BY 1
+    ), exact_kept AS (
+      SELECT s.id, s.clean_text FROM survivors s
+      JOIN canon c ON md5(s.clean_text) = c.dg AND s.id = c.keep
+    ), exact_dropped AS (
+      SELECT s.id FROM survivors s
+      JOIN canon c ON md5(s.clean_text) = c.dg AND s.id <> c.keep
+    ), toks AS (
+      SELECT id, unnest(regexp_split_to_array(trim(clean_text), '\\s+')) AS tok
+      FROM exact_kept
+    ), v AS (
+      SELECT id, {', '.join(votes)} FROM toks GROUP BY id
+    ), sim AS (
+      SELECT id, CAST({' + '.join(bits)} AS BIGINT) AS h FROM v
+    ), banded AS (
+      SELECT id, h, unnest([{band_exprs}]) AS band_value,
+             unnest(generate_series(0, 3)) AS band_id
+      FROM sim
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_value = b.band_value
+       AND a.id < b.id
+      WHERE bit_count(xor(a.h, b.h)) = 0
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT id, id FROM exact_kept
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), outcomes AS (
+      SELECT drop_reason FROM staged WHERE drop_reason IS NOT NULL
+      UNION ALL SELECT 'exact_dup' FROM exact_dropped
+      UNION ALL
+      SELECT CASE WHEN id = component THEN 'kept' ELSE 'near_dup' END FROM comp
+    )
+    SELECT drop_reason, count(*) AS n_docs FROM outcomes GROUP BY drop_reason
+    """
+
+
+@q("training_corpus_build_oracled", _training_oracled_sql())
+def training_corpus_build_oracled(spark, sf_dir):
+    """The flagship corpus composition under a FULL value oracle: same
+    pipeline as ``training_corpus_build`` but with the near-dup stage
+    parameterized to the deterministic 16-bit SimHash pigeonhole pairer
+    (``dedup.simhash_near_dup_pairs``) instead of hash-randomized
+    MinHash-LSH, so every stage — C4 lines, Gopher gate, repetition,
+    language, exact dedup, SimHash fingerprints, band pairs, connected
+    components — is restated end-to-end by the DuckDB oracle as composed
+    CTEs.  The near-dup archetype is a token-PERMUTATION of the kept
+    archetype: SimHash is order-invariant over the token bag, so the pair
+    sits at Hamming distance exactly 0 by construction while exact dedup
+    cannot catch it (different byte strings) — and the gate runs the pairer
+    at ``max_hamming=0``, which keeps cross-archetype 16-bit collisions
+    (P ≈ 1/65536 per pair) from densifying the component graph at larger
+    scale factors."""
+    from ..plans.training import build_training_corpus
+
+    d = F.col("doc_id")
+    k = F.floor(d / 6).cast("long").cast("string")
+    arch = d % 6
+    good = F.repeat(F.concat(
+        F.lit("page"), k, F.lit("a the page"), k, F.lit("b quick page"), k,
+        F.lit("c brown page"), k, F.lit("d fox page"), k, F.lit("e jumps page"),
+        k, F.lit("f over page"), k, F.lit("g the page"), k, F.lit("h rest page"),
+        k, F.lit("i and page"), k, F.lit("j now. "),
+    ), 3)
+    # same token multiset as ``good`` (runs f-i moved ahead of a-e), so
+    # simhash(perm) == simhash(good) exactly while md5 differs
+    perm = F.repeat(F.concat(
+        F.lit("page"), k, F.lit("f over page"), k, F.lit("g the page"), k,
+        F.lit("h rest page"), k, F.lit("i and page"), k, F.lit("a the page"),
+        k, F.lit("b quick page"), k, F.lit("c brown page"), k,
+        F.lit("d fox page"), k, F.lit("e jumps page"), k, F.lit("j now. "),
+    ), 3)
+    txt = (
+        F.when(arch <= 1, good)  # arch 1 = exact dup of arch 0 (same k)
+        .when(arch == 2, perm)   # near dup: permuted tokens, Hamming 0
+        .when(arch == 3, F.lit("the short doc of it."))
+        .when(arch == 4, F.repeat(
+            F.lit("el texto que de los libros y una casa en la calle grande es que hay. "), 8))
+        .otherwise(F.concat(F.repeat(F.lit("spam "), 80),
+                            F.lit("the be to of and that have with end.")))
+    )
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", txt.alias("text"))
+    )
+    out = build_training_corpus(docs, languages=("en",), near_dup="simhash",
+                                simhash_max_hamming=0)
+    kept = out["corpus"].select(F.lit("kept").alias("drop_reason"))
+    return (
+        out["audit"].select("drop_reason").unionByName(kept)
+        .groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ===========================================================================
+# Driver-sampling priority order
+# ===========================================================================
+# The round driver validates a 50-gate sample of this catalog, taken in dict
+# insertion order.  Re-order so gates that have never (or least recently)
+# earned a driver CORRECTNESS row register first; long-green gates fill the
+# remaining sample slots.
+_DRIVER_PRIORITY = [
+    # never driver-sampled (rounds 1-3)
+    "c4_line_filter",
+    "pii_redaction",
+    "capture_full_extract",
+    "training_corpus_build",
+    # new this round
+    "training_corpus_build_oracled",
+    "ann_ivf_trained_topk",
+    "bloom_shard_probe",
+    "lang_id_model_counts",
+    # driver-green only in round 2 (re-validated locally in round 3)
+    "ann_ivf_cosine_topk",
+    "datasets_generate",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "dedup_ssdeep",
+    "gopher_quality",
+    "image_analysis",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "recrawl_schedule",
+    "repetition_stats",
+    "robots_parse",
+]
+
+
+def _driver_order(d: dict) -> dict:
+    front = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    front.update((k, v) for k, v in d.items() if k not in front)
+    return front
+
+
+QUERIES = _driver_order(QUERIES)
+ORACLES = _driver_order(ORACLES)

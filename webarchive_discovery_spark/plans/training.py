@@ -38,10 +38,18 @@ def build_training_corpus(
     near_dup_bands_required: int = 2,
     gopher_min_words: int = 50,
     scrub_pii: bool = True,
+    near_dup: str = "minhash_lsh",
+    simhash_max_hamming: int = 3,
 ) -> dict:
     """Returns ``{"corpus": DataFrame, "audit": DataFrame}`` — the surviving
     ``(id, clean_text, lang)`` rows and one ``(id, drop_reason)`` row per
-    rejected document (first failing stage wins, in pipeline order)."""
+    rejected document (first failing stage wins, in pipeline order).
+
+    ``near_dup`` selects the candidate-pair family feeding the
+    connected-components drop: ``"minhash_lsh"`` (banded MinHash — the
+    production default; hash-randomized) or ``"simhash"`` (16-bit SimHash
+    via the pigeonhole band index — fully deterministic, so an external SQL
+    oracle can restate the whole composition end-to-end)."""
     cleaned = ts.c4_line_filter(
         documents.select(id_col, text_col), text_col, out_col="clean_text"
     )
@@ -88,11 +96,19 @@ def build_training_corpus(
         "id", F.lit("exact_dup").alias("drop_reason")
     )
 
-    # near-dup: candidates agreeing on >= bands_required bands form clusters;
-    # each cluster keeps its minimum id
-    pairs = dd.minhash_lsh_candidates(
-        exact_kept, "text_kept", "id"
-    ).filter(F.col("n_bands_matched") >= near_dup_bands_required)
+    # near-dup: candidates form clusters; each cluster keeps its minimum id
+    if near_dup == "simhash":
+        hashes = dd.simhash16(exact_kept, "text_kept", "id")
+        pairs = dd.simhash_near_dup_pairs(
+            hashes, max_hamming=simhash_max_hamming, id_col="id",
+            hash_col="simhash",
+        ).select("id_a", "id_b")
+    elif near_dup == "minhash_lsh":
+        pairs = dd.minhash_lsh_candidates(
+            exact_kept, "text_kept", "id"
+        ).filter(F.col("n_bands_matched") >= near_dup_bands_required)
+    else:
+        raise ValueError(f"unknown near_dup strategy: {near_dup!r}")
     comps = dd.connected_components(
         exact_kept.select("id"), pairs.select("id_a", "id_b"), id_col="id"
     )

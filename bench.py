@@ -50,6 +50,8 @@ HEADLINE = [
     "training_corpus_build_oracled",
     "ann_ivf_trained_topk",
     "bloom_shard_probe",
+    "lang_id_model_counts",
+    "doc_formats_extract",
     "token_stats",
     "bpe_token_stats",
     "doc_fingerprint",

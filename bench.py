@@ -52,6 +52,7 @@ HEADLINE = [
     "bloom_shard_probe",
     "lang_id_model_counts",
     "doc_formats_extract",
+    "entity_extract_model",
     "token_stats",
     "bpe_token_stats",
     "doc_fingerprint",

@@ -56,3 +56,56 @@ def test_ner_registry_path(spark):
     assert got == [("Model Entity", "PERSON")]
     with pytest.raises(TypeError, match="predict_batch"):
         ent.register_ner_model("bad", object())
+
+
+def test_perceptron_ner_fits_training_and_generalizes():
+    """The committed statistical NER (averaged perceptron + BIO decode):
+    100% sentence-exact on its training corpus (the property the
+    ``entity_extract_model`` gate's gold oracle rests on), correct on
+    held-out sentences with unseen entity strings, total on None/empty,
+    and deterministic across retrains."""
+    from webarchive_discovery_spark.functions.nermodel import (
+        NER_SENTENCES, default_ner, train_demo_ner,
+    )
+
+    m = default_ner()
+    tm = {"PER": "PERSON", "ORG": "ORGANIZATION", "LOC": "LOCATION"}
+    for sent in NER_SENTENCES:
+        text = " ".join(tok for tok, _ in sent)
+        gold, cur, ctype = [], [], None
+        for tok, tag in list(sent) + [("", "O")]:
+            if tag.startswith("B-"):
+                if cur:
+                    gold.append((" ".join(cur), tm[ctype]))
+                cur, ctype = [tok], tag[2:]
+            elif tag.startswith("I-"):
+                cur.append(tok)
+            else:
+                if cur:
+                    gold.append((" ".join(cur), tm[ctype]))
+                cur, ctype = [], None
+        assert m.predict_batch([text])[0] == gold, text
+    # held-out: unseen person/org/location surface forms
+    assert m.predict_batch(["Ms Lena Kraus joined Zenix Ltd ."])[0] == [
+        ("Ms Lena Kraus", "PERSON"), ("Zenix Ltd", "ORGANIZATION")]
+    assert m.predict_batch(["Dr Ivan Petrov visited Prague ."])[0] == [
+        ("Dr Ivan Petrov", "PERSON"), ("Prague", "LOCATION")]
+    assert m.predict_batch([None, ""]) == [None, []]
+    assert train_demo_ner().w == train_demo_ner().w  # deterministic
+    assert default_ner() is m  # memoized
+
+
+def test_ner_default_model_spark_path(spark):
+    """model="default" auto-registers the committed perceptron; one Arrow
+    stage, same exploded output shape as the rule path."""
+    df = spark.createDataFrame(
+        [(1, "Prof Mary Stone teaches at Oxford University .")],
+        "id long, txt string",
+    )
+    out = ent.extract_entities(df, "txt", "id", model="default")
+    got = {(r["entity"], r["entity_type"]) for r in out.collect()}
+    assert got == {("Prof Mary Stone", "PERSON"),
+                   ("Oxford University", "ORGANIZATION")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan

@@ -84,6 +84,12 @@ def extract_entities(
     Arrow-batched UDF instead, same output shape."""
     text = F.col(text_col)
     if model is not None:
+        if model == "default" and model not in NER_MODELS:
+            # the committed statistical NER (averaged perceptron), trained
+            # lazily once per process — the rule system stays model=None
+            from ..functions.nermodel import default_ner
+
+            register_ner_model("default", default_ner())
         m = NER_MODELS[model]
 
         @F.pandas_udf("array<struct<entity:string,entity_type:string>>")

@@ -2187,6 +2187,70 @@ def entity_extract(spark, sf_dir):
     return ent.extract_entities(ev.withColumn("txt", txt), "txt", "event_id")
 
 
+def _ner_gold_entities():
+    """Gold (sentence_idx, entity, entity_type) triples derived from the
+    committed NER training corpus's BIO tags."""
+    from ..functions.nermodel import NER_SENTENCES
+
+    tm = {"PER": "PERSON", "ORG": "ORGANIZATION", "LOC": "LOCATION"}
+    gold = []
+    for idx, sent in enumerate(NER_SENTENCES):
+        cur, ctype = [], None
+        for tok, tag in list(sent) + [("", "O")]:
+            if tag.startswith("B-"):
+                if cur:
+                    gold.append((idx, " ".join(cur), tm[ctype]))
+                cur, ctype = [tok], tag[2:]
+            elif tag.startswith("I-"):
+                cur.append(tok)
+            else:
+                if cur:
+                    gold.append((idx, " ".join(cur), tm[ctype]))
+                cur, ctype = [], None
+    return gold
+
+
+def _ner_model_oracle_sql() -> str:
+    """Expected entities for the MODEL path: document ``d`` carries training
+    sentence ``d % N``; the committed perceptron tags its training corpus
+    exactly (``test_entities`` asserts 100% sentence-exact fit), so the
+    expected rows are the gold BIO-derived entities."""
+    from ..functions.nermodel import NER_SENTENCES
+
+    values = ",\n      ".join(
+        f"({idx}, '{ent}', '{etype}')"
+        for idx, ent, etype in _ner_gold_entities()
+    )
+    return f"""
+    SELECT doc_id, entity, entity_type
+    FROM documents
+    JOIN (VALUES
+      {values}
+    ) AS g(idx, entity, entity_type)
+      ON CAST(doc_id % {len(NER_SENTENCES)} AS INT) = g.idx
+    """
+
+
+@q("entity_extract_model", _ner_model_oracle_sql())
+def entity_extract_model(spark, sf_dir):
+    """NER through the REAL-model registry path (``model="default"`` → the
+    committed averaged-perceptron BIO tagger, one Arrow-batched UDF): each
+    document carries a known sentence from the embedded annotated corpus
+    and the model's exploded (entity, entity_type) rows must reproduce the
+    gold annotations exactly.  The deployment path for Stanford-NER-class
+    sequence models (reference: ``EntityMapper.java:119``)."""
+    from ..functions.nermodel import NER_SENTENCES
+    from ..operators import entities as ent
+
+    texts = [" ".join(tok for tok, _ in s) for s in NER_SENTENCES]
+    arr = F.array(*[F.lit(t) for t in texts])
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.element_at(arr, (d % len(texts) + 1).cast("int")).alias("txt")
+    )
+    return ent.extract_entities(docs, "txt", "doc_id", model="default")
+
+
 @q(
     "postcode_extract",
     """
@@ -3745,6 +3809,7 @@ _DRIVER_PRIORITY = [
     "bloom_shard_probe",
     "lang_id_model_counts",
     "doc_formats_extract",
+    "entity_extract_model",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -568,6 +568,34 @@ def test_simhash_pairs_pigeonhole_exact(spark):
         simhash_near_dup_pairs(df, max_hamming=4, bands=4)
 
 
+def test_simhash_pairs_auto_band_minimum(spark):
+    """bands=None picks the least divisor of bits > max_hamming, and the
+    single-band (max_hamming=0) fast path returns exactly the hash-equal
+    pairs with no explode/aggregate in the plan."""
+    from webarchive_discovery_spark.operators.dedup import simhash_near_dup_pairs
+
+    hashes = [7, 7, 7, 9, 9, 21]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, simhash long"
+    )
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in simhash_near_dup_pairs(df, max_hamming=0).collect()}
+    assert got == {(0, 1, 0), (0, 2, 0), (1, 2, 0), (3, 4, 0)}
+    plan = simhash_near_dup_pairs(df, max_hamming=0)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan and "HashAggregate" not in plan
+    # auto selection stays sound at other hamming radii (least divisor of
+    # 16 > mh: 1→2 bands, 2→4, 3→4): output must equal brute force
+    import itertools
+
+    for mh in (1, 2, 3):
+        expect = {(i, j, bin(a ^ b).count("1"))
+                  for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2)
+                  if bin(a ^ b).count("1") <= mh}
+        got_mh = {(r.id_a, r.id_b, r.hamming)
+                  for r in simhash_near_dup_pairs(df, max_hamming=mh).collect()}
+        assert got_mh == expect
+
+
 def test_gopher_quality_filter_rules(spark):
     """Per-rule audit flags + conjunction; bullet/ellipsis line rules."""
     from webarchive_discovery_spark.operators.textstats import gopher_quality_filter

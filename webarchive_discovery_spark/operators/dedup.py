@@ -387,7 +387,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     bits: int = 16,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints via the pigeonhole
     multi-index: split the ``bits``-bit hash into ``bands`` equal bands —
@@ -401,7 +401,17 @@ def simhash_near_dup_pairs(
 
     At scale this is the standard SimHash dedup shape (the permuted-table
     variant trades storage for fewer false candidates; band buckets on
-    64-bit hashes stay small for non-degenerate corpora)."""
+    64-bit hashes stay small for non-degenerate corpora).
+
+    ``bands=None`` auto-selects the SMALLEST sound band count — the least
+    divisor of ``bits`` exceeding ``max_hamming``.  Fewer bands mean wider
+    band values, exponentially sparser buckets, and a smaller exploded
+    candidate side, so the minimum is always the cheapest exact choice; in
+    particular ``max_hamming=0`` collapses to ONE band (the whole hash) —
+    buckets then hold only true hash-duplicates and the candidate join is
+    linear in the duplicate count rather than O(n²/2^band_bits)."""
+    if bands is None:
+        bands = next(b for b in range(max_hamming + 1, bits + 1) if bits % b == 0)
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole soundness needs max_hamming < bands "
@@ -412,6 +422,18 @@ def simhash_near_dup_pairs(
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     h = F.col(hash_col)
+    if bands == 1:
+        # one band = the whole hash: candidates ARE exact hash-equal pairs,
+        # so no explode and no per-pair dedup aggregation is needed
+        slim = simhashes.select(F.col(id_col).alias("doc"), h.alias("h"))
+        a, b_ = slim.alias("a"), slim.alias("b")
+        return a.join(
+            b_, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc"))
+        ).select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
     banded = simhashes.select(
         F.col(id_col).alias("doc"),
         h.alias("h"),

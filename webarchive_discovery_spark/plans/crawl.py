@@ -174,13 +174,17 @@ def _epoch_plan(
     candidate URL with status ∈ {fetched, dup_seen, robots_denied, delayed,
     fetch_error}; ``fetched`` carries the validated record joins."""
     fr = fop.canonicalize_frontier(raw_frontier, "url")
-    dd = fr.groupBy("url_norm").agg(
+    # Dedup keyed by url_hash — the SAME 64-bit identity the seen-set uses
+    # (north rule: xxhash64 keys ARE url identity for membership), so the
+    # seen anti-/semi-joins below reuse this exchange instead of reshuffling:
+    # one url_hash shuffle serves dedup + seen instead of url_norm + url_hash.
+    dd = fr.groupBy("url_hash").agg(
+        F.min("url_norm").alias("url_norm"),
         F.min("url_key").alias("url_key"),
         F.min("host").alias("host"),
         F.min("url_path").alias("url_path"),
         F.min("hops").alias("hops"),
         F.count(F.lit(1)).alias("inlinks"),
-        F.min("url_hash").alias("url_hash"),
     )
 
     # URL-seen: Bloom prefilter (negative ⇒ definitely new, skips the join

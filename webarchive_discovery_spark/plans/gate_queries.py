@@ -1044,11 +1044,18 @@ def _robots_rules_df(spark):
 
 
 def _frontier_dedup(spark, sf_dir, fr=None):
+    """Dedup fused into the politeness shuffle: ``host`` is derived from
+    ``url_norm``, so grouping by ``(host, url_norm)`` after an explicit
+    ``repartition(host)`` is the same dedup — and hash(host) satisfies the
+    ClusteredDistribution of BOTH the aggregate and the downstream per-host
+    politeness window, so the whole epoch runs on ONE hash shuffle plus the
+    global-order range partition (was: url_norm agg shuffle + host window
+    shuffle + range).  Skew exposure is unchanged — the politeness window
+    already required all rows of a host on one partition."""
     if fr is None:
         fr = frontier.canonicalize_frontier(_frontier_urls(spark, sf_dir), "url")
-    dd = fr.groupBy("url_norm").agg(
+    dd = fr.repartition("host").groupBy("host", "url_norm").agg(
         F.min("url_key").alias("url_key"),
-        F.min("host").alias("host"),
         F.min("url_path").alias("url_path"),
         F.min("hostn").alias("hostn"),
         F.min("event_id").alias("first_event"),
@@ -1146,8 +1153,9 @@ def frontier_fetch_order(spark, sf_dir):
     count over the per-host window, so denied rows never consume slots), and
     the priority band are all computed without branching the pipeline; the
     global sequence is assigned once with fetched rows ordered first, so no
-    union/join re-executes the upstream (one UDF pass, three shuffles total:
-    dedup, host window, range partition)."""
+    union/join re-executes the upstream (one UDF pass, two shuffles total:
+    the fused host-partitioned dedup+politeness exchange — see
+    ``_frontier_dedup`` — and the global-order range partition)."""
     dd = _frontier_dedup(spark, sf_dir)
     rm = frontier.robots_match(dd, _robots_rules_df(spark), id_cols=["url_norm"])
 
@@ -3655,7 +3663,6 @@ def _training_oracled_sql() -> str:
             f"THEN 1 ELSE -1 END) AS v{bit}"
         )
         bits.append(f"CASE WHEN v{bit} > 0 THEN {2 ** (15 - bit)} ELSE 0 END")
-    band_exprs = ", ".join(f"(h // {1 << (b * 4)}) % 16" for b in range(4))
     return f"""
     WITH RECURSIVE base AS (
       SELECT doc_id, CAST(doc_id % 6 AS INT) AS arch,
@@ -3703,16 +3710,11 @@ def _training_oracled_sql() -> str:
       SELECT id, {', '.join(votes)} FROM toks GROUP BY id
     ), sim AS (
       SELECT id, CAST({' + '.join(bits)} AS BIGINT) AS h FROM v
-    ), banded AS (
-      SELECT id, h, unnest([{band_exprs}]) AS band_value,
-             unnest(generate_series(0, 3)) AS band_id
-      FROM sim
     ), pairs AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band_id = b.band_id AND a.band_value = b.band_value
-       AND a.id < b.id
-      WHERE bit_count(xor(a.h, b.h)) = 0
+      -- max_hamming=0 ⇒ the pigeonhole index degenerates to ONE band (the
+      -- whole hash): candidate pairs are exactly the hash-equal pairs
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sim a JOIN sim b ON a.h = b.h AND a.id < b.id
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
@@ -3747,7 +3749,10 @@ def training_corpus_build_oracled(spark, sf_dir):
     cannot catch it (different byte strings) — and the gate runs the pairer
     at ``max_hamming=0``, which keeps cross-archetype 16-bit collisions
     (P ≈ 1/65536 per pair) from densifying the component graph at larger
-    scale factors."""
+    scale factors.  At ``max_hamming=0`` the pairer auto-selects ONE
+    whole-hash band (pigeonhole minimum), so the candidate join touches
+    only true hash-equal pairs instead of flooding 4-bit band buckets
+    with ~n²/32 candidates."""
     from ..plans.training import build_training_corpus
 
     d = F.col("doc_id")

@@ -184,3 +184,37 @@ def test_q6_pushdown_q4_semi_join(spark):
     plan = plan_of(spark, "q4_order_priority")
     assert "LeftSemi" in plan            # EXISTS → semi join, no payload cols
     assert "CartesianProduct" not in plan
+
+
+def test_frontier_dedup_window_fused_single_exchange(spark):
+    """The epoch's dedup aggregate and per-host politeness window share ONE
+    hash exchange on host (gate_queries._frontier_dedup): the explicit
+    repartition(host) satisfies the ClusteredDistribution of both, so the
+    pre-sequence plan carries exactly one non-broadcast shuffle."""
+    from pyspark.sql import functions as F, Window
+
+    from webarchive_discovery_spark.operators import frontier
+    from webarchive_discovery_spark.plans.gate_queries import (
+        _frontier_dedup, _robots_rules_df)
+
+    urls = spark.createDataFrame(
+        [(i, f"http://h{i % 7}.example.org/p/{i}", i % 7) for i in range(300)],
+        "event_id long, url string, hostn long",
+    )
+    fr = frontier.canonicalize_frontier(urls, "url")
+    dd = _frontier_dedup(spark, SF, fr=fr)
+    rm = frontier.robots_match(dd, _robots_rules_df(spark), id_cols=["url_norm"])
+    w = (Window.partitionBy("host")
+         .orderBy(F.col("priority").desc(), F.col("url_key"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = rm.withColumn("priority", F.lit(1.0)).withColumn(
+        "slot", F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0)).over(w))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the streamed (frontier) side prints before the BroadcastExchange
+    # subtree; the tiny rules side may shuffle pre-broadcast — irrelevant
+    streamed = plan.split("BroadcastExchange")[0]
+    assert streamed.count("Exchange") == 1, streamed
+    assert "hashpartitioning(host" in streamed
+    # and the politeness window itself required no re-shuffle: the only
+    # exchange is the explicit REPARTITION_BY_COL, none ENSURE_REQUIREMENTS
+    assert "ENSURE_REQUIREMENTS" not in streamed

@@ -34,6 +34,7 @@ HEADLINE = [
     "reservoir_sample_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "substring_dedup_stats",
     "decontaminate_ngram_overlap",
     "url_quality_flags",
     "boilerplate_extract",

@@ -73,8 +73,10 @@ rules = spark.range(20 * repl).selectExpr(
 
 def build(u):
     fr = frontier.canonicalize_frontier(u, "url")
-    dd = fr.groupBy("url_norm").agg(
-        F.min("url_key").alias("url_key"), F.min("host").alias("host"),
+    # fused dedup (mirrors gate_queries._frontier_dedup): ONE hash exchange
+    # on host serves the dedup aggregate AND the politeness window below
+    dd = fr.repartition("host").groupBy("host", "url_norm").agg(
+        F.min("url_key").alias("url_key"),
         F.min("url_path").alias("url_path"),
         F.min("event_id").alias("first_event"), F.count(F.lit(1)).alias("inlinks"))
     pri = dd.withColumn("priority",

@@ -809,3 +809,44 @@ def test_pagerank_properties(spark):
     pr2 = {r["vertex"]: round(r["rank"], 9) for r in
            pagerank(df.repartition(7), iterations=8).collect()}
     assert {k: round(v, 9) for k, v in pr.items()} == pr2
+
+
+def test_substring_dedup_spans_and_cut(spark):
+    """First occurrence survives; later copies are flagged as maximal spans;
+    the stats roll-up cuts exactly those spans from the text."""
+    from webarchive_discovery_spark.operators.dedup import (
+        duplicated_substring_spans, substring_dedup_stats)
+
+    A = "ABCDEFGHIJ" * 4  # one 40-char block
+    docs = spark.createDataFrame(
+        [(0, "u" * 25 + A + "xyz"),       # holds the FIRST occurrence
+         (1, "v" * 25 + A + "q" + A),     # two later copies, 1 char apart
+         (2, "w" * 30)],                  # shorter than L — never flagged
+        "doc_id long, text string",
+    )
+    spans = {(r.doc_id, r.span_start, r.span_end)
+             for r in duplicated_substring_spans(
+                 docs, "text", min_length=40, by_hash=False).collect()}
+    # the gap between pos 25 and 66 is 41 > L, so the copies do NOT merge
+    assert spans == {(1, 25, 65), (1, 66, 106)}
+    # hashed path (the production shuffle key) agrees
+    spans_h = {(r.doc_id, r.span_start, r.span_end)
+               for r in duplicated_substring_spans(
+                   docs, "text", min_length=40, by_hash=True).collect()}
+    assert spans_h == spans
+    st = {r.doc_id: r for r in substring_dedup_stats(
+        docs, "text", min_length=40, by_hash=False).collect()}
+    assert st[0].n_dup_spans == 0 and st[0].deduped_text == "u" * 25 + A + "xyz"
+    assert st[1].n_dup_spans == 2 and st[1].dup_chars == 80
+    assert st[1].deduped_text == "v" * 25 + "q"
+    assert st[2].deduped_text == "w" * 30
+    # adjacent copies (gap ≤ L) merge into ONE maximal span
+    docs2 = spark.createDataFrame(
+        [(0, A), (1, A + A)], "doc_id long, text string")
+    spans2 = {(r.doc_id, r.span_start, r.span_end)
+              for r in duplicated_substring_spans(
+                  docs2, "text", min_length=40, by_hash=False).collect()}
+    # doc1: windows 0..40 all duplicated (every 40-gram of A+A repeats in
+    # doc0 or within doc1) except window 0 which is the... (doc0 pos 0 is
+    # first) — doc1 pos 0 is a later copy, so the whole of A+A is one span
+    assert spans2 == {(1, 0, 80)}

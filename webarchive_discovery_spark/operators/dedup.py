@@ -21,7 +21,7 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -35,6 +35,8 @@ __all__ = [
     "simhash16",
     "simhash_near_dup_pairs",
     "connected_components",
+    "duplicated_substring_spans",
+    "substring_dedup_stats",
 ]
 
 
@@ -461,4 +463,139 @@ def simhash_near_dup_pairs(
         # a pair colliding in several bands must appear once
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.first(hamming).alias("hamming"))
+    )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    min_length: int = 40,
+    stride: int = 1,
+    by_hash: bool = True,
+) -> DataFrame:
+    """Exact substring-level dedup: every maximal character span (length ≥
+    ``min_length``) whose content also occurs EARLIER in the corpus —
+    span-level dedup in the style of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022), re-expressed for Spark.
+    (The reference dedups whole payloads by digest,
+    ``MDXReduplicatingReducer.java:72-152``; this is the within-document
+    generalization a training-data pipeline needs.)
+
+    Identity: a position is duplicated iff it is covered by a ``min_length``-
+    gram occurrence that is not the globally FIRST occurrence of that gram
+    (first = smallest ``(doc_id, pos)``) — so cutting all returned spans
+    always leaves the earliest copy of every duplicated ``min_length``-gram
+    intact somewhere in the corpus.  The union of non-first duplicated
+    L-gram windows equals the union of non-first duplicated substrings of
+    length ≥ L, so no suffix array is needed: stride-1 L-gram fingerprints
+    are the distributable equivalent.
+
+    Plan (2 shuffles, both key-parallel):
+      1. explode stride-``stride`` L-gram fingerprints (codegen
+         ``transform``+``substring``; ``xxhash64`` when ``by_hash`` so the
+         shuffle carries 8-byte keys, not 40-char strings — collision odds
+         at 2⁻⁶⁴ per pair are noted, set ``by_hash=False`` for exactness);
+      2. one window keyed by gram marks non-first occurrences
+         (``row_number > 1``);
+      3. one window keyed by doc merges overlapping/adjacent duplicate
+         windows into maximal spans (gaps-and-islands).
+
+    Rows out: ``(id, span_start, span_end)`` — 0-based, end-exclusive.
+    ``stride > 1`` trades exactness for an explode ``stride``× smaller
+    (spans become approximate: starts can round up by ``stride-1``)."""
+    L = min_length
+    gram = F.substring(F.col("_t"), F.col("pos") + 1, L)
+    grams = (
+        df.filter(F.length(text_col) >= L)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(text_col) - L, F.lit(stride))
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            (F.xxhash64(gram.cast("binary")) if by_hash else gram).alias("gh"),
+        )
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("gh").orderBy("id", "pos")
+    )
+    dups = grams.withColumn("_occ", occ).filter(F.col("_occ") > 1)
+    prev = F.lag("pos", 1, -(10**9)).over(Window.partitionBy("id").orderBy("pos"))
+    island = F.sum(
+        F.when(F.col("pos") - prev > L, 1).otherwise(0)
+    ).over(
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dups.withColumn("_island", island)
+        .groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    min_length: int = 40,
+    by_hash: bool = True,
+) -> DataFrame:
+    """Per-document roll-up of :func:`duplicated_substring_spans` plus the
+    deduplicated text: ``(id, n_chars, n_dup_spans, dup_chars, dup_ratio,
+    deduped_text)`` — ``deduped_text`` is the document with every duplicated
+    span cut (the corpus-wide first occurrence of each duplicated gram
+    survives, in its original document).  The cut is a pure codegen fold
+    over the doc's sorted span array (``aggregate`` + ``substring``) after a
+    broadcast-free left join back to the documents — no Python."""
+    spans = duplicated_substring_spans(
+        df, text_col, id_col=id_col, min_length=min_length, by_hash=by_hash
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_chars"),
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"),
+    )
+    txt = F.col(text_col)
+    # fold the sorted spans into (kept-text-so-far, cursor); spans are
+    # disjoint and sorted, so each step appends txt[cursor, start) and
+    # advances the cursor past the span
+    cut = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit("").alias("acc"), F.lit(0).alias("cur")),
+        lambda st, sp: F.struct(
+            F.concat(
+                st["acc"],
+                F.substring(txt, st["cur"] + 1, sp["span_start"] - st["cur"]),
+            ).alias("acc"),
+            sp["span_end"].alias("cur"),
+        ),
+        lambda st: F.concat(
+            st["acc"], F.substring(txt, st["cur"] + 1, F.length(txt) - st["cur"])
+        ),
+    )
+    return (
+        df.select(id_col, text_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.length(txt).alias("n_chars"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.length(txt), 6
+            ).alias("dup_ratio"),
+            F.when(F.col("_spans").isNull(), txt).otherwise(cut).alias("deduped_text"),
+        )
     )

@@ -3796,6 +3796,103 @@ def training_corpus_build_oracled(spark, sf_dir):
 
 
 # ===========================================================================
+# Exact substring-level dedup (Lee et al. 2022 span dedup, L-gram form)
+# ===========================================================================
+
+_SUBSTR_L = 40
+
+_SUBSTR_SPAN_CTE = f"""
+    WITH g AS (
+      SELECT doc_id, CAST(u.pos AS BIGINT) AS pos
+      FROM (SELECT doc_id, text, unnest(range(0, length(text) - {_SUBSTR_L} + 1)) AS pos
+            FROM documents WHERE length(text) >= {_SUBSTR_L}) u(doc_id, text, pos)
+      QUALIFY row_number() OVER (
+        PARTITION BY substr(u.text, CAST(u.pos AS INT) + 1, {_SUBSTR_L})
+        ORDER BY doc_id, pos) > 1
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN pos - lg > {_SUBSTR_L} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM (SELECT doc_id, pos,
+                   lag(pos, 1, -1000000000) OVER (PARTITION BY doc_id ORDER BY pos) AS lg
+            FROM g)
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {_SUBSTR_L} AS span_end
+      FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@q(
+    "substring_dedup_spans",
+    _SUBSTR_SPAN_CTE + "SELECT doc_id, span_start, span_end FROM spans",
+)
+def substring_dedup_spans(spark, sf_dir):
+    """Maximal duplicated character spans (length ≥ 40) over ``documents`` —
+    exact substring-level dedup via stride-1 L-gram fingerprints (2 key-
+    parallel shuffles; see :func:`dedup.duplicated_substring_spans`).  The
+    oracle restates the identity over the gram STRINGS (no hash), so the
+    production ``xxhash64`` shuffle key is conformance-checked for
+    collision-freedom as a side effect."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_substring_spans(
+        docs, "text", min_length=_SUBSTR_L
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+@q(
+    "substring_dedup_stats",
+    _SUBSTR_SPAN_CTE + f"""
+    , segs AS (
+      SELECT doc_id,
+             lag(span_end, 1, 0) OVER (PARTITION BY doc_id ORDER BY span_start) AS a,
+             span_start AS b
+      FROM spans
+    ), agg AS (
+      SELECT s.doc_id,
+             count(*) AS n_dup_spans,
+             sum(s.span_end - s.span_start) AS dup_chars,
+             max(s.span_end) AS last_end
+      FROM spans s GROUP BY s.doc_id
+    ), rebuilt AS (
+      SELECT d.doc_id,
+             coalesce(string_agg(substr(d.text, CAST(g.a AS INT) + 1,
+                                        CAST(g.b - g.a AS INT)), '' ORDER BY g.a), '')
+               || substr(d.text, CAST(a.last_end AS INT) + 1) AS deduped_text
+      FROM documents d JOIN agg a USING (doc_id) LEFT JOIN segs g USING (doc_id)
+      GROUP BY d.doc_id, d.text, a.last_end
+    )
+    SELECT d.doc_id,
+           length(d.text) AS n_chars,
+           coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(a.dup_chars, 0) AS dup_chars,
+           round(coalesce(a.dup_chars, 0) / length(d.text), 6) AS dup_ratio,
+           coalesce(r.deduped_text, d.text) AS deduped_text
+    FROM documents d
+    LEFT JOIN agg a USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def substring_dedup_stats(spark, sf_dir):
+    """Per-document substring-dedup roll-up incl. the VERBATIM deduplicated
+    text (codegen span-cut fold) — cutting every returned span provably
+    keeps the corpus-wide first occurrence of each duplicated 40-gram."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.substring_dedup_stats(docs, "text", min_length=_SUBSTR_L)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+        F.col("dup_ratio").cast("double").alias("dup_ratio"),
+        "deduped_text",
+    )
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -3815,6 +3912,8 @@ _DRIVER_PRIORITY = [
     "lang_id_model_counts",
     "doc_formats_extract",
     "entity_extract_model",
+    "substring_dedup_spans",
+    "substring_dedup_stats",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "substring_dedup_stats",
+    "dsir_select",
     "decontaminate_ngram_overlap",
     "url_quality_flags",
     "boilerplate_extract",

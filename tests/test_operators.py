@@ -850,3 +850,30 @@ def test_substring_dedup_spans_and_cut(spark):
     # doc0 or within doc1) except window 0 which is the... (doc0 pos 0 is
     # first) — doc1 pos 0 is a later copy, so the whole of A+A is one span
     assert spans2 == {(1, 0, 80)}
+
+
+def test_dsir_importance_resampling(spark):
+    """English-like docs outscore noise docs under an English target; the
+    Gumbel top-k selection is deterministic across parallelism levels."""
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.operators import dsir
+
+    en = "the quick brown fox jumps over the lazy dog and runs away fast"
+    noise = "zxq wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu tt ss"
+    rows = [(i, en + f" extra{i % 3}", "en") for i in range(10)] + [
+        (100 + i, noise + f" tail{i % 3}", "xx") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    feats = dsir.hashed_ngram_buckets(docs, "text", "doc_id", 256, keep_cols=["lang"])
+    model = dsir.dsir_bucket_model(feats, F.col("lang") == "en", 256)
+    w = dsir.dsir_log_weights(docs, "text", "doc_id", model, 256)
+    got = {r.doc_id: r.log_weight for r in w.collect()}
+    assert min(got[i] for i in range(10)) > max(got[100 + i] for i in range(10))
+    sel = {r.doc_id for r in dsir.dsir_select(w, 8, seed=7).collect()}
+    assert len(sel) == 8
+    # weights dominate the Gumbel noise here: only target docs selected
+    assert sel <= set(range(10))
+    sel2 = {r.doc_id for r in
+            dsir.dsir_select(w.repartition(8), 8, seed=7).collect()}
+    assert sel2 == sel

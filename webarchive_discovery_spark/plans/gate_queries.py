@@ -3893,6 +3893,77 @@ def substring_dedup_stats(spark, sf_dir):
 
 
 # ===========================================================================
+# DSIR importance resampling (Xie et al. 2023)
+# ===========================================================================
+
+_DSIR_B = 1024
+
+_DSIR_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang, unnest(t) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS f
+      FROM toks WHERE len(t) >= 2
+    ), b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {_DSIR_B} AS bucket
+      FROM feats
+    ), stats AS (
+      SELECT bucket,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+             count(*) AS cr
+      FROM b GROUP BY bucket
+    ), tot AS (SELECT sum(ct) AS T, sum(cr) AS R FROM stats
+    ), lr AS (
+      SELECT bucket,
+             ln(ct + 1.0) - ln(T + {_DSIR_B}.0)
+             - ln(cr + 1.0) + ln(R + {_DSIR_B}.0) AS log_ratio
+      FROM stats, tot
+    ), w AS (
+      SELECT doc_id, sum(log_ratio) AS lw
+      FROM b JOIN lr USING (bucket) GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id, lw,
+             -ln(-ln((CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) + 1.0) / 4294967297.0)) AS gum
+      FROM w
+    )
+    SELECT doc_id, round(lw, 6) AS log_weight, round(lw + gum, 6) AS score
+    FROM g ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
+@q("dsir_select", _DSIR_SQL)
+def dsir_select(spark, sf_dir):
+    """DSIR data selection: hashed uni+bigram NB log-ratio against the
+    ``lang='en'`` target slice, Gumbel top-k (seed-deterministic) pick of
+    100 docs.  Model fit = one bucket-keyed hash agg (≤1024 rows,
+    broadcast); scoring = broadcast join + doc-keyed agg; selection =
+    TakeOrderedAndProject.  See :mod:`operators.dsir`."""
+    from ..operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = dsir.hashed_ngram_buckets(
+        docs, "text", "doc_id", _DSIR_B, keep_cols=["lang"]
+    )
+    model = dsir.dsir_bucket_model(feats, F.col("lang") == "en", _DSIR_B)
+    w = dsir.dsir_log_weights(docs, "text", "doc_id", model, _DSIR_B)
+    sel = dsir.dsir_select(w, 100, seed=42)
+    return sel.select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -3914,6 +3985,7 @@ _DRIVER_PRIORITY = [
     "entity_extract_model",
     "substring_dedup_spans",
     "substring_dedup_stats",
+    "dsir_select",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -2,9 +2,11 @@
 stage bends the 4->16-core curve (VERDICT r3 "What's wrong" #3).
 
 Runs the SAME epoch pipeline as scripts/scaling_bench.py but truncated at
-successive cut points, at two core counts, each cut in its own subprocess
-JVM with a full-shape warm-up and min-of-N trials (the scaling_bench
-methodology).  The per-stage marginal cost at each level isolates where
+successive cut points, at two core counts (one subprocess JVM per level).
+All cuts run INTERLEAVED inside the level's JVM — trial t runs every cut
+before trial t+1 starts — so host-load drift between separate processes
+(measured ~2x on this shared VM) hits all cuts alike and the cross-cut
+subtraction stays meaningful; per cut the min over trials is reported.  The per-stage marginal cost at each level isolates where
 efficiency is lost:
 
   canon   : Arrow-UDF canonicalize pass (embarrassingly parallel — should
@@ -96,37 +98,43 @@ def build(u):
         band, [F.col("band").desc(), F.col("slot").asc(), F.col("url_key").asc()],
         num_partitions=cores)
 
-def run(u):
+CUTS = ["canon", "dedup", "window", "sequence"]
+
+def run(u, c):
+    global cut
+    cut = c
     df = build(u)
     df.write.format("noop").mode("overwrite").save()
     frontier.release_staging()
 
-run(urls.sample(0.02, seed=1))  # full-shape warm-up
+for c in CUTS:
+    run(urls.sample(0.02, seed=1), c)  # full-shape warm-up, every cut
 
+# INTERLEAVED trials: cuts alternate within this one JVM, so slow host
+# windows hit all cuts alike and cross-cut subtraction stays meaningful
 trials = int(os.environ.get("TRIALS", "3"))
-best = None
+best = {}
 for _ in range(trials):
-    t0 = time.time()
-    run(urls)
-    sec = time.time() - t0
-    best = sec if best is None or sec < best else best
-print(json.dumps({"cores": cores, "cut": cut, "sec": round(best, 2)}))
+    for c in CUTS:
+        t0 = time.time()
+        run(urls, c)
+        sec = time.time() - t0
+        best[c] = min(best.get(c, 1e9), sec)
+print(json.dumps({"cores": cores, "cumulative": {c: round(best[c], 2) for c in CUTS}}))
 """
 
-CUTS = ["canon", "dedup", "window", "sequence"]
 
-
-def run_cut(cores: int, cut: str, repl: int, trials: int) -> float:
+def run_level(cores: int, repl: int, trials: int) -> dict:
     mem = os.environ.get("SPARK_DRIVER_MEMORY", f"{max(6, 3 * cores)}g")
-    env = dict(os.environ, CORES=str(cores), CUT=cut, REPLICATION=str(repl),
+    env = dict(os.environ, CORES=str(cores), CUT="all", REPLICATION=str(repl),
                TRIALS=str(trials), SPARK_DRIVER_MEMORY=mem,
                REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = subprocess.run([sys.executable, "-c", JOB], env=env,
-                         capture_output=True, text=True, timeout=1800)
+                         capture_output=True, text=True, timeout=3000)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
-        raise RuntimeError(f"no output cores={cores} cut={cut}:\n{out.stderr[-2000:]}")
-    return json.loads(lines[-1])["sec"]
+        raise RuntimeError(f"no output cores={cores}:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])["cumulative"]
 
 
 def main():
@@ -137,7 +145,7 @@ def main():
 
     cum = {}
     for cores in (small, large):
-        cum[cores] = {cut: run_cut(cores, cut, repl, trials) for cut in CUTS}
+        cum[cores] = run_level(cores, repl, trials)
         print(json.dumps({"cores": cores, "cumulative": cum[cores]}))
 
     stages = []

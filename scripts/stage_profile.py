@@ -124,6 +124,9 @@ print(json.dumps({"cores": cores, "cumulative": {c: round(best[c], 2) for c in C
 """
 
 
+CUTS = ["canon", "dedup", "window", "sequence"]
+
+
 def run_level(cores: int, repl: int, trials: int) -> dict:
     mem = os.environ.get("SPARK_DRIVER_MEMORY", f"{max(6, 3 * cores)}g")
     env = dict(os.environ, CORES=str(cores), CUT="all", REPLICATION=str(repl),

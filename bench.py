@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "substring_dedup_stats",
     "dsir_select",
+    "quality_classifier_probs",
     "decontaminate_ngram_overlap",
     "url_quality_flags",
     "boilerplate_extract",

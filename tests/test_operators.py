@@ -877,3 +877,31 @@ def test_dsir_importance_resampling(spark):
     sel2 = {r.doc_id for r in
             dsir.dsir_select(w.repartition(8), 8, seed=7).collect()}
     assert sel2 == sel
+
+
+def test_quality_classifier_training(spark):
+    """In-cluster logistic regression separates target from noise docs, is
+    deterministic across parallelism levels (scores rounded to 6dp), and the
+    trained weights live on the driver only as a <=buckets float vector."""
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.operators import dsir
+
+    en = "the quick brown fox jumps over the lazy dog and runs away fast"
+    noise = "zxq wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu tt ss"
+    rows = [(i, en + f" extra{i % 3}", "en") for i in range(10)] + [
+        (100 + i, noise + f" tail{i % 3}", "xx") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    x = dsir.doc_bucket_counts(docs, "text", "doc_id", F.col("lang") == "en", 256)
+    w = dsir.train_quality_classifier(x, 256, iters=5, lr=0.5)
+    assert len(w) == 256
+    probs = {r.doc_id: r.prob
+             for r in dsir.quality_scores(docs, "text", "doc_id", w, 256).collect()}
+    assert min(probs[i] for i in range(10)) > max(probs[100 + i] for i in range(10))
+    assert min(probs[i] for i in range(10)) > 0.5
+    assert max(probs[100 + i] for i in range(10)) < 0.5
+    # determinism across parallelism: retrain over a repartitioned design matrix
+    w2 = dsir.train_quality_classifier(
+        x.repartition(8), 256, iters=5, lr=0.5)
+    assert [round(a, 9) for a in w] == [round(b, 9) for b in w2]

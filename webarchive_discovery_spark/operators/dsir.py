@@ -39,6 +39,9 @@ __all__ = [
     "dsir_bucket_model",
     "dsir_log_weights",
     "dsir_select",
+    "doc_bucket_counts",
+    "train_quality_classifier",
+    "quality_scores",
 ]
 
 
@@ -152,4 +155,101 @@ def dsir_select(
         weights.withColumn("score", F.col("log_weight") + gumbel)
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def doc_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-document hashed-feature counts ``(id, bucket, c, y)`` — the
+    design matrix for :func:`train_quality_classifier`, one hash aggregate
+    over the exploded features."""
+    feats = hashed_ngram_buckets(
+        df.withColumn("_y", label.cast("double")), text_col, id_col,
+        buckets, keep_cols=["_y"],
+    )
+    return feats.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.first("_y").alias("y"),
+    )
+
+
+def train_quality_classifier(
+    x: DataFrame,
+    buckets: int = 1024,
+    iters: int = 10,
+    lr: float = 0.5,
+) -> list[float]:
+    """Train a fastText/WebText-style quality classifier IN the cluster:
+    logistic regression over hashed n-gram counts by full-batch gradient
+    descent.  Each iteration is two key-parallel aggregates over the design
+    matrix (score docs under the broadcast weights, then accumulate the
+    per-bucket gradient); the only driver traffic is the ≤ ``buckets``-float
+    weight vector per iteration (model-fetch collect, same budget as IVF's
+    centroid fetch).  Weights start at zero and every update is a plain sum
+    of data values, so runs differ only by float summation order (~1e-15
+    relative) across parallelism levels; round scores for bit-stable
+    comparisons.
+
+    Returns the trained weight list (index = bucket).  ``w_b ← w_b -
+    lr/N · Σ_docs c_db (σ(z_d) - y_d)`` with ``z_d = Σ_b c_db w_b``."""
+    spark = x.sparkSession
+    x = x.localCheckpoint()  # reused every iteration; keep the plan flat
+    n_docs = x.select("id").distinct().count()
+    w = [0.0] * buckets
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(b, float(wb)) for b, wb in enumerate(w) if wb != 0.0] or [(0, 0.0)],
+            "bucket long, w double",
+        )
+        scores = (
+            x.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("id")
+            .agg(
+                F.sum(F.col("c") * F.coalesce("w", F.lit(0.0))).alias("z"),
+                F.first("y").alias("y"),
+            )
+            .select(
+                "id",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")).alias("err"),
+            )
+        )
+        grad = (
+            x.join(scores, "id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("c") * F.col("err")).alias("g"))
+            .collect()
+        )
+        for r in grad:
+            w[int(r["bucket"])] -= lr * float(r["g"]) / n_docs
+    return w
+
+
+def quality_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: list[float],
+    buckets: int = 1024,
+) -> DataFrame:
+    """Score documents under a trained classifier: ``(id, prob)`` with
+    ``prob = σ(Σ_b c_db w_b)`` — broadcast weights join + one doc-keyed
+    aggregate, no Python."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(b, float(wb)) for b, wb in enumerate(weights)], "bucket long, w double"
+    )
+    feats = hashed_ngram_buckets(df, text_col, id_col, buckets)
+    return (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("id")
+        .agg(F.sum("w").alias("z"))
+        .select(
+            F.col("id").alias(id_col),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("prob"),
+        )
     )

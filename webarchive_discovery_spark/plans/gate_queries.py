@@ -3963,6 +3963,71 @@ def dsir_select(spark, sf_dir):
     )
 
 
+_QCLS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang, unnest(t) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS f
+      FROM toks WHERE len(t) >= 2
+    ), b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % {_DSIR_B} AS bucket
+      FROM feats
+    ), x AS (
+      SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c,
+             max(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS y
+      FROM b GROUP BY doc_id, bucket
+    ), n AS (SELECT count(DISTINCT doc_id) AS nd FROM x
+    ), g1 AS (
+      SELECT bucket, sum(c * (0.5 - y)) AS g FROM x GROUP BY bucket
+    ), w1 AS (SELECT bucket, -0.5 * g / nd AS w FROM g1, n
+    ), z2 AS (
+      SELECT x.doc_id, sum(x.c * w1.w) AS z, max(x.y) AS y
+      FROM x JOIN w1 USING (bucket) GROUP BY x.doc_id
+    ), e2 AS (
+      SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS err FROM z2
+    ), g2 AS (
+      SELECT x.bucket, sum(x.c * e2.err) AS g
+      FROM x JOIN e2 USING (doc_id) GROUP BY x.bucket
+    ), w2 AS (
+      SELECT w1.bucket, w1.w - 0.5 * g2.g / n.nd AS w
+      FROM w1 JOIN g2 ON w1.bucket = g2.bucket, n
+    ), zf AS (
+      SELECT x.doc_id, sum(x.c * w2.w) AS z
+      FROM x JOIN w2 USING (bucket) GROUP BY x.doc_id
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS prob FROM zf
+"""
+
+
+@q("quality_classifier_probs", _QCLS_SQL)
+def quality_classifier_probs(spark, sf_dir):
+    """Quality-classifier probabilities from a model TRAINED in-cluster:
+    2 full-batch GD iterations of logistic regression over hashed
+    uni+bigram counts, ``lang='en'`` labels (the fastText/WebText-style
+    quality gate).  The oracle restates both training iterations as
+    unrolled CTEs — the distributed TRAINING arithmetic itself is
+    conformance-checked, like the PageRank and IVF-training gates.  See
+    :func:`operators.dsir.train_quality_classifier`."""
+    from ..operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    x = dsir.doc_bucket_counts(
+        docs, "text", "doc_id", F.col("lang") == "en", _DSIR_B
+    )
+    w = dsir.train_quality_classifier(x, _DSIR_B, iters=2, lr=0.5)
+    return dsir.quality_scores(docs, "text", "doc_id", w, _DSIR_B).select(
+        "doc_id", F.round("prob", 6).alias("prob")
+    )
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -3986,6 +4051,7 @@ _DRIVER_PRIORITY = [
     "substring_dedup_spans",
     "substring_dedup_stats",
     "dsir_select",
+    "quality_classifier_probs",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -37,6 +37,8 @@ HEADLINE = [
     "substring_dedup_stats",
     "dsir_select",
     "quality_classifier_probs",
+    "image_text_pairs",
+    "image_text_clip_scores",
     "decontaminate_ngram_overlap",
     "url_quality_flags",
     "boilerplate_extract",

@@ -1,0 +1,120 @@
+"""Image-text pair construction (operators/imagetext.py): extraction edge
+cases, join semantics incl. the left-join frontier-feedback shape, pair
+gates, and the CLIP-score cut."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webarchive_discovery_spark.operators import imagetext
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from webarchive_discovery_spark.session import get_spark
+
+    return get_spark("test-imagetext")
+
+
+def _one_page(spark, html, url="http://h.org/a/b.html"):
+    df = spark.createDataFrame([(url, html)], "url string, payload string")
+    return imagetext.extract_image_captions(df).collect()[0]
+
+
+def test_extract_attrs_and_entities(spark):
+    row = _one_page(
+        spark,
+        '<img height="40px" src="/i/x.jpg" alt=" Big&amp;small   cat " '
+        'title="T" width="64">',
+    )
+    assert row.pairs_parse_error is None
+    (c,) = row.candidates
+    assert c.img_url == "http://h.org/i/x.jpg"
+    assert c.alt_text == "Big&small cat"  # entity-decoded, ws-normalized
+    assert c.title_text == "T"
+    assert (c.attr_width, c.attr_height) == (64, 40)
+
+
+def test_extract_edge_cases(spark):
+    row = _one_page(
+        spark,
+        '<img src="rel.png">'          # relative, no alt/title
+        '<img alt="no src here">'      # dropped: src-less
+        '<img src="" alt="empty">'     # dropped: empty src
+        '<img src="dup.png" alt="first"><img src="dup.png" alt="second">'
+        '<script><img src="in-script.png"></script>'
+        '<!-- <img src="in-comment.png"> -->'
+        '<img src="auto.gif" width="auto">',
+    )
+    urls = [c.img_url for c in row.candidates]
+    # occurrences preserved (each is a distinct pair), script/comment stripped
+    assert urls == [
+        "http://h.org/a/rel.png",
+        "http://h.org/a/dup.png",
+        "http://h.org/a/dup.png",
+        "http://h.org/a/auto.gif",
+    ]
+    assert [c.alt_text for c in row.candidates] == [None, "first", "second", None]
+    assert row.candidates[3].attr_width is None  # non-numeric width
+
+
+def test_parse_error_recovery(spark):
+    df = spark.createDataFrame(
+        [("http://h.org/", "<" * 3_000_000), ("http://h.org/ok", '<img src="a.png">')],
+        "url string, payload string",
+    )
+    rows = {r.url: r for r in imagetext.extract_image_captions(df).collect()}
+    bad = rows["http://h.org/"]
+    assert bad.candidates == [] and bad.pairs_parse_error  # guard fired, row kept
+    assert len(rows["http://h.org/ok"].candidates) == 1
+
+
+def test_join_and_left_frontier_feedback(spark):
+    pages = spark.createDataFrame(
+        [("http://p.org/x.html", '<img src="/a.png" alt="a cat"><img src="/b.png" alt="b dog">')],
+        "url string, payload string",
+    )
+    imgs = spark.createDataFrame(
+        [("http://p.org/a.png", 100, 50)],
+        "url string, image_width long, image_height long",
+    )
+    inner = imagetext.build_image_text_pairs(pages, imgs).collect()
+    assert [r.img_url for r in inner] == ["http://p.org/a.png"]
+    left = imagetext.build_image_text_pairs(pages, imgs, how="left")
+    missing = left.filter(F.col("image_width").isNull()).collect()
+    # the un-crawled image URL surfaces for the next frontier epoch
+    assert [r.img_url for r in missing] == ["http://p.org/b.png"]
+
+
+def test_pair_gates(spark):
+    rows = [
+        # caption, title, w, h → expected keep
+        ("a good caption", None, 100, 100, True),
+        ("tiny", None, 100, 100, False),          # caption < 5 chars
+        (None, "title caption", 100, 100, True),  # title fallback
+        (None, None, 100, 100, False),            # no caption at all
+        ("a good caption", None, 32, 100, False), # min dim
+        ("a good caption", None, 400, 100, False),# aspect 4 > 3
+    ]
+    df = spark.createDataFrame(
+        [(i, a, t, w, h, e) for i, (a, t, w, h, e) in enumerate(rows)],
+        "i long, alt_text string, title_text string, image_width long, "
+        "image_height long, expected boolean",
+    )
+    out = imagetext.filter_image_text_pairs(df).collect()
+    for r in out:
+        assert r.pair_keep == r.expected, (r.i, r)
+    srcs = {r.i: r.caption_source for r in out}
+    assert srcs[0] == "alt" and srcs[2] == "title" and srcs[3] is None
+
+
+def test_clip_score_filter(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0]),
+         (3, [1.0, 1.0], [1.0, 0.0])],
+        "i long, img_vec array<double>, txt_vec array<double>",
+    )
+    got = {r.i: (round(r.clip_score, 6), r.flag_clip_score)
+           for r in imagetext.clip_score_filter(df, "img_vec", "txt_vec").collect()}
+    assert got[1] == (1.0, True)
+    assert got[2] == (0.0, False)
+    assert got[3] == (round(2 ** -0.5, 6), True)

@@ -4028,6 +4028,158 @@ def quality_classifier_probs(spark, sf_dir):
     )
 
 
+_PAIRS_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS id,
+         CAST(doc_id % 10 AS VARCHAR) AS s,
+         CAST(doc_id % 5 AS VARCHAR) AS c
+  FROM documents
+), cand AS (
+  SELECT doc_id, 'http://site' || s || '.org/p/' || id || '.html' AS page_url,
+         'http://cdn' || c || '.net/i/' || id || '.jpg' AS img_url,
+         'Photo ' || id || ' of item & detail' AS alt_text,
+         CAST(NULL AS VARCHAR) AS title_text,
+         120 AS attr_width, 80 AS attr_height
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'http://site' || s || '.org/p/' || id || '.html',
+         'http://site' || s || '.org/local/' || id || '.png',
+         NULL, 'Local picture ' || id, NULL, NULL
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'http://site' || s || '.org/p/' || id || '.html',
+         'http://site' || s || '.org/thumb/' || id || '.gif',
+         '', NULL, NULL, NULL
+  FROM d
+), imgs AS (
+  SELECT 'http://cdn' || c || '.net/i/' || id || '.jpg' AS img_url,
+         64 + (doc_id % 7) * 32 AS image_width,
+         64 + (doc_id % 3) * 80 AS image_height, 'jpeg' AS image_format
+  FROM d
+  UNION ALL
+  SELECT 'http://site' || s || '.org/local/' || id || '.png',
+         16 + (doc_id % 4) * 24, 72, 'png'
+  FROM d
+  UNION ALL
+  SELECT 'http://site' || s || '.org/thumb/' || id || '.gif', 100, 100, 'gif'
+  FROM d
+), joined AS (
+  SELECT cand.*, imgs.image_width, imgs.image_height, imgs.image_format,
+         coalesce(alt_text, title_text) AS pair_caption,
+         CASE WHEN alt_text IS NOT NULL THEN 'alt'
+              WHEN title_text IS NOT NULL THEN 'title' END AS caption_source,
+         greatest(image_width, image_height) * 1.0
+           / least(image_width, image_height) AS aspect
+  FROM cand JOIN imgs USING (img_url)
+)
+SELECT page_url, img_url, alt_text, title_text, attr_width, attr_height,
+       image_width, image_height, image_format, caption_source, pair_caption,
+       len(pair_caption) BETWEEN 5 AND 1000 AS flag_caption_length,
+       image_width >= 64 AND image_height >= 64 AS flag_min_dim,
+       aspect <= 3.0 AS flag_aspect,
+       (len(pair_caption) BETWEEN 5 AND 1000)
+         AND image_width >= 64 AND image_height >= 64
+         AND aspect <= 3.0 AS pair_keep
+FROM joined
+"""
+
+
+@q("image_text_pairs", _PAIRS_ORACLE)
+def image_text_pairs(spark, sf_dir):
+    """LAION-style image-text pair construction end-to-end: per-document
+    synthetic HTML (an absolute-src img with entity-bearing messy-whitespace
+    alt + width/height attrs, a relative-src img with title-only caption, an
+    empty-alt thumb, plus an uncaptured banner and a src-less img) → real
+    Arrow extraction kernel → equi-join against a synthesized image-capture
+    table → published pair gates (caption length / min dim / aspect) as
+    audit flags.  The oracle reconstructs every candidate, capture row, and
+    flag by string arithmetic — extraction, entity decode, whitespace
+    normalization, relative resolution, the join, and each gate are all
+    independently checked.  See :mod:`operators.imagetext` (reference emits
+    the two sides separately: ``HTMLAnalyser.java:110-217`` +
+    ``FaceDetectionAnalyser``; the join is the training-data extension)."""
+    from ..operators import imagetext
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    s = (F.col("doc_id") % 10).cast("string")
+    c = (F.col("doc_id") % 5).cast("string")
+    page_url = F.concat(F.lit("http://site"), s, F.lit(".org/p/"), sid, F.lit(".html"))
+    html = F.concat(
+        F.lit('<img width="120" src="http://cdn'), c, F.lit(".net/i/"), sid,
+        F.lit('.jpg" alt=" Photo '), sid,
+        F.lit('  of item &amp; detail " height="80px">'),
+        F.lit('<img src="/local/'), sid, F.lit('.png" title="Local picture '),
+        sid, F.lit('">'),
+        F.lit('<img src="/thumb/'), sid, F.lit('.gif" alt="">'),
+        F.lit('<img src="/banner/shared.gif" title="no capture">'),
+        F.lit('<img data-x="no src">'),
+    )
+    pages = docs.select(page_url.alias("url"), html.alias("payload"))
+    imgs = (
+        docs.select(
+            F.concat(F.lit("http://cdn"), c, F.lit(".net/i/"), sid, F.lit(".jpg")).alias("url"),
+            (F.lit(64) + (F.col("doc_id") % 7) * 32).cast("long").alias("image_width"),
+            (F.lit(64) + (F.col("doc_id") % 3) * 80).cast("long").alias("image_height"),
+            F.lit("jpeg").alias("image_format"),
+        )
+        .unionByName(docs.select(
+            F.concat(F.lit("http://site"), s, F.lit(".org/local/"), sid, F.lit(".png")).alias("url"),
+            (F.lit(16) + (F.col("doc_id") % 4) * 24).cast("long").alias("image_width"),
+            F.lit(72).cast("long").alias("image_height"),
+            F.lit("png").alias("image_format"),
+        ))
+        .unionByName(docs.select(
+            F.concat(F.lit("http://site"), s, F.lit(".org/thumb/"), sid, F.lit(".gif")).alias("url"),
+            F.lit(100).cast("long").alias("image_width"),
+            F.lit(100).cast("long").alias("image_height"),
+            F.lit("gif").alias("image_format"),
+        ))
+    )
+    pairs = imagetext.build_image_text_pairs(pages, imgs)
+    out = imagetext.filter_image_text_pairs(pairs)
+    return out.select(
+        "page_url", "img_url", "alt_text", "title_text",
+        "attr_width", "attr_height", "image_width", "image_height",
+        "image_format", "caption_source", "pair_caption",
+        "flag_caption_length", "flag_min_dim", "flag_aspect", "pair_keep",
+    )
+
+
+@q(
+    "image_text_clip_scores",
+    """
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS pair_id,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS s
+      FROM a JOIN a b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT pair_id, round(s, 6) AS clip_score, s >= 0.05 AS flag_clip_score
+    FROM p
+    """,
+)
+def image_text_clip_scores(spark, sf_dir):
+    """CLIP-score-style pair gate (LAION keeps pairs with image/text
+    embedding cosine ≥ threshold): adjacent embedding rows stand in for an
+    (image-embedding, text-embedding) pair table; the cosine is pure
+    codegen ``zip_with``/``aggregate`` array arithmetic — no Python, no
+    extra shuffle beyond the pair join.  See
+    :func:`operators.imagetext.clip_score_filter`."""
+    from ..operators import imagetext
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("pair_id"), F.col("embedding").alias("img_vec"))
+    b = emb.select((F.col("vec_id") - 1).alias("pair_id"), F.col("embedding").alias("txt_vec"))
+    out = imagetext.clip_score_filter(a.join(b, "pair_id"), "img_vec", "txt_vec", threshold=0.05)
+    return out.select(
+        "pair_id", F.round("clip_score", 6).alias("clip_score"), "flag_clip_score"
+    )
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -4052,6 +4204,8 @@ _DRIVER_PRIORITY = [
     "substring_dedup_stats",
     "dsir_select",
     "quality_classifier_probs",
+    "image_text_pairs",
+    "image_text_clip_scores",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -39,6 +39,7 @@ HEADLINE = [
     "quality_classifier_probs",
     "image_text_pairs",
     "image_text_clip_scores",
+    "perplexity_buckets",
     "decontaminate_ngram_overlap",
     "url_quality_flags",
     "boilerplate_extract",

@@ -905,3 +905,40 @@ def test_quality_classifier_training(spark):
     w2 = dsir.train_quality_classifier(
         x.repartition(8), 256, iters=5, lr=0.5)
     assert [round(a, 9) for a in w] == [round(b, 9) for b in w2]
+
+
+def test_perplexity_filter(spark):
+    """LM trained on fluent English scores held-out fluent text lower-ppl
+    than shuffled noise; unseen contexts stay finite; tertile bucketing is
+    deterministic across parallelism."""
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.operators import perplexity
+
+    base = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, base + f" near the door {i % 3}", "en") for i in range(12)]
+    rows += [(100 + i, "rug the mat dog on sat qq zz the cat unseenword", "en")
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    uni, bi = perplexity.train_bigram_lm(
+        docs.filter(F.col("doc_id") < 12), "text", "doc_id", buckets=256)
+    scored = perplexity.doc_perplexity(docs, "text", "doc_id", uni, bi, buckets=256)
+    got = {r.doc_id: r.ppl for r in scored.collect()}
+    assert all(0 < v < float("inf") for v in got.values())
+    assert max(got[i] for i in range(12)) < min(got[100 + i] for i in range(6))
+    # two-token doc has one bigram; one-token doc is absent
+    tiny = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello")], "doc_id long, text string")
+    t = perplexity.doc_perplexity(tiny, "text", "doc_id", uni, bi, buckets=256)
+    assert {r.doc_id: r.n_bigrams for r in t.collect()} == {1: 1}
+    # bucketing: 18 docs -> 6 per tertile, identical at any parallelism
+    b1 = perplexity.perplexity_buckets(scored, "doc_id", "ppl")
+    c = {r.ppl_bucket: r.cnt
+         for r in b1.groupBy("ppl_bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert c == {"head": 6, "middle": 6, "tail": 6}
+    b2 = perplexity.perplexity_buckets(scored.repartition(7), "doc_id", "ppl")
+    assert ({(r.doc_id, r.ppl_bucket) for r in b1.collect()}
+            == {(r.doc_id, r.ppl_bucket) for r in b2.collect()})
+    # noise docs all land in the tail
+    tails = {r.doc_id for r in b1.collect() if r.ppl_bucket == "tail"}
+    assert tails == {100 + i for i in range(6)}

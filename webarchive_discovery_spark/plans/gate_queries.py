@@ -4180,6 +4180,61 @@ def image_text_clip_scores(spark, sf_dir):
     )
 
 
+_PPL_B = 512
+
+_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> CAST(('0x' || substr(md5(t[i]), 1, 8)) AS BIGINT) % {_PPL_B})) AS w1,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> CAST(('0x' || substr(md5(t[i + 1]), 1, 8)) AS BIGINT) % {_PPL_B})) AS w2
+  FROM toks WHERE len(t) >= 2
+), bi AS (
+  SELECT w1, w2, count(*) AS c2 FROM s WHERE lang = 'en' GROUP BY 1, 2
+), uni AS (
+  SELECT w1, sum(c2) AS c1 FROM bi GROUP BY 1
+), scored AS (
+  SELECT s.doc_id, s.lang, count(*) AS n_bigrams,
+         exp(-avg(ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + {_PPL_B}.0)))) AS ppl
+  FROM s LEFT JOIN uni USING (w1) LEFT JOIN bi USING (w1, w2)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_bigrams, round(ppl, 6) AS ppl,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY round(ppl, 6), doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM scored
+"""
+
+
+@q("perplexity_buckets", _PPL_SQL)
+def perplexity_buckets_gate(spark, sf_dir):
+    """CCNet perplexity gate END-TO-END IN-CLUSTER: train an add-1 bigram LM
+    over the English subset (hashed {_PPL_B}-bucket vocab), score every
+    document's bigram stream under it, and split each language into
+    head/middle/tail tertiles — Wenzek et al.'s quality gate with the LM
+    training itself conformance-checked (the oracle restates counting,
+    smoothing, scoring, and tertile assignment from scratch).  See
+    :mod:`operators.perplexity`."""
+    from ..operators import perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi = perplexity.train_bigram_lm(
+        docs.filter(F.col("lang") == "en"), "text", "doc_id", _PPL_B
+    )
+    scored = perplexity.doc_perplexity(docs, "text", "doc_id", uni, bi, _PPL_B)
+    scored = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    out = perplexity.perplexity_buckets(scored, "doc_id", "ppl", "lang")
+    return out.select(
+        "doc_id", "lang", "n_bigrams", F.round("ppl", 6).alias("ppl"), "ppl_bucket"
+    )
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -4206,6 +4261,7 @@ _DRIVER_PRIORITY = [
     "quality_classifier_probs",
     "image_text_pairs",
     "image_text_clip_scores",
+    "perplexity_buckets",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -40,6 +40,8 @@ HEADLINE = [
     "image_text_pairs",
     "image_text_clip_scores",
     "perplexity_buckets",
+    "sequence_packing",
+    "temperature_mixture_sample",
     "decontaminate_ngram_overlap",
     "url_quality_flags",
     "boilerplate_extract",

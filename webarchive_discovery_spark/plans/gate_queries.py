@@ -4368,6 +4368,160 @@ def temperature_mixture_sample(spark, sf_dir):
     )
 
 
+_MMC_ORACLE = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+         CAST(doc_id % 10 AS VARCHAR) AS s, CAST(doc_id % 5 AS VARCHAR) AS c
+  FROM documents
+), cand AS (
+  SELECT doc_id, 'http://site' || s || '.org/p/' || id || '.html' AS page_url,
+         'http://cdn' || c || '.net/i/' || id || '.jpg' AS img_url,
+         'Photo ' || id || ' of item & detail' AS alt_text,
+         CAST(NULL AS VARCHAR) AS title_text
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'http://site' || s || '.org/p/' || id || '.html',
+         'http://site' || s || '.org/local/' || id || '.png',
+         NULL, 'Local picture ' || id
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'http://site' || s || '.org/p/' || id || '.html',
+         'http://site' || s || '.org/thumb/' || id || '.gif', '', NULL
+  FROM d
+), imgs AS (
+  SELECT 'http://cdn' || c || '.net/i/' || id || '.jpg' AS img_url,
+         64 + (doc_id % 7) * 32 AS image_width,
+         64 + (doc_id % 3) * 80 AS image_height,
+         doc_id % 40 AS phash
+  FROM d
+  UNION ALL
+  SELECT 'http://site' || s || '.org/local/' || id || '.png',
+         16 + (doc_id % 4) * 24, 72, 1000 + doc_id
+  FROM d
+  UNION ALL
+  SELECT 'http://site' || s || '.org/thumb/' || id || '.gif', 100, 100,
+         2000 + doc_id
+  FROM d
+), emb AS (
+  SELECT a.vec_id AS doc_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS clip_score
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), j AS (
+  SELECT cand.doc_id, page_url, cand.img_url,
+         image_width, image_height, phash,
+         coalesce(alt_text, title_text) AS pair_caption,
+         CASE WHEN alt_text IS NOT NULL THEN 'alt'
+              WHEN title_text IS NOT NULL THEN 'title' END AS caption_source,
+         emb.clip_score,
+         len(coalesce(alt_text, title_text)) BETWEEN 5 AND 1000 AS flag_caption_length,
+         image_width >= 64 AND image_height >= 64 AS flag_min_dim,
+         greatest(image_width, image_height) * 1.0
+           / least(image_width, image_height) <= 3.0 AS flag_aspect,
+         CASE WHEN emb.clip_score IS NOT NULL
+              THEN emb.clip_score >= 0.05 END AS flag_clip_score
+  FROM cand JOIN imgs USING (img_url)
+  LEFT JOIN emb ON emb.doc_id = cand.doc_id
+), g AS (
+  SELECT *, (flag_caption_length AND flag_min_dim AND flag_aspect
+             AND coalesce(flag_clip_score, TRUE)) AS gate_ok
+  FROM j
+), r AS (
+  SELECT *, CASE WHEN gate_ok THEN row_number() OVER (
+             PARTITION BY phash, gate_ok ORDER BY page_url, img_url) END AS dup_rank
+  FROM g
+), attributed AS (
+  SELECT *,
+         CASE WHEN NOT coalesce(flag_caption_length, FALSE) THEN 'caption'
+              WHEN NOT coalesce(flag_min_dim, FALSE) THEN 'min_dim'
+              WHEN NOT coalesce(flag_aspect, FALSE) THEN 'aspect'
+              WHEN NOT coalesce(flag_clip_score, TRUE) THEN 'clip_score'
+              WHEN dup_rank > 1 THEN 'dup_image' END AS drop_reason
+  FROM r
+)
+SELECT doc_id, page_url, img_url, pair_caption, caption_source,
+       image_width, image_height, phash, round(clip_score, 6) AS clip_score,
+       flag_caption_length, flag_min_dim, flag_aspect,
+       coalesce(CAST(flag_clip_score AS VARCHAR), 'null') AS flag_clip_score,
+       drop_reason, drop_reason IS NULL AS corpus_keep
+FROM attributed
+"""
+
+
+@q("multimodal_corpus_build", _MMC_ORACLE)
+def multimodal_corpus_build(spark, sf_dir):
+    """FLAGSHIP image-axis composition: pages → img-caption extraction →
+    capture join → caption/dim/aspect gates → CLIP-score embedding cut
+    (broadcast) → exact perceptual-hash image dedup with deterministic
+    exemplars — every drop attributed.  The oracle restates the ENTIRE
+    composition as chained CTEs (every stage is also independently gated:
+    image_text_pairs, image_text_clip_scores).  See
+    :mod:`plans.multimodal_corpus`."""
+    from . import multimodal_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    s = (F.col("doc_id") % 10).cast("string")
+    c = (F.col("doc_id") % 5).cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://site"), s, F.lit(".org/p/"), sid, F.lit(".html")).alias("url"),
+        F.concat(
+            F.lit('<img width="120" src="http://cdn'), c, F.lit(".net/i/"), sid,
+            F.lit('.jpg" alt=" Photo '), sid,
+            F.lit('  of item &amp; detail " height="80px">'),
+            F.lit('<img src="/local/'), sid, F.lit('.png" title="Local picture '),
+            sid, F.lit('">'),
+            F.lit('<img src="/thumb/'), sid, F.lit('.gif" alt="">'),
+        ).alias("payload"),
+    )
+    imgs = (
+        docs.select(
+            F.concat(F.lit("http://cdn"), c, F.lit(".net/i/"), sid, F.lit(".jpg")).alias("url"),
+            (F.lit(64) + (F.col("doc_id") % 7) * 32).cast("long").alias("image_width"),
+            (F.lit(64) + (F.col("doc_id") % 3) * 80).cast("long").alias("image_height"),
+            (F.col("doc_id") % 40).alias("phash"),
+        )
+        .unionByName(docs.select(
+            F.concat(F.lit("http://site"), s, F.lit(".org/local/"), sid, F.lit(".png")).alias("url"),
+            (F.lit(16) + (F.col("doc_id") % 4) * 24).cast("long").alias("image_width"),
+            F.lit(72).cast("long").alias("image_height"),
+            (F.col("doc_id") + 1000).alias("phash"),
+        ))
+        .unionByName(docs.select(
+            F.concat(F.lit("http://site"), s, F.lit(".org/thumb/"), sid, F.lit(".gif")).alias("url"),
+            F.lit(100).cast("long").alias("image_width"),
+            F.lit(100).cast("long").alias("image_height"),
+            (F.col("doc_id") + 2000).alias("phash"),
+        ))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    pe = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("doc_id"),
+            F.col("a.embedding").alias("img_vec"),
+            F.col("b.embedding").alias("txt_vec"),
+        )
+    )
+    out = multimodal_corpus.build_multimodal_corpus(
+        pages, imgs, pair_embeddings=pe, clip_threshold=0.05
+    )
+    return out.select(
+        "doc_id", "page_url", "img_url", "pair_caption", "caption_source",
+        "image_width", "image_height", "phash",
+        F.round("clip_score", 6).alias("clip_score"),
+        "flag_caption_length", "flag_min_dim", "flag_aspect",
+        # nullable boolean → explicit string: null-vs-NaN stringification
+        # differs between the two engines' pandas bridges
+        F.coalesce(F.col("flag_clip_score").cast("string"), F.lit("null"))
+        .alias("flag_clip_score"),
+        "drop_reason", "corpus_keep",
+    )
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -4398,6 +4552,7 @@ _DRIVER_PRIORITY = [
     "sequence_packing",
     "sequence_manifest",
     "temperature_mixture_sample",
+    "multimodal_corpus_build",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

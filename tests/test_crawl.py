@@ -348,3 +348,47 @@ def test_pagerank_priority_integration(spark, world):
               base["crawl_log"].filter("epoch = 0 and priority is not null").collect()}
     moved = [k for k in pr_p if k in base_p and abs(pr_p[k] - base_p[k]) > 1e-9]
     assert moved, "pagerank affinity changed no priorities"
+
+
+def test_crawl_feeds_multimodal_corpus(spark, world):
+    """Axis tie-in: the crawl's fetched image+caption captures flow straight
+    into the multimodal-corpus gates (caption length / min dim / aspect +
+    exact-phash dedup) with deterministic, parallelism-independent output —
+    crawl tier and corpus tier compose without re-fetching anything."""
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.operators.imagetext import (
+        filter_image_text_pairs,
+    )
+
+    records, seeds, links, robots = world
+    result = _run(spark, world, epochs=2)
+    fetched = result["crawl_log"].filter("status = 'fetched'")
+    # join capture metadata (dims + phash) back from the record store
+    caps = fetched.join(
+        records.select("image_id", "w", "h", "phash"), "image_id"
+    ).select(
+        F.col("url_norm").alias("page_url"),
+        F.col("url_norm").alias("img_url"),
+        F.col("caption").alias("alt_text"),
+        F.lit(None).cast("string").alias("title_text"),
+        F.col("w").cast("long").alias("image_width"),
+        F.col("h").cast("long").alias("image_height"),
+        "phash",
+    )
+    gated = filter_image_text_pairs(caps, min_caption_chars=5, min_dim=16)
+    n = caps.count()
+    assert n > 0
+    kept = gated.filter("pair_keep")
+    assert 0 < kept.count() <= n
+    # phash dedup via the composition's exemplar rule: distinct phashes among
+    # survivors == exemplar count (deterministic across repartitioning)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash").orderBy("page_url", "img_url")
+    ex1 = {r.img_url for r in kept.withColumn("rn", F.row_number().over(w))
+           .filter("rn = 1").collect()}
+    ex2 = {r.img_url for r in kept.repartition(9)
+           .withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()}
+    assert ex1 == ex2
+    assert len(ex1) == kept.select("phash").distinct().count()

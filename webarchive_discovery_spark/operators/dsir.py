@@ -60,22 +60,34 @@ def hashed_ngram_buckets(
 ) -> DataFrame:
     """Explode each document into hashed word uni+bigram feature occurrences:
     ``(id, bucket [, keep_cols…])`` with ``bucket = int(md5(feat)[:8], 16) %
-    buckets``.  Pure codegen; one row per token occurrence plus one per
-    bigram."""
-    t = _tokens(text_col)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
-    feats = F.concat(t, F.when(F.size(t) >= 2, bigrams).otherwise(F.array()))
+    buckets``.
+
+    Built explode-FIRST like :func:`.dedup.exploded_shingles`: project the
+    token array into a real column, explode a flat feature index, and
+    assemble each feature with plain ``get``/``concat_ws``.  A
+    ``transform(sequence(…), i → element_at(tokens_expr, i))`` lambda
+    re-evaluates the whole tokenizer expression per element (interpreted,
+    outside codegen) — measured 12× slower at sf0.1 for identical output.
+    Index layout: ``0..n-1`` → unigrams, ``n..2n-2`` → bigrams."""
     keep = [F.col(c) for c in (keep_cols or [])]
-    return df.select(
-        F.col(id_col).alias("id"), *keep, F.explode(feats).alias("_f")
-    ).select(
+    pre = df.select(
+        F.col(id_col).alias("id"), *keep, _tokens(text_col).alias("_t")
+    )
+    n = F.size(F.col("_t"))
+    cnt = n + F.when(n >= 2, n - 1).otherwise(F.lit(0))
+    idx = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    i = F.col("_i")
+    feat = F.when(i < n, F.get("_t", i)).otherwise(
+        F.concat_ws(" ", F.get("_t", i - n), F.get("_t", i - n + 1))
+    )
+    return pre.select("id", *[F.col(c) for c in (keep_cols or [])], "_t",
+                      F.explode(idx).alias("_i")).select(
         "id",
-        *keep,
+        *[F.col(c) for c in (keep_cols or [])],
         (
-            F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long")
+            F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long")
             % buckets
         ).alias("bucket"),
     )

@@ -48,8 +48,16 @@ def packed_sequences(
     would otherwise make placement partition-dependent."""
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint pins ONE materialization of the range exchange: the
+    # totals fetch below and the final plan both read it, and range
+    # boundaries (sampled at execution time) must be THE SAME in both —
+    # recomputing the exchange per consumer would also scan the input twice.
+    # The token-count table is narrow (~tens of bytes/row), so the pinned
+    # copy is small even when the corpus is 100 TB.
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = ranged.withColumn(

@@ -44,20 +44,22 @@ def _hash_bucket(col, buckets: int):
 
 def _bigram_stream(df: DataFrame, text_col: str, id_col: str, buckets: int) -> DataFrame:
     """``(id, w1, w2)`` — one row per adjacent-token pair occurrence, token
-    identity hashed into ``buckets``.  Pure codegen: split → transform over
-    an index sequence → explode."""
+    identity hashed into ``buckets``.  Explode-FIRST (pre-projected token
+    array + flat index + ``get``) like :func:`.dsir.hashed_ngram_buckets`:
+    a ``transform`` lambda over the tokenizer *expression* re-evaluates the
+    split per element — measured ~12× slower for identical output."""
     t = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != "")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda i: F.struct(
-            _hash_bucket(F.element_at(t, i), buckets).alias("w1"),
-            _hash_bucket(F.element_at(t, i + 1), buckets).alias("w2"),
-        ),
+    pre = df.select(F.col(id_col).alias("id"), t.alias("_t")).filter(
+        F.size("_t") >= 2
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.when(F.size(t) >= 2, pairs).otherwise(F.array())).alias("p"),
-    ).select("id", "p.w1", "p.w2")
+    return pre.select(
+        "id", "_t",
+        F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"),
+    ).select(
+        "id",
+        _hash_bucket(F.get("_t", F.col("_i") - 1), buckets).alias("w1"),
+        _hash_bucket(F.get("_t", F.col("_i")), buckets).alias("w2"),
+    )
 
 
 def train_bigram_lm(

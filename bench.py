@@ -40,6 +40,8 @@ HEADLINE = [
     "image_text_pairs",
     "image_text_clip_scores",
     "multimodal_corpus_build",
+    "image_phash_clusters",
+    "aspect_bucket_assign",
     "perplexity_buckets",
     "sequence_packing",
     "temperature_mixture_sample",

@@ -155,3 +155,30 @@ def test_multimodal_corpus_composition(spark):
         pages.repartition(5), imgs.repartition(3)).collect()
     assert {(r.page_url, r.img_url, r.drop_reason) for r in out2} == {
         (r.page_url, r.img_url, r.drop_reason) for r in out}
+
+
+def test_aspect_buckets(spark):
+    """Squares, wides, and talls land on the right ladder rungs; extreme
+    ratios clamp to the ladder ends; assignment is shape-only (scale
+    invariant)."""
+    from webarchive_discovery_spark.operators.imagetext import (
+        SDXL_ASPECT_BUCKETS, assign_aspect_buckets,
+    )
+
+    rows = [
+        (0, 512, 512, (1024, 1024)),    # square, any scale
+        (1, 1024, 1024, (1024, 1024)),
+        (2, 1536, 640, (1536, 640)),    # exact ladder shape
+        (3, 4000, 500, (1536, 640)),    # wider than ladder -> clamp to widest
+        (4, 500, 4000, (640, 1536)),    # taller than ladder -> clamp
+        (5, 1200, 800, (1216, 832)),    # 3:2-ish
+    ]
+    df = spark.createDataFrame(
+        [(i, w, h) for i, w, h, _ in rows],
+        "i long, image_width long, image_height long",
+    )
+    out = {r.i: (r.bucket_w, r.bucket_h)
+           for r in assign_aspect_buckets(df).collect()}
+    for i, _, _, want in rows:
+        assert out[i] == want, (i, out[i], want)
+    assert len(SDXL_ASPECT_BUCKETS) == 9

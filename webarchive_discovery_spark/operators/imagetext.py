@@ -53,6 +53,8 @@ __all__ = [
     "build_image_text_pairs",
     "filter_image_text_pairs",
     "clip_score_filter",
+    "assign_aspect_buckets",
+    "SDXL_ASPECT_BUCKETS",
 ]
 
 _IMG_TAG = re.compile(r"<img\b[^>]*>", re.I | re.S)
@@ -285,3 +287,46 @@ def clip_score_filter(
     score = dot(iv, tv) / (F.sqrt(dot(iv, iv)) * F.sqrt(dot(tv, tv)))
     out = pairs.withColumn(score_col, score)
     return out.withColumn("flag_clip_score", F.col(score_col) >= threshold)
+
+
+#: the published SDXL multi-aspect training ladder (≈1024² px per bucket) —
+#: any (w, h) ladder works; this is the de-facto default for image models
+SDXL_ASPECT_BUCKETS = [
+    (640, 1536), (768, 1344), (832, 1216), (896, 1152), (1024, 1024),
+    (1152, 896), (1216, 832), (1344, 768), (1536, 640),
+]
+
+
+def assign_aspect_buckets(
+    df: DataFrame,
+    width_col: str = "image_width",
+    height_col: str = "image_height",
+    buckets: list[tuple[int, int]] = SDXL_ASPECT_BUCKETS,
+) -> DataFrame:
+    """Multi-aspect batch bucketing (the SDXL recipe): assign every image to
+    the ladder bucket whose log-aspect-ratio is nearest, so training batches
+    group images of one shape and crop loss is minimized.  Appends
+    ``aspect_bucket_id``/``bucket_w``/``bucket_h``.  Pure codegen — an
+    ``array_min`` over (|Δlog ar|, idx) structs, ties to the lower index;
+    no shuffle (the later group-by-bucket batch build is the caller's
+    shuffle, keyed by a ~10-value column that AQE coalesces)."""
+    import math
+
+    ar = F.log(F.col(width_col).cast("double") / F.col(height_col).cast("double"))
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(ar - math.log(w / h)).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, (w, h) in enumerate(buckets)
+            ]
+        )
+    )
+    wmap = F.array(*[F.lit(w) for w, _ in buckets])
+    hmap = F.array(*[F.lit(h) for _, h in buckets])
+    out = df.withColumn("aspect_bucket_id", best["i"])
+    return out.withColumn(
+        "bucket_w", F.element_at(wmap, F.col("aspect_bucket_id") + 1)
+    ).withColumn("bucket_h", F.element_at(hmap, F.col("aspect_bucket_id") + 1))

@@ -4522,6 +4522,107 @@ def multimodal_corpus_build(spark, sf_dir):
     )
 
 
+@q(
+    "image_phash_clusters",
+    """
+    WITH RECURSIVE p AS (
+      SELECT doc_id,
+             xor((doc_id % 50) * 1099511627777,
+                 CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                                 WHEN 2 THEN 3 ELSE 7 END) AS phash
+      FROM documents
+    ), e1 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM p a JOIN p b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3
+    ), edges AS (
+      SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+    """,
+)
+def image_phash_clusters(spark, sf_dir):
+    """Image near-dup CLUSTERS end-to-end on 64-bit perceptual hashes:
+    pigeonhole band index (4×16-bit bands — exact for hamming ≤ 3, the
+    standard pHash near-dup radius) → popcount verify → min-label connected
+    components.  Synthetic phashes form ≤3-bit variant groups; the oracle
+    brute-forces all-pairs hamming and exact reachability with a recursive
+    CTE, so band indexing, verification, and the iterative clustering are
+    all checked against the definition.  Completes the image-dedup tier
+    (pair index was pytest-only before; cf. the text-side
+    ``dedup_simhash_pairs``/``dedup_clusters`` gates)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    variant = (
+        F.when(d % 4 == 0, 0).when(d % 4 == 1, 1).when(d % 4 == 2, 3).otherwise(7)
+    )
+    hashes = docs.select(
+        "doc_id",
+        ((d % 50) * F.lit(1099511627777)).bitwiseXOR(variant).alias("phash"),
+    )
+    pairs = dedup.simhash_near_dup_pairs(
+        hashes, max_hamming=3, id_col="doc_id", hash_col="phash", bits=64
+    )
+    out = dedup.connected_components(docs, pairs.select("id_a", "id_b"), id_col="doc_id")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def _aspect_bucket_oracle() -> str:
+    from ..operators.imagetext import SDXL_ASPECT_BUCKETS as B
+    import math
+
+    diffs = ", ".join(
+        f"abs(ln(w * 1.0 / h) - {math.log(w_ / h_)!r}) AS d{i}"
+        for i, (w_, h_) in enumerate(B)
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(len(B))) + ")"
+    pick = " ".join(f"WHEN d{i} THEN {i}" for i in range(len(B)))
+    wmap = " ".join(f"WHEN {i} THEN {w_}" for i, (w_, _) in enumerate(B))
+    hmap = " ".join(f"WHEN {i} THEN {h_}" for i, (_, h_) in enumerate(B))
+    return f"""
+    WITH dims AS (
+      SELECT doc_id, 64 + (doc_id % 13) * 96 AS w, 64 + (doc_id % 7) * 160 AS h
+      FROM documents
+    ), d AS (
+      SELECT doc_id, w, h, {diffs} FROM dims
+    ), picked AS (
+      SELECT doc_id, w, h, CASE {least} {pick} END AS aspect_bucket_id FROM d
+    )
+    SELECT doc_id, w AS image_width, h AS image_height, aspect_bucket_id,
+           CASE aspect_bucket_id {wmap} END AS bucket_w,
+           CASE aspect_bucket_id {hmap} END AS bucket_h
+    FROM picked
+    """
+
+
+@q("aspect_bucket_assign", _aspect_bucket_oracle())
+def aspect_bucket_assign(spark, sf_dir):
+    """SDXL-style multi-aspect bucket assignment over synthetic image dims:
+    nearest log-aspect ladder bucket, ties to the lower index — the batch
+    grouping primitive for image-model training.  Oracle restates the
+    argmin over the identical ladder constants.  See
+    :func:`operators.imagetext.assign_aspect_buckets`."""
+    from ..operators import imagetext
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dims = docs.select(
+        "doc_id",
+        (F.lit(64) + (F.col("doc_id") % 13) * 96).alias("image_width"),
+        (F.lit(64) + (F.col("doc_id") % 7) * 160).alias("image_height"),
+    )
+    return imagetext.assign_aspect_buckets(dims).select(
+        "doc_id", "image_width", "image_height",
+        "aspect_bucket_id", "bucket_w", "bucket_h",
+    )
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -4553,6 +4654,8 @@ _DRIVER_PRIORITY = [
     "sequence_manifest",
     "temperature_mixture_sample",
     "multimodal_corpus_build",
+    "image_phash_clusters",
+    "aspect_bucket_assign",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -149,3 +149,55 @@ def test_stream_simhash_index_upsert(spark, doc_drop_dir, tmp_path):
     q2.awaitTermination(120)
     again = spark.read.parquet(idx)
     assert again.count() == n
+
+
+def test_stream_image_text_pairs_with_feedback(spark, tmp_path):
+    """Two-epoch streaming pair loop: epoch 1 pages want images that are not
+    yet captured (wants recorded, no pairs); the capture index is then fed;
+    epoch 2 pages referencing the same images pair immediately."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.streaming.dedup_stream import (
+        image_text_pair_stream, upsert_capture_index)
+
+    idx = str(tmp_path / "capidx")
+    pairs = str(tmp_path / "pairs")
+    wanted = str(tmp_path / "wanted")
+
+    pages1 = tmp_path / "pages1"; pages1.mkdir()
+    (pages1 / "a.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"url": "http://p.org/1.html",
+         "payload": '<img src="http://c.net/a.jpg" alt="a fine cat">'},
+    ]))
+    pstream = (spark.readStream.schema("url string, payload string")
+               .json(str(pages1)))
+    q = image_text_pair_stream(pstream, idx, pairs, wanted,
+                               str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert {r.img_url for r in spark.read.parquet(wanted).collect()} == {
+        "http://c.net/a.jpg"}
+    import os
+    assert not os.path.exists(pairs) or not spark.read.parquet(pairs).count()
+
+    # feed the capture index with the wanted image
+    caps = tmp_path / "caps"; caps.mkdir()
+    (caps / "c.json").write_text(_json.dumps(
+        {"url": "http://c.net/a.jpg", "image_width": 128, "image_height": 96}))
+    cstream = (spark.readStream
+               .schema("url string, image_width long, image_height long")
+               .json(str(caps)))
+    upsert_capture_index(cstream, idx, str(tmp_path / "ck2")).awaitTermination(120)
+
+    pages2 = tmp_path / "pages2"; pages2.mkdir()
+    (pages2 / "b.json").write_text(_json.dumps(
+        {"url": "http://p.org/2.html",
+         "payload": '<img src="http://c.net/a.jpg" alt="same cat again">'}))
+    p2 = (spark.readStream.schema("url string, payload string")
+          .json(str(pages2)))
+    q2 = image_text_pair_stream(p2, idx, pairs, wanted, str(tmp_path / "ck3"))
+    q2.awaitTermination(120)
+    got = spark.read.parquet(pairs).collect()
+    assert [(r.page_url, r.img_url, r.alt_text, r.image_width) for r in got] == [
+        ("http://p.org/2.html", "http://c.net/a.jpg", "same cat again", 128)]

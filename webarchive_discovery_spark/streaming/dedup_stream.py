@@ -35,6 +35,8 @@ __all__ = [
     "content_dedup_stream",
     "windowed_host_counts",
     "upsert_simhash_index",
+    "image_text_pair_stream",
+    "upsert_capture_index",
 ]
 
 
@@ -116,6 +118,99 @@ def upsert_simhash_index(
 
     writer = (
         docs.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def image_text_pair_stream(
+    pages: DataFrame,
+    capture_index_path: str,
+    pairs_path: str,
+    wanted_path: str,
+    checkpoint: str,
+    page_url_col: str = "url",
+    html_col: str = "payload",
+    trigger_available_now: bool = True,
+):
+    """Incremental LAION-style pair construction over a PAGE stream: per
+    micro-batch, run the batch extraction kernel (one Arrow pass), LEFT
+    join the candidates against the current capture index, append matched
+    pairs to ``pairs_path`` and the still-uncaptured image URLs to
+    ``wanted_path`` — the streaming frontier-feedback loop (the crawler
+    drains ``wanted`` to schedule image fetches; fetched captures land in
+    the index via :func:`upsert_capture_index`, and later pages referencing
+    them pair immediately).  A page whose images were ALL unmatched is
+    never lost — its wants re-enter the frontier rather than the pair set,
+    the same split the batch path expresses with ``how='left'``."""
+    from ..operators.imagetext import build_image_text_pairs
+
+    def build(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(capture_index_path)
+        except Exception:
+            index = None  # no captures yet: everything is wanted
+        if index is not None:
+            joined = build_image_text_pairs(
+                batch_df, index, page_url_col=page_url_col, html_col=html_col,
+                how="left",
+            )
+        else:
+            joined = build_image_text_pairs(
+                batch_df,
+                batch_df.sparkSession.createDataFrame(
+                    [], "url string, image_width long, image_height long"
+                ),
+                page_url_col=page_url_col, html_col=html_col, how="left",
+            )
+        joined = joined.localCheckpoint()  # one extraction pass for both sinks
+        matched = joined.filter(F.col("image_width").isNotNull())
+        matched.write.mode("append").parquet(pairs_path)
+        wants = (
+            joined.filter(F.col("image_width").isNull())
+            .select("img_url").distinct()
+        )
+        wants.write.mode("append").parquet(wanted_path)
+
+    writer = (
+        pages.writeStream.foreachBatch(build)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_capture_index(
+    images: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    url_col: str = "url",
+    trigger_available_now: bool = True,
+):
+    """Maintain the image-capture index incrementally: per micro-batch keep
+    the first capture per URL (deterministic min on the remaining columns'
+    natural order is not needed — URL is the identity), anti-join the
+    existing index, append only novel URLs.  Same idempotence profile as
+    :func:`upsert_simhash_index`."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([url_col])
+        try:
+            existing = spark.read.parquet(index_path).select(url_col)
+            fresh = fresh.join(existing, url_col, "left_anti")
+        except Exception:
+            pass  # first batch
+        fresh.write.mode("append").parquet(index_path)
+
+    writer = (
+        images.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

@@ -42,6 +42,7 @@ HEADLINE = [
     "multimodal_corpus_build",
     "image_phash_clusters",
     "aspect_bucket_assign",
+    "image_safety_scores",
     "perplexity_buckets",
     "sequence_packing",
     "temperature_mixture_sample",

@@ -213,3 +213,35 @@ def test_phash_near_dup_pairs_64bit(spark):
     assert {(2 * i, 2 * i + 1) for i in range(4)} <= got
     for a, b in got:
         assert a // 2 == b // 2, f"false pair across images: {(a, b)}"
+
+
+def test_image_safety_scores(spark):
+    """Default scorer = exact skin fraction on real decoded pixels; custom
+    scorer slot overrides; oversized/undecodable payloads recover per-row."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from webarchive_discovery_spark.functions.imaging import encode_image
+    from webarchive_discovery_spark.operators.multimodal import (
+        image_safety_scores,
+    )
+
+    skin = np.zeros((10, 10, 3), np.uint8)
+    skin[:5, :] = (224, 160, 128)           # half skin
+    blue = np.zeros((4, 4, 3), np.uint8)
+    blue[:, :] = (0, 0, 255)                # no skin
+    rows = [
+        (1, bytes(encode_image(skin, "png")), "png"),
+        (2, bytes(encode_image(blue, "bmp")), "bmp"),
+        (3, b"not an image", "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, bytes binary, fmt string")
+    got = {r.image_id: r for r in
+           image_safety_scores(df, threshold=0.25).collect()}
+    assert got[1].safety_score == 0.5 and got[1].safety_flagged
+    assert got[2].safety_score == 0.0 and not got[2].safety_flagged
+    assert got[3].safety_score is None and got[3].safety_error
+    # custom scorer slot
+    got2 = {r.image_id: r.safety_score for r in image_safety_scores(
+        df.filter(F.col("image_id") < 3), scorer=lambda rgb: 0.9).collect()}
+    assert got2 == {1: 0.9, 2: 0.9}

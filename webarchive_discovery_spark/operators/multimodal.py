@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -56,6 +58,8 @@ __all__ = [
     "FRAMES_SCHEMA",
     "IMAGE_ANALYSIS_SCHEMA",
     "image_analysis_struct_udf",
+    "image_safety_scores",
+    "SAFETY_SCHEMA",
 ]
 
 
@@ -342,3 +346,66 @@ def image_analysis_struct_udf():
         return pd.DataFrame({c: res[c] for c in cols}, columns=cols)
 
     return analyse
+
+
+SAFETY_SCHEMA = [
+    StructField("safety_score", DoubleType()),
+    StructField("safety_flagged", BooleanType()),
+    StructField("safety_error", StringType()),
+]
+
+
+def image_safety_scores(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_cols: tuple[str, ...] = ("image_id",),
+    scorer=None,
+    threshold: float = 0.5,
+    max_size_bytes: int = 10 * 1024 * 1024,
+) -> DataFrame:
+    """Safety-scoring slot for pair pipelines — the NSFW/watermark cut every
+    LAION-style dataset applies before release.  Appends ``safety_score`` ∈
+    [0, 1], ``safety_flagged = score ≥ threshold``, and ``safety_error``.
+
+    ``scorer(rgb) -> float`` is the model slot: production pipelines plug a
+    CNN/CLIP-head classifier here (model weights don't ship in this
+    sandbox).  The DEFAULT is the skin-pixel fraction over the REAL decoded
+    pixels (``colours._skin_mask``) — the classic pre-CNN proxy, an honest
+    clearly-labelled stand-in whose plumbing (decode, batch shape, size
+    gate, per-record recovery) is exactly what the real model needs.
+
+    One Arrow ``mapInPandas`` pass, zero shuffle; oversized or undecodable
+    payloads yield NULL score + ``safety_error``, never a task failure."""
+    from ..functions.colours import _skin_mask
+    from ..functions.imaging import decode_image
+
+    keep = list(id_cols)
+    schema = _schema_plus(df, SAFETY_SCHEMA, keep)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            scores = np.full(n, None, dtype=object)
+            flags = np.full(n, None, dtype=object)
+            errs = np.full(n, None, dtype=object)
+            for i, (data, fmt) in enumerate(zip(pdf[bytes_col], pdf[fmt_col])):
+                try:
+                    if data is None:
+                        raise ValueError("null payload")
+                    if len(data) > max_size_bytes:
+                        raise ValueError(f"payload over {max_size_bytes} bytes")
+                    rgb = decode_image(bytes(data), fmt)
+                    s = (float(scorer(rgb)) if scorer is not None
+                         else float(_skin_mask(rgb).mean()))
+                    scores[i] = s
+                    flags[i] = bool(s >= threshold)
+                except Exception as exc:
+                    errs[i] = f"{type(exc).__name__}: {exc}"[:500]
+            res = {"safety_score": scores, "safety_flagged": flags,
+                   "safety_error": errs}
+            for c in keep:
+                res[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(res, columns=[f.name for f in schema.fields])
+
+    return df.select(*keep, bytes_col, fmt_col).mapInPandas(run, schema)

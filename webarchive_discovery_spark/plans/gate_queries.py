@@ -4623,6 +4623,35 @@ def aspect_bucket_assign(spark, sf_dir):
     )
 
 
+@q(
+    "image_safety_scores",
+    f"""
+    SELECT doc_id,
+           round((doc_id % 4) * 64.0 / {_IMG_W * _IMG_H}, 6) AS safety_score,
+           (doc_id % 4) * 64.0 / {_IMG_W * _IMG_H} >= 0.03 AS safety_flagged
+    FROM documents
+    """,
+)
+def image_safety_scores_gate(spark, sf_dir):
+    """Safety (NSFW-cut) scoring over REAL decoded pixels: the synth corpus
+    carries ``doc_id % 4`` 8×8 skin blocks, so the default skin-fraction
+    scorer must return exactly ``(doc_id%4)·64 / (W·H)`` — decode, masking,
+    and the flag threshold all arithmetically oracled; the ``scorer`` slot
+    takes a real classifier in production (model weights sandbox-blocked).
+    See :func:`operators.multimodal.image_safety_scores`."""
+    from ..operators import multimodal
+
+    imgs = _synth_images(spark, sf_dir)
+    out = multimodal.image_safety_scores(
+        imgs, id_cols=("doc_id",), threshold=0.03
+    )
+    return out.select(
+        "doc_id",
+        F.round("safety_score", 6).alias("safety_score"),
+        "safety_flagged",
+    )
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -4656,6 +4685,7 @@ _DRIVER_PRIORITY = [
     "multimodal_corpus_build",
     "image_phash_clusters",
     "aspect_bucket_assign",
+    "image_safety_scores",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

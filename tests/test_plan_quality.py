@@ -256,8 +256,14 @@ def test_packing_no_single_partition_window(spark):
     multiple partitions, and no window runs on SinglePartition."""
     plan = plan_of(spark, "sequence_packing")
     assert "EvalPython" not in plan
-    assert "rangepartitioning" in plan
+    # the range exchange is pinned by localCheckpoint (one materialization —
+    # offsets fetch and final plan must see identical sampled boundaries), so
+    # downstream reads the pinned RDD rather than replanning the exchange
+    assert "Scan ExistingRDD" in plan
     assert "SinglePartition" not in plan, plan
+    # the only window is the in-partition cumsum, keyed on the partition id
+    for frag in plan.split("Window ")[1:]:
+        assert "_pid" in frag.splitlines()[0]
 
 
 def test_temperature_sample_broadcasts_rates(spark):

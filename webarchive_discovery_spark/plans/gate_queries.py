@@ -4653,6 +4653,212 @@ def image_safety_scores_gate(spark, sf_dir):
 
 
 # ===========================================================================
+# Cuckoo-filter URL-seen tier (the hybrid's second half)
+# ===========================================================================
+
+@q(
+    "cuckoo_shard_probe",
+    """
+    WITH u AS (
+      SELECT DISTINCT event_id AS url_hash FROM events
+    )
+    SELECT CAST(url_hash % 16 AS BIGINT) AS bucket,
+           count(*) AS n_unseen
+    FROM u WHERE url_hash % 5 <> 0
+    GROUP BY 1
+    """,
+)
+def cuckoo_shard_probe(spark, sf_dir):
+    """The cuckoo half of the north-rule's "counting-Bloom/cuckoo hybrid",
+    end-to-end at the production shape: ``build_cuckoo_shards`` (one shuffle
+    on ``hash mod num_shards``, one task builds one shard's partial-key
+    table) → cogrouped ``cuckoo_negative_filter_sharded`` probe → exact
+    anti-join verify of maybe-seen candidates only.  No-false-negatives
+    makes the final unseen set EXACT, so the oracle is the plain
+    set-difference: a wrong table (dropped key, bad alt-index) surfaces as
+    missing/extra rows.  See ``operators/cuckoo.py`` (Fan et al. 2014)."""
+    from ..operators import cuckoo as C
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("url_hash")
+    ).distinct()
+    seen = ev.filter(F.col("url_hash") % 5 == 0)
+    params = C.CuckooParams(n_capacity=200_000, fpr=1e-4, num_shards=8)
+    shards = C.build_cuckoo_shards(seen, "url_hash", params)
+    probed = C.cuckoo_negative_filter_sharded(ev, "url_hash", shards, params)
+    definite = probed.filter(~F.col("maybe_seen")).select("url_hash")
+    candidates = probed.filter(F.col("maybe_seen")).select("url_hash")
+    verified = candidates.join(seen, "url_hash", "left_anti")
+    unseen = definite.unionByName(verified)
+    return unseen.groupBy(
+        (F.col("url_hash") % 16).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_unseen"))
+
+
+# ===========================================================================
+# Sitemap discovery (robots Sitemap: directives + sitemap XML → frontier)
+# ===========================================================================
+
+_SITEMAP_FREQS = ["always", "hourly", "daily", "weekly", "monthly", "yearly", "never"]
+
+
+def _synth_sitemap_captures(spark, sf_dir):
+    """One sitemap capture per derived host: hosts with ``hn % 5 == 0``
+    publish a namespace-prefixed ``<sitemapindex>`` (2 children); the rest a
+    ``<urlset>`` of 3 entries exercising entity-escaped locs, full-datetime /
+    date-only / garbage lastmod, valid / invalid / absent changefreq, and
+    explicit / absent / out-of-range priority."""
+    ev = _t(spark, sf_dir, "events")
+    hosts = ev.select((F.col("user_id") % 20).cast("long").alias("hn")).distinct()
+    hn = F.col("hn")
+    hs = hn.cast("string")
+    dd = F.lpad((hn % 28 + 1).cast("string"), 2, "0")
+    freq = F.element_at(
+        F.array(*[F.lit(x) for x in _SITEMAP_FREQS]), (hn % 7 + 1).cast("int")
+    )
+    base = F.concat(F.lit("https://h"), hs, F.lit(".example.org"))
+    url0 = F.concat(
+        F.lit("<url>\n  <loc> "), base, F.lit("/p/0?a=1&amp;b=2 </loc>"),
+        F.lit("<lastmod>2024-01-"), dd, F.lit("</lastmod>"),
+        F.lit("<changefreq>"), freq, F.lit("</changefreq>"),
+        F.lit("<priority>0."), (hn % 10).cast("string"), F.lit("</priority></url>"),
+    )
+    url1 = F.concat(
+        F.lit("<url><loc>"), base, F.lit("/p/1?a=1&amp;b=2</loc>"),
+        F.lit("<lastmod>2024-01-"), dd, F.lit("T10:30:00Z</lastmod>"),
+        F.lit("<changefreq>SOMETIMES</changefreq></url>"),
+    )
+    url2 = F.concat(
+        F.lit("<url><loc>"), base, F.lit("/p/2?a=1&amp;b=2</loc>"),
+        F.lit("<lastmod>soon</lastmod><priority>1.5</priority></url>"),
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?>\n'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'),
+        url0, F.lit("\n"), url1, F.lit("\n"), url2, F.lit("\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?>\n<sm:sitemapindex xmlns:sm='
+              '"http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              "<sm:sitemap><sm:loc>"),
+        base, F.lit("/sitemap-0.xml</sm:loc>"
+                    "<sm:lastmod>2024-02-01</sm:lastmod></sm:sitemap>\n"
+                    "<sm:sitemap><sm:loc>"),
+        base, F.lit("/sitemap-1.xml</sm:loc>"
+                    "<sm:lastmod>2024-02-02</sm:lastmod></sm:sitemap>\n"
+                    "</sm:sitemapindex>"),
+    )
+    return hosts.select(
+        F.concat(F.lit("h"), hs, F.lit(".example.org")).alias("host"),
+        F.when(hn % 5 == 0, index).otherwise(urlset).alias("payload"),
+        F.lit("sitemap.xml").alias("url_type"),
+    )
+
+
+_SITEMAP_ORACLE_HOSTS = """
+    hosts AS (SELECT DISTINCT user_id % 20 AS hn FROM events),
+    named AS (
+      SELECT hn, 'h' || CAST(hn AS VARCHAR) || '.example.org' AS host,
+             'https://h' || CAST(hn AS VARCHAR) || '.example.org' AS base,
+             lpad(CAST(hn % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+             (['always','hourly','daily','weekly','monthly','yearly','never'])[hn % 7 + 1] AS freq
+      FROM hosts
+    )
+"""
+
+
+@q(
+    "sitemap_parse",
+    """
+    WITH
+    """ + _SITEMAP_ORACLE_HOSTS + """
+    , expected AS (
+      SELECT host, 'url' AS kind, base || '/p/0?a=1&b=2' AS loc,
+             '2024-01-' || dd AS lastmod,
+             '2024-01-' || dd AS lastmod_date,
+             freq AS changefreq,
+             round(CAST(hn % 10 AS DOUBLE) / 10, 2) AS priority
+      FROM named WHERE hn % 5 <> 0
+      UNION ALL
+      SELECT host, 'url', base || '/p/1?a=1&b=2',
+             '2024-01-' || dd || 'T10:30:00Z',
+             '2024-01-' || dd, NULL, 0.5
+      FROM named WHERE hn % 5 <> 0
+      UNION ALL
+      SELECT host, 'url', base || '/p/2?a=1&b=2', 'soon', NULL, NULL, 1.0
+      FROM named WHERE hn % 5 <> 0
+      UNION ALL
+      SELECT host, 'sitemap', base || '/sitemap-' || CAST(j AS VARCHAR) || '.xml',
+             '2024-02-0' || CAST(j + 1 AS VARCHAR),
+             '2024-02-0' || CAST(j + 1 AS VARCHAR), NULL, 0.5
+      FROM named, (SELECT unnest([0, 1]) AS j) WHERE hn % 5 = 0
+    )
+    SELECT * FROM expected
+    """,
+)
+def sitemap_parse(spark, sf_dir):
+    """Synthesize sitemap XML captures (urlset + namespace-prefixed
+    sitemapindex, escaped entities, malformed lastmod/changefreq/priority
+    variants) and run the REAL parser (``operators/sitemap.py`` — pure
+    codegen split+regexp, no UDF); the oracle reconstructs every entry row
+    arithmetically.  Crawl-loop closure for the discovery channel the
+    reference leaves to Heritrix (robots handling anchor:
+    ``WARCIndexer.java:603-606``)."""
+    from ..operators import sitemap as sm
+
+    caps = _synth_sitemap_captures(spark, sf_dir)
+    out = sm.parse_sitemaps(caps)
+    return out.withColumn("priority", F.round("priority", 2)).withColumn(
+        # string compare: NULL-date dtype normalization differs between the
+        # Arrow and DuckDB pandas paths (None vs NaT)
+        "lastmod_date", F.col("lastmod_date").cast("string")
+    )
+
+
+@q(
+    "sitemap_frontier_scores",
+    """
+    WITH
+    """ + _SITEMAP_ORACLE_HOSTS + """
+    , entries AS (
+      SELECT base || '/p/0?a=1&b=2' AS url, host,
+             CAST(hn % 10 AS DOUBLE) / 10 AS priority,
+             CASE freq WHEN 'always' THEN 1.0 WHEN 'hourly' THEN 0.9
+                       WHEN 'daily' THEN 0.8 WHEN 'weekly' THEN 0.6
+                       WHEN 'monthly' THEN 0.4 WHEN 'yearly' THEN 0.2
+                       WHEN 'never' THEN 0.05 END AS freq_rank,
+             CAST('2024-01-' || dd AS DATE) AS lastmod_date
+      FROM named WHERE hn % 5 <> 0
+      UNION ALL
+      SELECT base || '/p/1?a=1&b=2', host, 0.5, 0.5,
+             CAST('2024-01-' || dd AS DATE)
+      FROM named WHERE hn % 5 <> 0
+      UNION ALL
+      SELECT base || '/p/2?a=1&b=2', host, 1.0, 0.5, NULL
+      FROM named WHERE hn % 5 <> 0
+    )
+    SELECT url, host,
+           round(priority * 0.5 + freq_rank * 0.3 +
+                 (CASE WHEN lastmod_date IS NULL THEN 0.5
+                       ELSE pow(0.5, date_diff('day', lastmod_date,
+                                               DATE '2024-02-05') / 30.0)
+                  END) * 0.2, 6) AS crawl_priority
+    FROM entries
+    """,
+)
+def sitemap_frontier_scores(spark, sf_dir):
+    """Same synthesized sitemaps → :func:`sitemap.sitemap_frontier` priority
+    scoring (publisher priority 0.5 + changefreq affinity 0.3 + lastmod
+    half-life freshness 0.2), oracled with the arithmetic restated from
+    scratch including the exponential decay."""
+    from ..operators import sitemap as sm
+
+    caps = _synth_sitemap_captures(spark, sf_dir)
+    entries = sm.parse_sitemaps(caps)
+    return sm.sitemap_frontier(entries, as_of_date="2024-02-05")
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -4686,6 +4892,9 @@ _DRIVER_PRIORITY = [
     "image_phash_clusters",
     "aspect_bucket_assign",
     "image_safety_scores",
+    "sitemap_parse",
+    "sitemap_frontier_scores",
+    "cuckoo_shard_probe",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

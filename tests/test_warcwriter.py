@@ -1,0 +1,126 @@
+"""WARC writer (operators/warcwriter.py): framing, binary payload safety,
+deterministic ids, and the full write→read round-trip through the engine's
+own WARC parser."""
+
+import glob
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from webarchive_discovery_spark.operators import warcwriter as W
+from webarchive_discovery_spark.sources import warc as warcsrc
+
+SCHEMA = (
+    "url string, warc_date string, status_code int, "
+    "content_type_served string, payload_bytes binary"
+)
+
+
+def _caps(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "http://a.example.org/x",
+                "2024-05-06T07:08:09Z",
+                200,
+                "text/html",
+                "hullo — page".encode(),  # multi-byte
+            ),
+            (
+                "http://a.example.org/img",
+                "2024-05-06T07:08:10Z",
+                200,
+                "image/png",
+                bytes([137, 80, 78, 71, 0, 255, 254, 10, 13, 26]),  # raw binary
+            ),
+            (
+                "http://a.example.org/gone",
+                "2024-05-06T07:08:11Z",
+                404,
+                None,
+                None,  # null payload → zero-length body
+            ),
+        ],
+        SCHEMA,
+    )
+
+
+def test_framing_and_octet_lengths(spark):
+    rec = bytes(
+        W.warc_response_records(_caps(spark)).filter(
+            F.col("url") == "http://a.example.org/x"
+        ).collect()[0]["warc_record"]
+    )
+    head, _, rest = rec.partition(b"\r\n\r\n")
+    assert head.startswith(b"WARC/1.0\r\nWARC-Type: response\r\n")
+    # WARC Content-Length is the octet length of the remaining HTTP block
+    warc_len = int(
+        [l for l in head.split(b"\r\n") if l.startswith(b"Content-Length:")][0]
+        .split(b":")[1]
+    )
+    assert rest == rec[len(head) + 4 :]
+    assert warc_len == len(rest) - 4  # trailing CRLF CRLF excluded
+    http_head, _, body = rest.partition(b"\r\n\r\n")
+    assert http_head.startswith(b"HTTP/1.1 200 OK\r\n")
+    http_len = int(
+        [l for l in http_head.split(b"\r\n") if l.startswith(b"Content-Length:")][0]
+        .split(b":")[1]
+    )
+    assert body[:-4] == "hullo — page".encode()
+    assert http_len == len("hullo — page".encode())  # octets, not chars
+
+
+def test_record_id_deterministic(spark):
+    a = W.warc_response_records(_caps(spark)).select("warc_record").collect()
+    b = W.warc_response_records(_caps(spark)).select("warc_record").collect()
+    assert sorted(bytes(r[0]) for r in a) == sorted(bytes(r[0]) for r in b)
+
+
+def test_null_payload_and_reason_ladder(spark):
+    rec = bytes(
+        W.warc_response_records(_caps(spark)).filter(
+            F.col("status_code") == 404
+        ).collect()[0]["warc_record"]
+    )
+    assert b"HTTP/1.1 404 Not Found\r\n" in rec
+    assert b"Content-Type: application/octet-stream\r\n" in rec  # null served type
+    assert b"Content-Length: 0\r\n\r\n\r\n\r\n" in rec  # empty body framing
+
+
+def test_write_and_roundtrip_through_own_parser(spark, tmp_path):
+    out_dir = str(tmp_path / "warcs")
+    recs = W.warc_response_records(_caps(spark)).repartition(2)
+    manifest = W.write_warc(recs, out_dir).collect()
+    assert sum(m["n_records"] for m in manifest) == 3
+    files = sorted(glob.glob(os.path.join(out_dir, "*.warc.gz")))
+    assert files == sorted(m["file"] for m in manifest)
+    # multi-member gzip: stdlib inflates all members
+    raw = gzip.decompress(open(files[0], "rb").read())
+    assert raw.startswith(b"WARC/1.0\r\n")
+
+    parsed = warcsrc.warc_records(
+        warcsrc.read_binary_files(spark, out_dir, glob="*.warc.gz"),
+        keep_binary=True,
+    )
+    rows = {r["target_uri"]: r for r in parsed.collect()}
+    assert not any(r["parse_error"] for r in rows.values()), [
+        r["parse_error"] for r in rows.values()
+    ]
+    assert rows["http://a.example.org/x"]["http_status"] == "200"
+    assert rows["http://a.example.org/x"]["payload"] == "hullo — page"
+    assert bytes(rows["http://a.example.org/img"]["payload_bytes"]) == bytes(
+        [137, 80, 78, 71, 0, 255, 254, 10, 13, 26]
+    )
+    assert rows["http://a.example.org/gone"]["http_status"] == "404"
+    assert rows["http://a.example.org/gone"]["payload"] == ""
+
+
+def test_no_python_udf_in_record_assembly(spark):
+    plan = (
+        W.warc_response_records(_caps(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

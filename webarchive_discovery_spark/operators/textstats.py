@@ -568,3 +568,89 @@ def redact_pii(
         cols.append(F.regexp_count(red, F.lit(rx)).cast("int").alias(f"pii_{name}_count"))
         red = F.regexp_replace(red, rx, f"[{name.upper()}]")
     return df.select("*", *cols, red.alias(out_col))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_dup: int = 2,
+    keep_first: bool = False,
+    normalize: bool = True,
+    out_col: str = "line_dedup_text",
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet/RefinedWeb pre-dedup
+    stage: identical lines repeated across documents are site boilerplate —
+    nav menus, cookie banners, footers — and are removed from EVERY document
+    before document-level dedup ever runs).
+
+    Matching key: the trimmed line, optionally normalized (lowercase +
+    digits→0 + whitespace collapse, the CCNet hashing normalization) —
+    removal always splices out the ORIGINAL line, normalization only decides
+    equality.  Blank lines are never counted or removed (they'd be the
+    hottest key in the corpus and carry no signal).  With
+    ``keep_first=False`` every occurrence of a line seen ≥ ``min_dup``
+    times is dropped; with ``keep_first=True`` the single first occurrence
+    (by ``(id, line position)``) survives.
+
+    Plan shape (scale path): explode lines → ONE hash aggregate keyed on
+    ``xxhash64(normalized line)`` producing the duplicate-line table
+    (count ≥ min_dup — a small fraction of distinct lines, so the join
+    back is the small side) → join + filter → ONE doc-keyed aggregate
+    rebuilding the text in line order.  Two key-parallel shuffles total;
+    the line-count aggregate does map-side partial aggregation, so a
+    hot line (the same cookie banner on 1e9 pages) arrives at its reducer
+    as one partial row per upstream partition, not 1e9 rows.
+
+    Adds ``out_col`` (surviving lines re-joined), ``lines_total``,
+    ``lines_removed``.  Documents whose every line is removed keep an empty
+    string (attribution stays with the caller, as in ``c4_line_filter``)."""
+    idc = F.col(id_col)
+    lines = df.select(
+        idc.alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    )
+    key_src = F.trim(F.col("_line"))
+    if normalize:
+        key_src = F.regexp_replace(F.lower(key_src), r"\d", "0")
+        key_src = F.regexp_replace(key_src, r"\s+", " ")
+    lines = lines.withColumn("_key", F.xxhash64(key_src)).withColumn(
+        "_blank", F.trim(F.col("_line")) == ""
+    )
+    counted = (
+        lines.filter(~F.col("_blank"))
+        .groupBy("_key")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("_id", "_pos")).alias("_first"),
+        )
+        .filter(F.col("_n") >= min_dup)
+    )
+    joined = lines.join(counted, "_key", "left")
+    if keep_first:
+        drop = F.col("_n").isNotNull() & ~(
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first._pos") == F.col("_pos"))
+        )
+    else:
+        drop = F.col("_n").isNotNull()
+    drop = drop & ~F.col("_blank")
+    survivors = joined.withColumn("_drop", drop)
+    rebuilt = survivors.groupBy(F.col("_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_drop"), F.struct("_pos", "_line"))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.count(F.lit(1)).cast("int").alias("lines_total"),
+        F.sum(F.col("_drop").cast("int")).cast("int").alias("lines_removed"),
+    )
+    return df.join(
+        rebuilt.withColumnRenamed("_id", id_col), id_col, "inner"
+    )

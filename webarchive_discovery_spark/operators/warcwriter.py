@@ -1,0 +1,157 @@
+"""WARC writer: serialize capture rows back out as WARC/1.0 response records.
+
+Round-trip counterpart of ``sources/warc.py`` (which only reads) and sibling
+of the WET sink (``operators/wet.py``): where WET carries extracted text,
+this emits full ``WARC-Type: response`` records with the stored HTTP
+response block — the format a crawl pipeline persists for replay and
+re-indexing (the reference consumes such files via
+``ArchiveFileRecordReader``; Heritrix's writer produces them).
+
+Framing (ISO 28500 WARC/1.x §4): version line, named headers, blank line,
+Content-Length OCTETS of the payload block (here the HTTP response message:
+status line + headers + CRLF + body), then CRLF CRLF.  The record is
+assembled as a BINARY column — header text UTF-8-encoded and concatenated
+with the raw payload bytes — so image/binary payloads frame byte-exactly
+(string concat would mangle them).  Pure codegen (encode/concat/
+octet_length), no UDF, no shuffle.
+
+``WARC-Record-ID`` is deterministic: a urn:uuid derived from
+``md5(url || date)`` (same determinism stance as the engine's reservoir
+sampler and salted repartition — no executor RNG, so a re-run of the same
+epoch writes byte-identical records).
+
+``write_warc`` packages records as one gzip MEMBER PER RECORD concatenated
+into per-partition ``.warc.gz`` files — the Common Crawl / IIPC convention
+that makes records individually seekable; Python's ``gzip.decompress`` (and
+the engine's own reader) inflate multi-member streams transparently.  Each
+task writes only its own partition's file: embarrassingly parallel, no
+driver collect.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["deterministic_record_id", "http_response_block",
+           "warc_response_records", "write_warc"]
+
+_CRLF = "\r\n"
+
+_STATUS_REASONS = {
+    200: "OK", 301: "Moved Permanently", 302: "Found", 304: "Not Modified",
+    403: "Forbidden", 404: "Not Found", 500: "Internal Server Error",
+    503: "Service Unavailable",
+}
+
+
+def deterministic_record_id(url: Column, date: Column) -> Column:
+    """``<urn:uuid:...>`` shaped from ``md5(url || '\\n' || date)`` —
+    RFC 4122 layout (8-4-4-4-12) without executor RNG, so identical input
+    rows always serialize with identical ids (bit-exact re-runs)."""
+    h = F.md5(F.concat(url, F.lit("\n"), date))
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+        F.lit(">"),
+    )
+
+
+def http_response_block(
+    status: Column, content_type: Column, payload: Column
+) -> Column:
+    """BINARY HTTP/1.1 response message: status line + minimal headers +
+    CRLF + raw body bytes.  ``Content-Length`` counts the BODY's octets."""
+    reason = F.lit("OK")
+    for code, text in _STATUS_REASONS.items():
+        reason = F.when(status == code, F.lit(text)).otherwise(reason)
+    head = F.concat(
+        F.lit("HTTP/1.1 "), status.cast("string"), F.lit(" "), reason, F.lit(_CRLF),
+        F.lit("Content-Type: "), F.coalesce(content_type, F.lit("application/octet-stream")),
+        F.lit(_CRLF),
+        F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    return F.concat(F.encode(head, "UTF-8"), payload)
+
+
+def warc_response_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    status_col: str = "status_code",
+    content_type_col: str = "content_type_served",
+    payload_col: str = "payload_bytes",
+    ip_col: str | None = None,
+    out_col: str = "warc_record",
+) -> DataFrame:
+    """Append one fully-framed binary WARC response record per row.
+    Null payloads frame as zero-length bodies (a 304, say).  The WARC
+    ``Content-Length`` is the octet length of the whole HTTP block."""
+    url, date = F.col(url_col), F.col(date_col)
+    payload = F.coalesce(F.col(payload_col), F.lit(b""))
+    block = http_response_block(F.col(status_col), F.col(content_type_col), payload)
+    ip = (
+        F.concat(F.lit("WARC-IP-Address: "), F.col(ip_col), F.lit(_CRLF))
+        if ip_col
+        else F.lit("")
+    )
+    head = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "), date, F.lit(_CRLF),
+        F.lit("WARC-Record-ID: "), deterministic_record_id(url, date), F.lit(_CRLF),
+        ip,
+        F.lit('Content-Type: application/http; msgtype=response' + _CRLF),
+        F.lit("Content-Length: "), F.octet_length(block).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    rec = F.concat(F.encode(head, "UTF-8"), block, F.encode(F.lit(_CRLF + _CRLF), "UTF-8"))
+    return captures.withColumn(out_col, rec)
+
+
+def write_warc(
+    records: DataFrame,
+    path: str,
+    record_col: str = "warc_record",
+    prefix: str = "part",
+) -> DataFrame:
+    """Write per-partition ``<prefix>-<pid>.warc.gz`` files (one gzip member
+    per record, concatenated — the seekable convention) and RETURN the
+    manifest DataFrame ``(file, n_records, bytes)``; the caller triggers the
+    write with any action on it.  Tasks write directly to ``path`` (local/
+    shared FS — the same direct-write stance as the Solr batch sink); a
+    cloud deployment swaps the ``open`` for its object-store client."""
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"{prefix}-{pid:05d}.warc.gz")
+        n = total = 0
+        with open(fname, "wb") as fh:
+            for pdf in batches:
+                for rec in pdf[record_col]:
+                    member = gzip.compress(bytes(rec), mtime=0)  # deterministic
+                    fh.write(member)
+                    n += 1
+                    total += len(member)
+        if n == 0:
+            os.remove(fname)
+            return
+        yield pd.DataFrame({"file": [fname], "n_records": [n], "bytes": [total]})
+
+    return records.select(record_col).mapInPandas(
+        dump, "file string, n_records long, bytes long"
+    )

@@ -4653,6 +4653,121 @@ def image_safety_scores_gate(spark, sf_dir):
 
 
 # ===========================================================================
+# WARC writer (response-record serialization, the read path's round-trip)
+# ===========================================================================
+
+@q(
+    "warc_write_records",
+    """
+    WITH base AS (
+      SELECT event_id,
+             'http://h' || CAST(event_id % 7 AS VARCHAR) || '.example.org/p/'
+               || CAST(event_id AS VARCHAR) AS url,
+             '2024-03-04T05:06:07Z' AS d,
+             CASE event_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 301
+                               WHEN 2 THEN 404 ELSE 503 END AS status,
+             CASE event_id % 4 WHEN 0 THEN 'OK' WHEN 1 THEN 'Moved Permanently'
+                               WHEN 2 THEN 'Not Found'
+                               ELSE 'Service Unavailable' END AS reason,
+             'Page ' || CAST(event_id AS VARCHAR) || ' — ok.' AS body
+      FROM events
+    ), blocks AS (
+      SELECT event_id, url, d,
+             'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' ' || reason
+               || chr(13) || chr(10)
+             || 'Content-Type: text/html; charset=UTF-8' || chr(13) || chr(10)
+             || 'Content-Length: ' || CAST(strlen(body) AS VARCHAR)
+               || chr(13) || chr(10) || chr(13) || chr(10)
+             || body AS block,
+             md5(url || chr(10) || d) AS h
+      FROM base
+    )
+    SELECT event_id,
+           'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: response' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+           || 'WARC-Date: ' || d || chr(13) || chr(10)
+           || 'WARC-Record-ID: <urn:uuid:' || substr(h, 1, 8) || '-'
+             || substr(h, 9, 4) || '-' || substr(h, 13, 4) || '-'
+             || substr(h, 17, 4) || '-' || substr(h, 21, 12) || '>'
+             || chr(13) || chr(10)
+           || 'Content-Type: application/http; msgtype=response'
+             || chr(13) || chr(10)
+           || 'Content-Length: ' || CAST(strlen(block) AS VARCHAR)
+             || chr(13) || chr(10) || chr(13) || chr(10)
+           || block || chr(13) || chr(10) || chr(13) || chr(10) AS warc_record
+    FROM blocks
+    """,
+)
+def warc_write_records(spark, sf_dir):
+    """WARC response-record serialization (``operators/warcwriter.py``):
+    verbatim full-record oracle — the HTTP block, the deterministic
+    md5-derived ``WARC-Record-ID`` (DuckDB recomputes the uuid layout from
+    the same md5), the status-reason ladder, and both octet-counted
+    ``Content-Length`` headers over a MULTI-BYTE body (em dash) are all
+    reconstructed from scratch.  Round-trip through the engine's own WARC
+    parser is pytest-covered (test_warcwriter)."""
+    from ..operators import warcwriter as W
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = F.col("event_id")
+    caps = ev.select(
+        "event_id",
+        F.concat(F.lit("http://h"), (e % 7).cast("string"),
+                 F.lit(".example.org/p/"), e.cast("string")).alias("url"),
+        F.lit("2024-03-04T05:06:07Z").alias("warc_date"),
+        F.element_at(
+            F.array(F.lit(200), F.lit(301), F.lit(404), F.lit(503)),
+            (e % 4 + 1).cast("int"),
+        ).alias("status_code"),
+        F.lit("text/html; charset=UTF-8").alias("content_type_served"),
+        F.encode(
+            F.concat(F.lit("Page "), e.cast("string"), F.lit(" — ok.")), "UTF-8"
+        ).alias("payload_bytes"),
+    )
+    out = W.warc_response_records(caps)
+    return out.select("event_id", F.decode("warc_record", "UTF-8").alias("warc_record"))
+
+
+# ===========================================================================
+# Corpus-level line dedup (CCNet/RefinedWeb boilerplate pre-dedup stage)
+# ===========================================================================
+
+@q(
+    "line_dedup_corpus",
+    """
+    SELECT doc_id,
+           chr(10) || 'Unique fact ' ||
+             translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') ||
+             '.' AS line_dedup_text,
+           CAST(4 AS INT) AS lines_total,
+           CAST(2 AS INT) AS lines_removed
+    FROM documents
+    """,
+)
+def line_dedup_corpus(spark, sf_dir):
+    """Cross-document line dedup (``textstats.line_dedup``): every doc gets
+    a corpus-wide boilerplate line (dropped verbatim), a copyright line
+    whose YEAR differs by parity (dropped only because the CCNet digit→0
+    normalization makes them equal — the normalization path is what this
+    gate proves), a blank line (never counted), and a letters-only unique
+    line (survives).  The oracle states the expected rebuilt text and
+    counters arithmetically per document."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    tr = F.translate(ds, "0123456789", "abcdefghij")
+    year = F.when(F.col("doc_id") % 2 == 0, "2019").otherwise("2024")
+    txt = F.concat(
+        F.lit("Accept cookies to continue.\nCopyright "), year,
+        F.lit(" Example Corp.\n\nUnique fact "), tr, F.lit("."),
+    )
+    out = textstats.line_dedup(
+        docs.withColumn("txt", txt), "doc_id", "txt", min_dup=2
+    )
+    return out.select("doc_id", "line_dedup_text", "lines_total", "lines_removed")
+
+
+# ===========================================================================
 # Cuckoo-filter URL-seen tier (the hybrid's second half)
 # ===========================================================================
 
@@ -4895,6 +5010,8 @@ _DRIVER_PRIORITY = [
     "sitemap_parse",
     "sitemap_frontier_scores",
     "cuckoo_shard_probe",
+    "line_dedup_corpus",
+    "warc_write_records",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -497,3 +497,104 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: "np.ndarray",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, call within-cluster pairs with cosine ≥ ``threshold``
+    semantic duplicates, and keep ONE exemplar per duplicate group — the
+    member FARTHEST from its cluster centroid (the paper's keep rule: low
+    centroid similarity = the least prototypical copy preserves the most
+    diversity), ties broken by id.
+
+    ``centroids`` come from :func:`ivf_train` (sampled k-means) or
+    :func:`ivf_centroids` (seeded, for bit-determinism) — the same coarse
+    quantizer the IVF ANN path uses, deliberately shared: one trained model
+    serves search AND dedup.
+
+    Plan: ONE Arrow pass assigns (cluster, centroid_sim) with broadcast
+    centroids; within-cluster exact pairs via one ``applyInPandas`` BLAS
+    matmul per cluster (per-task memory = one cluster's vectors — size
+    ``n_lists ~ sqrt(N)`` so clusters fit; for skewed clusters route
+    through :func:`cosine_near_dup_pairs` inside the cluster instead);
+    duplicate groups close under :func:`dedup.connected_components`
+    (O(diameter) rounds); exemplar choice is one hash aggregate + one
+    join.  Nothing collects to the driver.
+
+    Returns one row per input: ``(id, cluster, centroid_sim, component,
+    keep)`` — ``component`` is the duplicate-group label (min member id;
+    singletons label themselves), ``keep`` marks survivors."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    from .dedup import connected_components
+
+    spark = embeddings.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast(cents)
+
+    assign_schema = StructType(
+        [StructField("cluster", IntegerType()), StructField("centroid_sim", DoubleType())]
+    )
+
+    @F.pandas_udf(assign_schema)
+    def assign(v: pd.Series) -> pd.DataFrame:
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        dots = m @ bc.value.T
+        cl = np.argmax(dots, axis=1)
+        return pd.DataFrame(
+            {"cluster": cl.astype(np.int32),
+             "centroid_sim": np.round(dots[np.arange(len(cl)), cl], 6)}
+        )
+
+    e = embeddings.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_vec"),
+        assign(_as_double(F.col(vec_col))).alias("_a"),
+    ).select("_id", "_vec", F.col("_a.cluster").alias("cluster"),
+             F.col("_a.centroid_sim").alias("centroid_sim"))
+    e = e.localCheckpoint()  # one materialization: pairs + labels + output all read it
+
+    id_field = e.schema["_id"]
+    pair_schema = StructType(
+        [StructField("id_a", id_field.dataType), StructField("id_b", id_field.dataType)]
+    )
+
+    def pairs_in_cluster(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["_id"].to_numpy()
+        mat = _l2_normalize(np.vstack(pdf["_vec"].to_numpy()).astype(np.float64))
+        scores = mat @ mat.T
+        keep = (scores >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj]})
+
+    dup_pairs = e.groupBy("cluster").applyInPandas(pairs_in_cluster, pair_schema)
+    comps = connected_components(
+        e.select(F.col("_id")), dup_pairs, id_col="_id", max_iter=max_iter
+    )
+    exemplars = (
+        comps.join(e.select("_id", "centroid_sim"), comps["id"] == e["_id"])
+        .groupBy("component")
+        .agg(F.min_by("id", F.struct("centroid_sim", "id")).alias("_keep_id"))
+    )
+    out = (
+        e.join(comps, e["_id"] == comps["id"])
+        .join(exemplars, "component")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            "component",
+            (F.col("_id") == F.col("_keep_id")).alias("keep"),
+        )
+    )
+    return out

@@ -4653,6 +4653,101 @@ def image_safety_scores_gate(spark, sf_dir):
 
 
 # ===========================================================================
+# SemDeDup (semantic dedup: k-means clusters + within-cluster cosine cut)
+# ===========================================================================
+
+_SEM_DIM = 64
+_SEM_PURE = 13     # disjoint 4-dim supports 0..51
+_SEM_SINGLE = 10   # one-hot dims 52..61 (each its own group)
+_SEM_N = 190 + _SEM_SINGLE
+_SEM_SEED = 42
+_SEM_LISTS = 8
+
+
+def _sem_patterns():
+    """13 pure patterns (4 ones, disjoint support) + 10 one-hot singleton
+    patterns.  Same-pattern vectors differ only by SCALE, so within-group
+    cosine is exactly 1 and cross-group cosine is exactly 0 (pure) — sims
+    sit far from the 0.9 threshold and centroid_sim ties resolve by id,
+    leaving no cross-engine float-ordering risk."""
+    import numpy as np
+
+    pats = np.zeros((_SEM_PURE + _SEM_SINGLE, _SEM_DIM))
+    for p in range(_SEM_PURE):
+        pats[p, 4 * p: 4 * p + 4] = 1.0
+    for s in range(_SEM_SINGLE):
+        pats[_SEM_PURE + s, 52 + s] = 1.0
+    return pats
+
+
+def _sem_replica():
+    """Driver-side replica of the assignment arithmetic: normalized pattern
+    × normalized seeded centroids → (cluster, centroid_sim) literal table
+    for the oracle — the ``ann_ivf_trained_topk`` replica pattern."""
+    import numpy as np
+
+    pats = _sem_patterns()
+    cents = similarity.ivf_centroids(_SEM_DIM, _SEM_LISTS, _SEM_SEED)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    m = pats / np.maximum(np.linalg.norm(pats, axis=1, keepdims=True), 1e-12)
+    dots = m @ cents.T
+    cl = np.argmax(dots, axis=1)
+    sims = np.round(dots[np.arange(len(cl)), cl], 6)
+    return cl, sims
+
+
+def _sem_oracle_sql() -> str:
+    cl, sims = _sem_replica()
+    cl_case = " ".join(f"WHEN {p} THEN {int(c)}" for p, c in enumerate(cl))
+    sim_case = " ".join(f"WHEN {p} THEN {float(s)!r}" for p, s in enumerate(sims))
+    return f"""
+    WITH ids AS (
+      SELECT DISTINCT event_id % {_SEM_N} AS i FROM events
+    ), pat AS (
+      SELECT i, CASE WHEN i < 190 THEN i % {_SEM_PURE}
+                     ELSE {_SEM_PURE} + (i - 190) END AS p
+      FROM ids
+    )
+    SELECT i AS vec_id,
+           CAST(CASE p {cl_case} END AS INT) AS cluster,
+           CASE p {sim_case} END AS centroid_sim,
+           CASE WHEN i < 190 THEN i % {_SEM_PURE} ELSE i END AS component,
+           (i = CASE WHEN i < 190 THEN i % {_SEM_PURE} ELSE i END) AS keep
+    FROM pat
+    """
+
+
+@q("semantic_dedup", _sem_oracle_sql())
+def semantic_dedup_gate(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) end-to-end through the REAL pipeline —
+    broadcast-centroid Arrow assignment, per-cluster BLAS pair matmul,
+    connected components, farthest-from-centroid exemplar keep — over a
+    bit-exact synthetic embedding set (same-pattern vectors differ only by
+    scale).  The oracle restates assignment via a numpy replica's literal
+    table and the group structure arithmetically; wrong pairs, components,
+    or keep rule all surface as value mismatches.  The distinct-sim keep
+    ordering is pytest-covered (test_semdedup)."""
+    ev = _t(spark, sf_dir, "events")
+    ids = ev.select((F.col("event_id") % _SEM_N).cast("long").alias("i")).distinct()
+    i = F.col("i")
+    p = F.when(i < 190, i % _SEM_PURE).otherwise(_SEM_PURE + (i - 190))
+    scale = F.when(i < 190, F.floor(i / _SEM_PURE) + 1).otherwise(F.lit(1)).cast("double")
+    dims = []
+    for d in range(_SEM_DIM):
+        if d < 4 * _SEM_PURE:
+            cond = p == d // 4
+        elif d < 52 + _SEM_SINGLE:
+            cond = p == _SEM_PURE + (d - 52)
+        else:
+            cond = F.lit(False)
+        dims.append(F.when(cond, scale).otherwise(F.lit(0.0)))
+    emb = ids.select(i.alias("vec_id"), F.array(*dims).alias("embedding"))
+    cents = similarity.ivf_centroids(_SEM_DIM, _SEM_LISTS, _SEM_SEED)
+    out = similarity.semantic_dedup(emb, cents, threshold=0.9)
+    return out.select("vec_id", "cluster", "centroid_sim", "component", "keep")
+
+
+# ===========================================================================
 # WARC writer (response-record serialization, the read path's round-trip)
 # ===========================================================================
 
@@ -5012,6 +5107,7 @@ _DRIVER_PRIORITY = [
     "cuckoo_shard_probe",
     "line_dedup_corpus",
     "warc_write_records",
+    "semantic_dedup",
     # driver-green only in round 2 (re-validated locally in round 3)
     "ann_ivf_cosine_topk",
     "datasets_generate",

@@ -392,3 +392,58 @@ def test_crawl_feeds_multimodal_corpus(spark, world):
            .withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()}
     assert ex1 == ex2
     assert len(ex1) == kept.select("phash").distinct().count()
+
+
+def test_sitemap_discovery_integration(spark, world):
+    """sitemap_captures closes the sitemap loop: parsed entries join the
+    epoch-0 frontier (hops=1) and their protocol score boosts priority via
+    the broadcast affinity dim — deterministically at any partitioning."""
+    from webarchive_discovery_spark.sources.frontier_data import raw_url_for
+
+    records, seeds, links, robots = world
+    ks = [3, 7, 11]  # not in the seed list (seeds are every 20th record)
+    entries = "".join(
+        f"<url><loc>{raw_url_for(k)}</loc>"
+        f"<changefreq>daily</changefreq><priority>0.9</priority></url>"
+        for k in ks
+    )
+    caps = spark.createDataFrame(
+        [("smhost.example.org",
+          f'<?xml version="1.0"?><urlset>{entries}</urlset>',
+          "sitemap.xml")],
+        "host string, payload string, url_type string",
+    )
+
+    def run(weight, parts):
+        cfg = CrawlConfig(
+            epochs=1, host_budget=50, num_partitions=parts,
+            bloom_capacity=100_000, bloom_fpr=1e-4, bloom_shards=8,
+            sitemap_weight=weight, sitemap_as_of="2024-02-05",
+        )
+        return run_crawl(spark, records, seeds, links, robots, cfg,
+                         sitemap_captures=caps)
+
+    out = run(0.5, 4)["crawl_log"]
+    rows = {r["url_norm"]: r for r in out.collect()}
+    want_norms = set()
+    for k in ks:
+        got = [n for n in rows if f"/img/{k}.html" in n]
+        assert got, f"sitemap URL for record {k} missing from epoch 0"
+        want_norms.add(got[0])
+        assert rows[got[0]]["hops"] == 1  # discovered, not a seed
+
+    # the affinity term moves priorities for exactly the sitemap'd URLs
+    zero = {r["url_norm"]: r["priority"]
+            for r in run(0.0, 4)["crawl_log"].collect()}
+    for n in want_norms:
+        if rows[n]["priority"] is not None and zero.get(n) is not None:
+            assert rows[n]["priority"] - zero[n] > 0.3  # 0.5 × score(≈0.84)
+
+    # determinism across partitioning with the sitemap channel active
+    again = sorted(
+        (r["url_key"], r["status"], r["fetch_seq"])
+        for r in run(0.5, 8)["crawl_log"].collect()
+    )
+    assert again == sorted(
+        (r["url_key"], r["status"], r["fetch_seq"]) for r in rows.values()
+    )

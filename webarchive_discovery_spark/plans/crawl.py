@@ -88,6 +88,14 @@ class CrawlConfig:
     use_pagerank: bool = False
     pagerank_weight: float = 0.5
     pagerank_iterations: int = 5
+    # sitemap discovery channel (operators.sitemap): parsed URL entries from
+    # sitemap captures seed the epoch-0 frontier (hops=1 — one fetch away),
+    # and their protocol-derived score (publisher priority + changefreq +
+    # lastmod freshness) feeds priority_score's affinity term, weighted by
+    # ``sitemap_weight``.  ``sitemap_as_of`` anchors the freshness decay
+    # (pass the crawl date for deterministic replays).
+    sitemap_weight: float = 0.5
+    sitemap_as_of: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -169,6 +177,7 @@ def _epoch_plan(
     cfg: CrawlConfig,
     bloom_probe,  # Callable[[DataFrame], DataFrame] adding ``maybe_seen``, or None
     host_rank: DataFrame | None = None,  # (host, host_affinity) broadcast dim
+    sitemap_rank: DataFrame | None = None,  # (url_hash, sitemap_affinity) broadcast dim
 ) -> tuple[DataFrame, DataFrame]:
     """One epoch: returns (crawl_log, fetched) — crawl_log has one row per
     candidate URL with status ∈ {fetched, dup_seen, robots_denied, delayed,
@@ -204,12 +213,14 @@ def _epoch_plan(
     affinity = F.lit(0.0)
     if host_rank is not None:
         rm = rm.join(F.broadcast(host_rank), "host", "left")
-        affinity = F.coalesce(F.col("host_affinity"), F.lit(0.0))
+        affinity = affinity + F.coalesce(F.col("host_affinity"), F.lit(0.0))
+    if sitemap_rank is not None:
+        rm = rm.join(F.broadcast(sitemap_rank), "url_hash", "left")
+        affinity = affinity + F.coalesce(F.col("sitemap_affinity"), F.lit(0.0))
     pri = rm.withColumn(
         "priority", fop.priority_score(F.col("hops"), F.col("inlinks"), affinity)
     )
-    if host_rank is not None:
-        pri = pri.drop("host_affinity")
+    pri = pri.drop("host_affinity", "sitemap_affinity")
     w = (
         Window.partitionBy("host")
         .orderBy(F.col("priority").desc(), F.col("url_key"))
@@ -334,11 +345,18 @@ def run_crawl(
     robots_rules: DataFrame,
     cfg: CrawlConfig,
     resume: bool = False,
+    sitemap_captures: DataFrame | None = None,  # (host, payload, url_type)
 ) -> dict:
     """Run ``cfg.epochs`` crawl epochs; returns {"crawl_log": DataFrame,
     "seen": DataFrame, "metrics": list}.  With ``cfg.checkpoint_dir`` set,
     each epoch snapshots (crawl_log, seen, frontier) + a manifest; with
-    ``resume=True`` the loop continues from the last complete snapshot."""
+    ``resume=True`` the loop continues from the last complete snapshot.
+
+    ``sitemap_captures`` closes the sitemap discovery loop: entries parsed
+    from the captures seed the epoch-0 frontier and their protocol score
+    boosts priority (see ``CrawlConfig.sitemap_weight``).  Resume stays
+    bit-exact — the augmented frontier is already inside the epoch-0
+    snapshot, and the affinity dim is rebuilt deterministically."""
     store = CheckpointStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
     # canonicalize the link graph once (one UDF pass over edges)
@@ -367,6 +385,31 @@ def run_crawl(
             F.round(F.col("rank") / mx * cfg.pagerank_weight, 6).alias("host_affinity"),
         ).localCheckpoint()
 
+    # sitemap discovery: parse once, score once; a tiny (url_hash →
+    # affinity) dim broadcast into every epoch's priority, plus epoch-0
+    # frontier seeding below
+    sitemap_rank = None
+    sitemap_urls = None
+    if sitemap_captures is not None:
+        from ..operators import sitemap as smop
+
+        scored = smop.sitemap_frontier(
+            smop.parse_sitemaps(sitemap_captures), as_of_date=cfg.sitemap_as_of
+        )
+        canon = fop.canonicalize_frontier(
+            scored.select("url", "crawl_priority"), "url"
+        )
+        sitemap_rank = (
+            canon.groupBy("url_hash")
+            .agg(
+                F.round(
+                    F.max("crawl_priority") * cfg.sitemap_weight, 6
+                ).alias("sitemap_affinity")
+            )
+            .localCheckpoint()
+        )
+        sitemap_urls = scored.select("url").distinct()
+
     seen_schema = "url_hash long, url_norm string, first_epoch int, digest string"
     start_epoch = 0
     if store and resume:
@@ -387,6 +430,13 @@ def run_crawl(
     else:
         history = seen = spark.createDataFrame([], seen_schema)
         frontier_df = seeds
+
+    if sitemap_urls is not None and start_epoch == 0:
+        hops_type = dict(zip(seeds.columns, [f.dataType for f in seeds.schema]))["hops"]
+        discovered = sitemap_urls.select(
+            "url", F.lit(1).cast(hops_type).alias("hops")
+        )
+        frontier_df = frontier_df.unionByName(discovered)
 
     logs = []
     metrics = []
@@ -423,7 +473,7 @@ def run_crawl(
         mark = fop.staging_mark()
         crawl_log, fetched = _epoch_plan(
             spark, frontier_df, seen, robots_rules, records, cfg, bloom_probe,
-            host_rank=host_rank,
+            host_rank=host_rank, sitemap_rank=sitemap_rank,
         )
         # truncate lineage every epoch: without this the logical plan embeds
         # every prior epoch's full pipeline and grows super-linearly (driver

@@ -62,6 +62,11 @@ HEADLINE = [
     "training_corpus_build_oracled",
     "ann_ivf_trained_topk",
     "bloom_shard_probe",
+    "cuckoo_shard_probe",
+    "semantic_dedup",
+    "line_dedup_corpus",
+    "warc_write_records",
+    "sitemap_parse",
     "lang_id_model_counts",
     "doc_formats_extract",
     "entity_extract_model",

@@ -447,3 +447,36 @@ def test_sitemap_discovery_integration(spark, world):
     assert again == sorted(
         (r["url_key"], r["status"], r["fetch_seq"]) for r in rows.values()
     )
+
+
+def test_fetch_error_retry_backoff(spark, world):
+    """max_retries: failed URLs re-enter the next frontier with a penalized
+    priority, then join the seen-set as 'unfetchable' when exhausted."""
+    records, seeds, links, robots = world
+    # a seed with no backing record: the record join misses → fetch_error
+    bad = spark.createDataFrame(
+        [("http://host001.example.org/img/999999.html", 0)], "url string, hops int"
+    )
+    cfg = CrawlConfig(
+        epochs=3, host_budget=50, num_partitions=4, bloom_capacity=100_000,
+        bloom_fpr=1e-4, bloom_shards=8, max_retries=1,
+    )
+    res = run_crawl(spark, records, seeds.unionByName(bad), links, robots, cfg)
+    log = res["crawl_log"].filter(F.col("url_norm").contains("999999"))
+    rows = {r["epoch"]: r for r in log.collect()}
+    assert rows[0]["status"] == "fetch_error" and rows[0]["retries"] == 0
+    assert rows[1]["status"] == "fetch_error" and rows[1]["retries"] == 1
+    assert 2 not in rows  # exhausted after max_retries — never re-queued
+    # the retry fetched LATER within its epoch than the first attempt would
+    # suggest: penalty lowered its priority
+    assert rows[1]["priority"] < rows[0]["priority"]
+    # exhausted URL is in the seen-set with the sentinel digest
+    seen = res["seen"].filter(F.col("url_norm").contains("999999")).collect()
+    assert len(seen) == 1 and seen[0]["digest"] == "unfetchable"
+    # default config unchanged: the bad seed fails once and never retries
+    res0 = run_crawl(spark, records, seeds.unionByName(bad), links, robots,
+                     CrawlConfig(epochs=2, host_budget=50, num_partitions=4,
+                                 bloom_capacity=100_000, bloom_fpr=1e-4,
+                                 bloom_shards=8))
+    log0 = res0["crawl_log"].filter(F.col("url_norm").contains("999999"))
+    assert [r["epoch"] for r in log0.collect()] == [0]

@@ -124,3 +124,47 @@ def test_no_python_udf_in_record_assembly(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_request_records_pair_with_responses(spark):
+    df = W.warc_request_records(_caps(spark)).filter(
+        F.col("url") == "http://a.example.org/x"
+    )
+    rec = bytes(df.collect()[0]["warc_request"])
+    assert b"WARC-Type: request\r\n" in rec
+    assert b"GET /x HTTP/1.1\r\nHost: a.example.org\r\n" in rec
+    # Concurrent-To equals the RESPONSE's deterministic id
+    resp = bytes(
+        W.warc_response_records(_caps(spark)).filter(
+            F.col("url") == "http://a.example.org/x"
+        ).collect()[0]["warc_record"]
+    )
+    resp_id = [
+        l for l in resp.split(b"\r\n") if l.startswith(b"WARC-Record-ID:")
+    ][0].split(b": ")[1]
+    conc = [
+        l for l in rec.split(b"\r\n") if l.startswith(b"WARC-Concurrent-To:")
+    ][0].split(b": ")[1]
+    req_id = [
+        l for l in rec.split(b"\r\n") if l.startswith(b"WARC-Record-ID:")
+    ][0].split(b": ")[1]
+    assert conc == resp_id and req_id != resp_id
+
+
+def test_warcinfo_heads_each_file(spark, tmp_path):
+    out_dir = str(tmp_path / "warcs2")
+    recs = W.warc_response_records(_caps(spark)).coalesce(1)
+    W.write_warc(
+        recs, out_dir,
+        info_fields={"software": "webarchive-discovery-spark", "format": "WARC/1.0"},
+        info_date="2024-05-06T00:00:00Z",
+    ).collect()
+    parsed = warcsrc.warc_records(
+        warcsrc.read_binary_files(spark, out_dir, glob="*.warc.gz")
+    ).collect()
+    assert not any(r["parse_error"] for r in parsed)
+    kinds = sorted(r["record_type"] for r in parsed)
+    assert kinds.count("warcinfo") == 1 and kinds.count("response") == 3
+    info = [r for r in parsed if r["record_type"] == "warcinfo"][0]
+    assert "software: webarchive-discovery-spark" in info["payload"]
+    assert info["warc_date"] == "2024-05-06T00:00:00Z"

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["deterministic_record_id", "http_response_block",
-           "warc_response_records", "write_warc"]
+           "warc_response_records", "warc_request_records", "write_warc"]
 
 _CRLF = "\r\n"
 
@@ -120,18 +120,89 @@ def warc_response_records(
     return captures.withColumn(out_col, rec)
 
 
+def warc_request_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    user_agent: str = "webarchive-discovery-spark",
+    out_col: str = "warc_request",
+) -> DataFrame:
+    """Append the paired ``WARC-Type: request`` record per row: the GET
+    message a crawler would have sent, linked to its response via
+    ``WARC-Concurrent-To`` (the same deterministic id
+    :func:`warc_response_records` assigns — the pair needs no join).  The
+    request's own id salts the hash input so it never collides with the
+    response id."""
+    url, date = F.col(url_col), F.col(date_col)
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("/"))
+    query = F.parse_url(url, F.lit("QUERY"))
+    target = F.when(query.isNotNull(), F.concat(path, F.lit("?"), query)).otherwise(path)
+    host = F.parse_url(url, F.lit("HOST"))
+    block = F.encode(
+        F.concat(
+            F.lit("GET "), target, F.lit(" HTTP/1.1" + _CRLF),
+            F.lit("Host: "), host, F.lit(_CRLF),
+            F.lit(f"User-Agent: {user_agent}" + _CRLF + _CRLF),
+        ),
+        "UTF-8",
+    )
+    head = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: request" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "), date, F.lit(_CRLF),
+        F.lit("WARC-Record-ID: "),
+        deterministic_record_id(F.concat(F.lit("request:"), url), date),
+        F.lit(_CRLF),
+        F.lit("WARC-Concurrent-To: "), deterministic_record_id(url, date), F.lit(_CRLF),
+        F.lit("Content-Type: application/http; msgtype=request" + _CRLF),
+        F.lit("Content-Length: "), F.octet_length(block).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    rec = F.concat(F.encode(head, "UTF-8"), block, F.encode(F.lit(_CRLF + _CRLF), "UTF-8"))
+    return captures.withColumn(out_col, rec)
+
+
+def _warcinfo_bytes(filename: str, fields: dict, date: str) -> bytes:
+    """One ``WARC-Type: warcinfo`` record (application/warc-fields block)
+    heading an output file; id derived from the filename — deterministic
+    (the date is caller-supplied for the same reason)."""
+    import hashlib
+
+    body = "".join(f"{k}: {v}{_CRLF}" for k, v in fields.items()).encode()
+    h = hashlib.md5(filename.encode()).hexdigest()
+    rid = f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    head = (
+        f"WARC/1.0{_CRLF}"
+        f"WARC-Type: warcinfo{_CRLF}"
+        f"WARC-Date: {date}{_CRLF}"
+        f"WARC-Record-ID: {rid}{_CRLF}"
+        f"WARC-Filename: {filename}{_CRLF}"
+        f"Content-Type: application/warc-fields{_CRLF}"
+        f"Content-Length: {len(body)}{_CRLF}{_CRLF}"
+    ).encode()
+    return head + body + (_CRLF + _CRLF).encode()
+
+
 def write_warc(
     records: DataFrame,
     path: str,
     record_col: str = "warc_record",
     prefix: str = "part",
+    info_fields: dict | None = None,
+    info_date: str = "1970-01-01T00:00:00Z",
 ) -> DataFrame:
     """Write per-partition ``<prefix>-<pid>.warc.gz`` files (one gzip member
     per record, concatenated — the seekable convention) and RETURN the
     manifest DataFrame ``(file, n_records, bytes)``; the caller triggers the
     write with any action on it.  Tasks write directly to ``path`` (local/
     shared FS — the same direct-write stance as the Solr batch sink); a
-    cloud deployment swaps the ``open`` for its object-store client."""
+    cloud deployment swaps the ``open`` for its object-store client.
+
+    ``info_fields`` (e.g. ``{"software": ..., "format": "WARC File Format
+    1.0"}``) prepends a ``warcinfo`` record to every part file, per the WARC
+    convention; pass the crawl date as ``info_date`` (deterministic — no
+    wall clock in executors)."""
     os.makedirs(path, exist_ok=True)
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -141,6 +212,13 @@ def write_warc(
         fname = os.path.join(path, f"{prefix}-{pid:05d}.warc.gz")
         n = total = 0
         with open(fname, "wb") as fh:
+            if info_fields is not None:
+                member = gzip.compress(
+                    _warcinfo_bytes(os.path.basename(fname), info_fields, info_date),
+                    mtime=0,
+                )
+                fh.write(member)
+                total += len(member)
             for pdf in batches:
                 for rec in pdf[record_col]:
                     member = gzip.compress(bytes(rec), mtime=0)  # deterministic

@@ -96,6 +96,15 @@ class CrawlConfig:
     # (pass the crawl date for deterministic replays).
     sitemap_weight: float = 0.5
     sitemap_as_of: str | None = None
+    # fetch-error retry backoff: failed URLs re-enter the next epoch's
+    # frontier with ``retries + 1`` (priority penalized by
+    # ``retry_penalty × retries``) until ``max_retries`` is exhausted, at
+    # which point the URL joins the seen-set with an ``unfetchable`` digest
+    # sentinel so rediscovered links stop producing candidates (recrawl
+    # expiry re-admits it once the window passes — transient outages heal).
+    # 0 = off (failed URLs retry only on organic link rediscovery).
+    max_retries: int = 0
+    retry_penalty: float = 0.3
     extra: dict = field(default_factory=dict)
 
 
@@ -182,6 +191,8 @@ def _epoch_plan(
     """One epoch: returns (crawl_log, fetched) — crawl_log has one row per
     candidate URL with status ∈ {fetched, dup_seen, robots_denied, delayed,
     fetch_error}; ``fetched`` carries the validated record joins."""
+    if "retries" not in raw_frontier.columns:
+        raw_frontier = raw_frontier.withColumn("retries", F.lit(0))
     fr = fop.canonicalize_frontier(raw_frontier, "url")
     # Dedup keyed by url_hash — the SAME 64-bit identity the seen-set uses
     # (north rule: xxhash64 keys ARE url identity for membership), so the
@@ -193,6 +204,7 @@ def _epoch_plan(
         F.min("host").alias("host"),
         F.min("url_path").alias("url_path"),
         F.min("hops").alias("hops"),
+        F.min("retries").alias("retries"),
         F.count(F.lit(1)).alias("inlinks"),
     )
 
@@ -217,6 +229,8 @@ def _epoch_plan(
     if sitemap_rank is not None:
         rm = rm.join(F.broadcast(sitemap_rank), "url_hash", "left")
         affinity = affinity + F.coalesce(F.col("sitemap_affinity"), F.lit(0.0))
+    if cfg.max_retries > 0:
+        affinity = affinity - F.col("retries") * F.lit(cfg.retry_penalty)
     pri = rm.withColumn(
         "priority", fop.priority_score(F.col("hops"), F.col("inlinks"), affinity)
     )
@@ -275,15 +289,15 @@ def _epoch_plan(
     fetched = _fetch_simulate(
         joined,
         passthrough=[
-            "url_norm", "url_key", "host", "hops", "inlinks", "priority",
-            "priority_band", "host_slot", "crawl_delay_ms", "fetch_seq",
-            "url_hash", "image_id", "caption",
+            "url_norm", "url_key", "host", "hops", "retries", "inlinks",
+            "priority", "priority_band", "host_slot", "crawl_delay_ms",
+            "fetch_seq", "url_hash", "image_id", "caption",
         ],
     )
     fetch_log = fetched.select(
-        "url_norm", "url_key", "host", "hops", "inlinks", "priority",
-        "priority_band", "host_slot", "crawl_delay_ms", "fetch_seq",
-        "url_hash", "image_id", "digest", "caption",
+        "url_norm", "url_key", "host", "hops", "retries", "inlinks",
+        "priority", "priority_band", "host_slot", "crawl_delay_ms",
+        "fetch_seq", "url_hash", "image_id", "digest", "caption",
         F.when(F.col("fetch_ok") == True, F.lit("fetched"))  # noqa: E712
         .otherwise(F.lit("fetch_error"))
         .alias("status"),
@@ -291,9 +305,9 @@ def _epoch_plan(
     other_log = (
         ordered.filter(F.col("status") != "fetched")
         .select(
-            "url_norm", "url_key", "host", "hops", "inlinks", "priority",
-            "priority_band", "host_slot", "crawl_delay_ms", "fetch_seq",
-            "url_hash",
+            "url_norm", "url_key", "host", "hops", "retries", "inlinks",
+            "priority", "priority_band", "host_slot", "crawl_delay_ms",
+            "fetch_seq", "url_hash",
             F.lit(None).cast("string").alias("image_id"),
             F.lit(None).cast("string").alias("digest"),
             F.lit(None).cast("string").alias("caption"),
@@ -301,7 +315,7 @@ def _epoch_plan(
         )
     )
     dup_log = dup.select(
-        "url_norm", "url_key", "host", "hops", "inlinks",
+        "url_norm", "url_key", "host", "hops", "retries", "inlinks",
         F.lit(None).cast("double").alias("priority"),
         F.lit(None).cast("int").alias("priority_band"),
         F.lit(None).cast("long").alias("host_slot"),
@@ -496,10 +510,21 @@ def run_crawl(
             status_counts[r["status"]] = status_counts.get(r["status"], 0) + r["rows"]
         metrics.append({"epoch": epoch, "statuses": status_counts, "partitions": len({r['partition_id'] for r in part_metrics})})
 
-        # seen-set delta: everything fetched this epoch
+        # seen-set delta: everything fetched this epoch (+ retry-exhausted
+        # URLs with an ``unfetchable`` sentinel so rediscovered links stop
+        # producing candidates until recrawl expiry re-admits them)
         delta = crawl_log.filter(F.col("status") == "fetched").select(
             "url_hash", "url_norm", F.lit(epoch).alias("first_epoch"), "digest"
         )
+        if cfg.max_retries > 0:
+            exhausted = crawl_log.filter(
+                (F.col("status") == "fetch_error")
+                & (F.col("retries") + 1 > cfg.max_retries)
+            ).select(
+                "url_hash", "url_norm", F.lit(epoch).alias("first_epoch"),
+                F.lit("unfetchable").alias("digest"),
+            )
+            delta = delta.unionByName(exhausted)
         # recrawl expiry / adaptive scheduling: history is append-only;
         # MEMBERSHIP (what dedups next epoch) is derived from it (the
         # deletion the counting-Bloom tier models; exact side is
@@ -514,12 +539,22 @@ def run_crawl(
         )
         expanded = (
             fetched_urls.join(edges, "src_norm")
-            .select(F.col("dst_url").alias("url"), (F.col("hops") + 1).alias("hops"))
+            .select(F.col("dst_url").alias("url"),
+                    (F.col("hops") + 1).alias("hops"),
+                    F.lit(0).alias("retries"))
         )
         delayed = crawl_log.filter(F.col("status") == "delayed").select(
-            F.col("url_norm").alias("url"), "hops"
+            F.col("url_norm").alias("url"), "hops", "retries"
         )
-        frontier_df = expanded.unionByName(delayed).localCheckpoint()
+        frontier_df = expanded.unionByName(delayed)
+        if cfg.max_retries > 0:
+            failed = crawl_log.filter(F.col("status") == "fetch_error")
+            retry = failed.filter(F.col("retries") + 1 <= cfg.max_retries).select(
+                F.col("url_norm").alias("url"), "hops",
+                (F.col("retries") + 1).alias("retries"),
+            )
+            frontier_df = frontier_df.unionByName(retry)
+        frontier_df = frontier_df.localCheckpoint()
 
         if store:
             # commit only this epoch's seen DELTA (O(delta), never an

@@ -480,3 +480,20 @@ def test_fetch_error_retry_backoff(spark, world):
                                  bloom_shards=8))
     log0 = res0["crawl_log"].filter(F.col("url_norm").contains("999999"))
     assert [r["epoch"] for r in log0.collect()] == [0]
+
+
+def test_domain_politeness_shares_budget(spark, world):
+    """politeness_key='domain': hosts under one registered domain share one
+    budget.  Every synthetic host is *.example.org, so epoch-0 fetches
+    collapse to ≤ host_budget total, vs per-host budgets otherwise."""
+    records, seeds, links, robots = world
+    base = dict(epochs=1, host_budget=10, num_partitions=4,
+                bloom_capacity=100_000, bloom_fpr=1e-4, bloom_shards=8)
+    per_host = run_crawl(spark, records, seeds, links, robots,
+                         CrawlConfig(**base))
+    per_domain = run_crawl(spark, records, seeds, links, robots,
+                           CrawlConfig(**base, politeness_key="domain"))
+    n_host = per_host["crawl_log"].filter(F.col("status") == "fetched").count()
+    n_domain = per_domain["crawl_log"].filter(F.col("status") == "fetched").count()
+    assert n_domain <= 10  # one example.org budget for the whole world
+    assert n_host > n_domain  # per-host budgets admit more

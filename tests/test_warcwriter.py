@@ -168,3 +168,42 @@ def test_warcinfo_heads_each_file(spark, tmp_path):
     info = [r for r in parsed if r["record_type"] == "warcinfo"][0]
     assert "software: webarchive-discovery-spark" in info["payload"]
     assert info["warc_date"] == "2024-05-06T00:00:00Z"
+
+
+def test_revisit_records(spark):
+    dups = spark.createDataFrame(
+        [
+            (
+                "http://a.example.org/copy",
+                "2024-05-07T00:00:00Z",
+                "http://a.example.org/x",
+                "2024-05-06T07:08:09Z",
+                "sha1:ABCDEF",
+            )
+        ],
+        "url string, warc_date string, refers_to_url string, "
+        "refers_to_date string, payload_digest string",
+    )
+    rec = bytes(W.warc_revisit_records(dups).collect()[0]["warc_revisit"])
+    assert b"WARC-Type: revisit\r\n" in rec
+    assert b"identical-payload-digest" in rec
+    assert b"WARC-Payload-Digest: sha1:ABCDEF\r\n" in rec
+    assert b"Content-Length: 0\r\n\r\n\r\n\r\n" in rec
+    # Refers-To reconstructs the ORIGINAL response's deterministic id
+    resp = bytes(
+        W.warc_response_records(_caps(spark)).filter(
+            F.col("url") == "http://a.example.org/x"
+        ).collect()[0]["warc_record"]
+    )
+    resp_id = [
+        l for l in resp.split(b"\r\n") if l.startswith(b"WARC-Record-ID:")
+    ][0].split(b": ")[1]
+    refers = [
+        l for l in rec.split(b"\r\n") if l.startswith(b"WARC-Refers-To:")
+    ][0].split(b": ")[1]
+    assert refers == resp_id
+    # and the record round-trips through the parser
+    parsed = warcsrc._parse_warc_stream("t", rec)
+    rows = list(parsed)
+    assert len(rows) == 1 and rows[0]["record_type"] == "revisit"
+    assert rows[0].get("parse_error") is None

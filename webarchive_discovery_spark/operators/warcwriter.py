@@ -39,7 +39,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["deterministic_record_id", "http_response_block",
-           "warc_response_records", "warc_request_records", "write_warc"]
+           "warc_response_records", "warc_request_records",
+           "warc_revisit_records", "write_warc"]
 
 _CRLF = "\r\n"
 
@@ -161,6 +162,43 @@ def warc_request_records(
     )
     rec = F.concat(F.encode(head, "UTF-8"), block, F.encode(F.lit(_CRLF + _CRLF), "UTF-8"))
     return captures.withColumn(out_col, rec)
+
+
+def warc_revisit_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    refers_to_url_col: str = "refers_to_url",
+    refers_to_date_col: str = "refers_to_date",
+    digest_col: str = "payload_digest",
+    out_col: str = "warc_revisit",
+) -> DataFrame:
+    """``WARC-Type: revisit`` records (identical-payload-digest profile) —
+    what a deduplicating crawl writes INSTEAD of a response when the payload
+    digest matches an earlier capture (the write-side twin of the engine's
+    ``reduplication.revisit_shortcircuit`` read path and the reference's MDX
+    reduplication, ``MDXReduplicatingReducer.java:72-152``).  The body is
+    empty (Content-Length: 0); ``WARC-Refers-To`` reconstructs the original
+    record's deterministic id from its (url, date), so writer and
+    reduplicator need no id exchange."""
+    url, date = F.col(url_col), F.col(date_col)
+    head = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: revisit" + _CRLF),
+        F.lit("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+              "identical-payload-digest" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "), date, F.lit(_CRLF),
+        F.lit("WARC-Record-ID: "),
+        deterministic_record_id(F.concat(F.lit("revisit:"), url), date),
+        F.lit(_CRLF),
+        F.lit("WARC-Refers-To: "),
+        deterministic_record_id(F.col(refers_to_url_col), F.col(refers_to_date_col)),
+        F.lit(_CRLF),
+        F.lit("WARC-Payload-Digest: "), F.col(digest_col), F.lit(_CRLF),
+        F.lit("Content-Length: 0" + _CRLF + _CRLF + _CRLF + _CRLF),
+    )
+    return captures.withColumn(out_col, F.encode(head, "UTF-8"))
 
 
 def _warcinfo_bytes(filename: str, fields: dict, date: str) -> bytes:

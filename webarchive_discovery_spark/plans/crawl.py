@@ -105,6 +105,12 @@ class CrawlConfig:
     # 0 = off (failed URLs retry only on organic link rediscovery).
     max_retries: int = 0
     retry_penalty: float = 0.3
+    # politeness scope: "host" (default — per-hostname budgets/slots) or
+    # "domain" (per REGISTERED domain via the PSL private suffix, so
+    # a.example.org and b.example.org share one budget — how real crawlers
+    # avoid hammering wildcard-subdomain sites).  "domain" adds one Arrow
+    # pass per epoch (the PSL matcher).
+    politeness_key: str = "host"
     extra: dict = field(default_factory=dict)
 
 
@@ -235,8 +241,18 @@ def _epoch_plan(
         "priority", fop.priority_score(F.col("hops"), F.col("inlinks"), affinity)
     )
     pri = pri.drop("host_affinity", "sitemap_affinity")
+    slot_key = "host"
+    if cfg.politeness_key == "domain":
+        from ..functions.udfs import private_suffix_udf
+
+        pri = pri.withColumn(
+            "_pol_key", F.coalesce(private_suffix_udf(F.col("host")), F.col("host"))
+        )
+        slot_key = "_pol_key"
+    elif cfg.politeness_key != "host":
+        raise ValueError(f"politeness_key must be host|domain, got {cfg.politeness_key!r}")
     w = (
-        Window.partitionBy("host")
+        Window.partitionBy(slot_key)
         .orderBy(F.col("priority").desc(), F.col("url_key"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -120,6 +120,13 @@ def main() -> None:
         fn = gate_queries.QUERIES[name]
         spark.catalog.clearCache()
         _frontier.release_staging()
+        # explicit JVM GC between queries: by the tail of a 60+-query suite
+        # the heap holds dozens of queries' dead broadcast/shuffle state, and
+        # allocation-heavy plans (the global_sequence staging write) measured
+        # 2.5x slower purely from that pollution (7.8s late-suite vs 3.0s
+        # with a GC fence — same plan, same data).  Cross-query isolation,
+        # same rationale as the cache/staging clearing above.
+        spark.sparkContext._jvm.System.gc()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
         best = None
         for _ in range(3):

@@ -271,7 +271,13 @@ def global_sequence(
     path = staging_dir or tempfile.mkdtemp(prefix=f"wds-seq-{os.getpid()}-", dir=tmp_base)
     if staging_dir is None:
         _register_staging(path)
-    staged.write.mode("overwrite").parquet(path)
+    # lz4 for the ephemeral staging copy: measured 20% faster end-to-end
+    # than snappy on the fetch-order epoch (3.0s → 2.4s at sf0.1; the pure-
+    # execution noop floor is 2.1s, so lz4 staging costs ~0.3s over not
+    # writing at all).  Durability/compat don't matter here — the dir dies
+    # with the job; the durable epoch snapshots (checkpoint.py) keep their
+    # default codec.
+    staged.write.mode("overwrite").option("compression", "lz4").parquet(path)
     local = spark.read.parquet(path)
     offsets = _partition_offsets(spark, local, path)
     local_rank = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))

@@ -262,6 +262,14 @@ def global_sequence(
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     spark = df.sparkSession
+    # Pin the input ONCE before the range exchange: repartitionByRange runs
+    # a separate boundary-SAMPLING job over its child, so an unpinned input
+    # executes the whole upstream twice (the frontier epoch's Python-UDF
+    # canonicalize + dedup + politeness window — measured 40% of the epoch's
+    # wall time at sf0.1 in a same-window A/B).  The pin is block-manager
+    # storage freed by the ContextCleaner when the plan is dropped; the
+    # parquet staging below remains the durable copy.
+    df = df.localCheckpoint()
     ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
     staged = ranged.withColumn("_mid", F.monotonically_increasing_id())
     # Stage on tmpfs when available: this ephemeral materialization stands in

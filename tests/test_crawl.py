@@ -497,3 +497,22 @@ def test_domain_politeness_shares_budget(spark, world):
     n_domain = per_domain["crawl_log"].filter(F.col("status") == "fetched").count()
     assert n_domain <= 10  # one example.org budget for the whole world
     assert n_host > n_domain  # per-host budgets admit more
+
+
+def test_cuckoo_seen_filter_tier(spark, world):
+    """seen_filter='cuckoo': the deletion-capable prefilter drives the crawl
+    loop and produces BIT-IDENTICAL results to the Bloom tier (both are
+    prefilters over the same exact seen-set)."""
+    records, seeds, links, robots = world
+    base = dict(epochs=3, host_budget=50, num_partitions=4,
+                bloom_capacity=100_000, bloom_fpr=1e-4, bloom_shards=8)
+    bloom = run_crawl(spark, records, seeds, links, robots, CrawlConfig(**base))
+    cuckoo = run_crawl(spark, records, seeds, links, robots,
+                       CrawlConfig(**base, seen_filter="cuckoo"))
+    key = lambda res: sorted(
+        (r["epoch"], r["url_key"], r["status"], r["fetch_seq"])
+        for r in res["crawl_log"].collect()
+    )
+    assert key(bloom) == key(cuckoo)
+    # later epochs actually exercised the filter: dup_seen rows exist
+    assert cuckoo["crawl_log"].filter(F.col("status") == "dup_seen").count() > 0

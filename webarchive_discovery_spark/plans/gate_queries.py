@@ -3855,7 +3855,7 @@ def substring_dedup_spans(spark, sf_dir):
     ), agg AS (
       SELECT s.doc_id,
              count(*) AS n_dup_spans,
-             sum(s.span_end - s.span_start) AS dup_chars,
+             CAST(sum(s.span_end - s.span_start) AS BIGINT) AS dup_chars,
              max(s.span_end) AS last_end
       FROM spans s GROUP BY s.doc_id
     ), rebuilt AS (
@@ -4245,9 +4245,9 @@ WITH d AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS pack_start
+              AS BIGINT) AS pack_start
   FROM d
 ), layout AS (
   SELECT doc_id, n_tokens, pack_start,
@@ -4277,7 +4277,7 @@ def _packing_spark(spark, sf_dir):
     "sequence_packing",
     _PACK_CTE
     + "SELECT doc_id, n_tokens, pack_start, seq_first, seq_last,\n"
-      "       seq_last - seq_first + 1 AS n_seqs\nFROM layout",
+      "       CAST(seq_last - seq_first + 1 AS BIGINT) AS n_seqs\nFROM layout",
 )
 def sequence_packing(spark, sf_dir):
     """Concatenate-and-chunk training-sequence packing: global token
@@ -4301,10 +4301,13 @@ def sequence_packing(spark, sf_dir):
   FROM layout
 )
 SELECT seq_id, doc_id,
-       greatest(seq_id * {_PACK_L}, pack_start) - pack_start AS doc_offset,
-       greatest(seq_id * {_PACK_L}, pack_start) - seq_id * {_PACK_L} AS seq_offset,
-       least((seq_id + 1) * {_PACK_L}, pack_start + n_tokens)
-         - greatest(seq_id * {_PACK_L}, pack_start) AS slice_len
+       CAST(greatest(seq_id * {_PACK_L}, pack_start) - pack_start
+            AS BIGINT) AS doc_offset,
+       CAST(greatest(seq_id * {_PACK_L}, pack_start) - seq_id * {_PACK_L}
+            AS BIGINT) AS seq_offset,
+       CAST(least((seq_id + 1) * {_PACK_L}, pack_start + n_tokens)
+              - greatest(seq_id * {_PACK_L}, pack_start)
+            AS BIGINT) AS slice_len
 FROM m
 WHERE least((seq_id + 1) * {_PACK_L}, pack_start + n_tokens)
         - greatest(seq_id * {_PACK_L}, pack_start) > 0

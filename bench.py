@@ -115,6 +115,7 @@ def main() -> None:
     from webarchive_discovery_spark.operators import frontier as _frontier
 
     timings: dict[str, float] = {}
+    all_trials: dict[str, list[float]] = {}
     frontier_urls = 0
     for name in HEADLINE:
         fn = gate_queries.QUERIES[name]
@@ -134,14 +135,19 @@ def main() -> None:
         # touch stalls documented in BENCH/BASELINE.md), and the north-star
         # URLs/s derives from them
         trials = 5 if name.startswith("frontier") or name == "url_seen_antijoin" else 3
+        trial_secs: list[float] = []
         for _ in range(trials):
             # time construction + execution: some plans (global_sequence)
             # materialize stage state eagerly at build time
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             sec = time.time() - t0
+            trial_secs.append(round(sec, 3))
             best = sec if best is None or sec < best else best
         timings[name] = round(best, 3)
+        # keep the full spread: a regression moves ALL trials, a co-tenant
+        # contention outlier moves some — distinguishable without a re-run
+        all_trials[name] = trial_secs
         if name == "frontier_canonicalize":
             frontier_urls = fn(spark, sf_dir).count()
 
@@ -153,6 +159,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "trials": all_trials,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier_urls": frontier_urls,
         "frontier_canonicalize_urls_per_sec": round(frontier_urls / canon_sec),

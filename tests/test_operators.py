@@ -1007,3 +1007,41 @@ def test_temperature_sample(spark):
           S.temperature_sample(df.repartition(17), "g", "doc_id", alpha=0.3,
                                budget=300).filter(F.col("sample_keep")).collect()}
     assert k1 == k2
+
+
+def test_scaled_partitions_tracks_input_size(spark):
+    """The global_sequence range exchange is sized by the DATA, not
+    defaultParallelism: tiny epochs collapse to a handful of partitions
+    (scheduling overhead is contention-sensitive), big inputs fan out at
+    ~250k rows/partition, and the function is monotone so partition counts
+    never shrink as the frontier grows."""
+    from webarchive_discovery_spark.operators.frontier import (
+        global_sequence, release_staging, scaled_partitions)
+
+    # unit surface: small inputs -> parallelism-capped min-rows tier,
+    # large inputs -> target-rows tier
+    assert scaled_partitions(0, 32) == 1
+    assert scaled_partitions(3_000, 32) == 1
+    assert scaled_partitions(100_000, 32) == 4          # ceil(100k/32768)
+    assert scaled_partitions(100_000, 2) == 2           # capped by cluster
+    assert scaled_partitions(10_000_000, 32) == 40      # ceil(1e7/250k)
+    assert scaled_partitions(10_000_000_000, 32) == 40_000
+    prev = 0
+    for n in (0, 1, 10_000, 50_000, 120_000, 1_000_000, 10_000_000):
+        cur = scaled_partitions(n, 32)
+        assert cur >= prev, (n, cur, prev)
+        prev = cur
+
+    # end-to-end: the staged partition count (visible via seq partition ids)
+    # scales with input rows instead of sitting at defaultParallelism
+    def staged_parts(n):
+        df = spark.range(n).select(
+            F.format_string("k%09d", (F.col("id") * 7919) % n).alias("k"))
+        out = global_sequence(df, [F.col("k").asc()], seq_col="seq")
+        parts = out.rdd.getNumPartitions()
+        release_staging()
+        return parts
+
+    small, large = staged_parts(5_000), staged_parts(200_000)
+    assert small <= 2, small
+    assert large > small, (small, large)

@@ -48,6 +48,31 @@ __all__ = [
 # from a literal create_map expression to a broadcast join (plan-size bound).
 _OFFSET_LITERAL_MAX = 1024
 
+# Target rows per range-sort partition for global_sequence.  Frontier rows
+# are narrow (url_key/host/status/priority ~ 150 B), so 250k rows ≈ 40 MB —
+# comfortably in-memory per task.  Deriving the partition count from the
+# INPUT SIZE instead of defaultParallelism keeps small epochs from paying
+# 32 partitions × ~3k rows of pure scheduling overhead (maximally
+# contention-sensitive on a shared host) while a 10^10-row frontier still
+# fans out to ~40k partitions (the broadcast offset-join path).
+_SEQ_TARGET_ROWS_PER_PARTITION = 250_000
+# Below the big-data target, still spread the sort/staging write over a few
+# cores (one task per _SEQ_MIN_ROWS rows) up to defaultParallelism — a 100k-
+# row epoch gets ~4 parallel writers instead of 1 slow one or 32 trivial ones.
+_SEQ_MIN_ROWS_PER_PARTITION = 32_768
+
+
+def scaled_partitions(n_rows: int, parallelism: int = 32,
+                      target_rows: int = _SEQ_TARGET_ROWS_PER_PARTITION,
+                      min_rows: int = _SEQ_MIN_ROWS_PER_PARTITION) -> int:
+    """Partition count proportional to input rows: at scale, ceil(n /
+    target_rows); for inputs smaller than one full fleet of target-size
+    partitions, enough ~min_rows partitions to use the cluster (capped at
+    ``parallelism``) — monotone non-decreasing in ``n_rows``."""
+    big = -(-n_rows // target_rows) if n_rows else 1
+    small = min(parallelism, -(-n_rows // min_rows)) if n_rows else 1
+    return max(1, big, small)
+
 # Ephemeral global_sequence staging dirs (tmpfs): registered here, reclaimed
 # by release_staging() once the caller has materialized the result, and as a
 # backstop at interpreter exit.
@@ -260,7 +285,6 @@ def global_sequence(
     import os
     import tempfile
 
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     spark = df.sparkSession
     # Pin the input ONCE before the range exchange: repartitionByRange runs
     # a separate boundary-SAMPLING job over its child, so an unpinned input
@@ -268,8 +292,19 @@ def global_sequence(
     # canonicalize + dedup + politeness window — measured 40% of the epoch's
     # wall time at sf0.1 in a same-window A/B).  The pin is block-manager
     # storage freed by the ContextCleaner when the plan is dropped; the
-    # parquet staging below remains the durable copy.
+    # parquet staging below remains the durable copy.  (A/B note: pinning
+    # via persist(MEMORY_AND_DISK)+count — one job instead of two — measured
+    # ~2x SLOWER end-to-end here: the storage-level write path is badly
+    # thread-contended at local[32], same finding as round 3.)
     df = df.localCheckpoint()
+    # Size the range exchange to the DATA, not defaultParallelism: a small
+    # epoch stops paying 32 partitions of scheduling overhead while a
+    # 10^10-row frontier still fans out to ~40k partitions (offset-join
+    # path).  The count is a cached-block scan on the pin, not a recompute.
+    n_rows = df.count()
+    parts = num_partitions or scaled_partitions(
+        n_rows, spark.sparkContext.defaultParallelism
+    )
     ranged = df.repartitionByRange(parts, *order_cols).sortWithinPartitions(*order_cols)
     staged = ranged.withColumn("_mid", F.monotonically_increasing_id())
     # Stage on tmpfs when available: this ephemeral materialization stands in
@@ -286,6 +321,7 @@ def global_sequence(
     # with the job; the durable epoch snapshots (checkpoint.py) keep their
     # default codec.
     staged.write.mode("overwrite").option("compression", "lz4").parquet(path)
+    df.unpersist(blocking=False)  # staging parquet is the durable copy now
     local = spark.read.parquet(path)
     offsets = _partition_offsets(spark, local, path)
     local_rank = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))

@@ -499,6 +499,89 @@ def ivf_cosine_topk(
     )
 
 
+def _within_cluster_pairs(
+    e: DataFrame, threshold: float, max_cluster_rows: int
+) -> DataFrame:
+    """All within-cluster ``(id_a < id_b)`` pairs with cosine ≥ threshold
+    over a pinned assignment ``(_id, _vec, cluster, …)`` — skew-routed.
+
+    Per-cluster sizes (one agg over the pin, broadcast back — ≤ n_lists
+    rows) split clusters at ``max_cluster_rows``.  Cold clusters take the
+    single-task BLAS matmul; hot clusters are sub-blocked with the
+    block-pair decomposition keyed by ``(cluster, pa, pb)`` so no task
+    receives more than ~2 sub-blocks of a hot cluster.  Every unordered
+    pair lands in exactly one task either way, so the union is exact."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_field = e.schema["_id"]
+    pair_schema = StructType(
+        [StructField("id_a", id_field.dataType), StructField("id_b", id_field.dataType)]
+    )
+
+    def pairs_in_cluster(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["_id"].to_numpy()
+        mat = _l2_normalize(np.vstack(pdf["_vec"].to_numpy()).astype(np.float64))
+        scores = mat @ mat.T
+        keep = (scores >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj]})
+
+    sizes = e.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    sized = e.join(F.broadcast(sizes), "cluster")
+    cold = sized.filter(F.col("_csize") <= max_cluster_rows).drop("_csize")
+    hot = sized.filter(F.col("_csize") > max_cluster_rows)
+
+    cold_pairs = cold.groupBy("cluster").applyInPandas(pairs_in_cluster, pair_schema)
+
+    # Hot clusters: each row hashes into one of nb = ceil(size / block_rows)
+    # sub-blocks and is exploded to every unordered block-pair containing
+    # its block, so every unordered row pair meets in exactly ONE
+    # (cluster, pa, pb) task whose input is at most two sub-blocks.
+    block_rows = max(1, max_cluster_rows // 2)
+    nb = F.ceil(F.col("_csize") / F.lit(block_rows)).cast("int")
+    hot_b = hot.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), nb).cast("int")
+    ).withColumn("_nb", nb)
+    hot_src = hot_b.select(
+        "cluster", "_id", "_vec", "_blk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nb") - 1),
+                lambda j: F.struct(
+                    F.least(F.col("_blk"), j).alias("pa"),
+                    F.greatest(F.col("_blk"), j).alias("pb"),
+                ),
+            )
+        ).alias("_pair"),
+    ).select(
+        "cluster", "_id", "_vec", "_blk",
+        F.col("_pair.pa").alias("_pa"), F.col("_pair.pb").alias("_pb"),
+    )
+
+    def hot_pairs_in_blocks(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        a_blk, b_blk = int(key[1]), int(key[2])
+        ids = pdf["_id"].to_numpy()
+        mat = _l2_normalize(np.vstack(pdf["_vec"].to_numpy()).astype(np.float64))
+        if a_blk == b_blk:
+            scores = mat @ mat.T
+            keep = (scores >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(keep)
+            id_a, id_b = ids[ai], ids[bj]
+        else:
+            is_a = pdf["_blk"].to_numpy() == a_blk
+            a_ids, b_ids = ids[is_a], ids[~is_a]
+            scores = mat[is_a] @ mat[~is_a].T
+            ai, bj = np.nonzero(scores >= threshold)
+            ia, ib = a_ids[ai], b_ids[bj]
+            id_a, id_b = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    hot_pairs = hot_src.groupBy("cluster", "_pa", "_pb").applyInPandas(
+        hot_pairs_in_blocks, pair_schema
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: "np.ndarray",
@@ -506,6 +589,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 25,
+    max_cluster_rows: int = 8192,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): k-means-cluster the
@@ -522,10 +606,17 @@ def semantic_dedup(
 
     Plan: ONE Arrow pass assigns (cluster, centroid_sim) with broadcast
     centroids; within-cluster exact pairs via one ``applyInPandas`` BLAS
-    matmul per cluster (per-task memory = one cluster's vectors — size
-    ``n_lists ~ sqrt(N)`` so clusters fit; for skewed clusters route
-    through :func:`cosine_near_dup_pairs` inside the cluster instead);
-    duplicate groups close under :func:`dedup.connected_components`
+    matmul per cluster.  Skew is handled AUTOMATICALLY: per-cluster sizes
+    (one agg over the pinned assignment, broadcast back — ≤ n_lists rows)
+    split clusters at ``max_cluster_rows``.  Cold clusters take the single-
+    task matmul; hot clusters are sub-blocked (the
+    :func:`cosine_near_dup_pairs` block-pair decomposition, keyed by
+    ``(cluster, pa, pb)``) so NO task ever receives more than ~2 sub-blocks
+    of a hot cluster — with k-means on web data hot clusters are the norm,
+    and an unroutable 1e5-member cluster would otherwise demand an 80 GB
+    score matrix in one executor.  Every unordered pair still lands in
+    exactly one task, so results are identical to the unrouted plan.
+    Duplicate groups close under :func:`dedup.connected_components`
     (O(diameter) rounds); exemplar choice is one hash aggregate + one
     join.  Nothing collects to the driver.
 
@@ -564,20 +655,7 @@ def semantic_dedup(
              F.col("_a.centroid_sim").alias("centroid_sim"))
     e = e.localCheckpoint()  # one materialization: pairs + labels + output all read it
 
-    id_field = e.schema["_id"]
-    pair_schema = StructType(
-        [StructField("id_a", id_field.dataType), StructField("id_b", id_field.dataType)]
-    )
-
-    def pairs_in_cluster(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        ids = pdf["_id"].to_numpy()
-        mat = _l2_normalize(np.vstack(pdf["_vec"].to_numpy()).astype(np.float64))
-        scores = mat @ mat.T
-        keep = (scores >= threshold) & (ids[:, None] < ids[None, :])
-        ai, bj = np.nonzero(keep)
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj]})
-
-    dup_pairs = e.groupBy("cluster").applyInPandas(pairs_in_cluster, pair_schema)
+    dup_pairs = _within_cluster_pairs(e, threshold, max_cluster_rows)
     comps = connected_components(
         e.select(F.col("_id")), dup_pairs, id_col="_id", max_iter=max_iter
     )

@@ -516,3 +516,36 @@ def test_cuckoo_seen_filter_tier(spark, world):
     assert key(bloom) == key(cuckoo)
     # later epochs actually exercised the filter: dup_seen rows exist
     assert cuckoo["crawl_log"].filter(F.col("status") == "dup_seen").count() > 0
+
+
+def test_retry_counter_survives_link_rediscovery(spark, world):
+    """A dead URL that is ALSO rediscovered via links each epoch (retries=0
+    from the link source) must keep its highest attempt count — the frontier
+    dedup takes max(retries), so the retry penalty compounds and
+    max_retries exhaustion fires.  With min(retries) the counter reset every
+    epoch and persistently-linked dead URLs retried forever."""
+    records, seeds, links, robots = world
+    bad_url = "http://host001.example.org/img/999999.html"
+    bad = spark.createDataFrame([(bad_url, 0)], "url string, hops int")
+    # every fetched page links to the dead URL -> organic rediscovery with
+    # retries=0 in every epoch
+    rediscover = links.select("src_url").distinct().withColumn(
+        "dst_url", F.lit(bad_url)
+    )
+    cfg = CrawlConfig(
+        epochs=4, host_budget=50, num_partitions=4, bloom_capacity=100_000,
+        bloom_fpr=1e-4, bloom_shards=8, max_retries=2,
+    )
+    res = run_crawl(spark, records, seeds.unionByName(bad),
+                    links.unionByName(rediscover), robots, cfg)
+    log = res["crawl_log"].filter(F.col("url_norm").contains("999999"))
+    rows = {r["epoch"]: r for r in log.collect()}
+    # attempt counter climbs monotonically despite the retries=0 rediscovery
+    assert rows[0]["status"] == "fetch_error" and rows[0]["retries"] == 0
+    assert rows[1]["status"] == "fetch_error" and rows[1]["retries"] == 1
+    assert rows[2]["status"] == "fetch_error" and rows[2]["retries"] == 2
+    # exhausted after max_retries: epoch 3 must NOT attempt it again even
+    # though links still point at it (unfetchable sentinel in the seen-set)
+    assert 3 not in rows or rows[3]["status"] == "dup_seen"
+    seen = res["seen"].filter(F.col("url_norm").contains("999999")).collect()
+    assert len(seen) == 1 and seen[0]["digest"] == "unfetchable"

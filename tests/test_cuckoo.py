@@ -110,3 +110,23 @@ def test_sharded_probe_empty_shard_is_unseen(spark):
     rows = spark.range(100).select(F.col("id").alias("url_hash"))
     probed = C.cuckoo_negative_filter_sharded(rows, "url_hash", shards, p)
     assert probed.filter(F.col("maybe_seen")).count() == 0
+
+
+def test_fpr_holds_within_a_shard():
+    """Sharding selects on hash mod num_shards (low bits).  Within one
+    shard every raw hash shares those low bits, so a fingerprint taken from
+    the RAW low bits would have log2(num_shards) constant bits and an FPR
+    inflated by the same factor (~64x here).  The splitmix64 remix must keep
+    the within-shard FPR at the advertised 2b/2^f."""
+    p = C.CuckooParams(n_capacity=60_000 * 64, fpr=1e-3, num_shards=64)
+    f = C.CuckooFilter(p)  # one shard's table
+    shard = 37
+    # members and probes all carry the same shard residue — the exact
+    # population a shard's filter sees in production
+    members = _hashes(50_000, seed=11) * 64 + shard
+    assert f.add_hashes(members) == 0
+    assert f.contains_hashes(members).all()
+    non = _hashes(200_000, seed=12, lo=2**55, hi=2**61) * 64 + shard
+    fpr = f.contains_hashes(non).mean()
+    theory = 2 * p.bucket_size / 2**p.fp_bits
+    assert fpr <= 5 * theory, (fpr, theory)  # the low-bit bug gives ~64x

@@ -207,3 +207,31 @@ def test_revisit_records(spark):
     rows = list(parsed)
     assert len(rows) == 1 and rows[0]["record_type"] == "revisit"
     assert rows[0].get("parse_error") is None
+
+
+def test_atomic_commit_no_partial_files(spark, tmp_path):
+    """Tasks write to an attempt-id temp name and os.replace onto the final
+    name only when the gzip stream is complete: a failing attempt (or a
+    speculative twin losing the race) can never leave a half-written or
+    interleaved .warc.gz, and no temp litter survives either outcome."""
+    recs = W.warc_response_records(_caps(spark)).repartition(2)
+    out_ok = str(tmp_path / "ok")
+    W.write_warc(recs, out_ok).collect()
+    assert glob.glob(os.path.join(out_ok, "*.warc.gz"))
+    assert not glob.glob(os.path.join(out_ok, ".*.tmp"))
+
+    # a null record byte column makes the task raise MID-STREAM
+    bad = recs.withColumn(
+        "warc_record",
+        F.when(F.monotonically_increasing_id() >= 0, F.lit(None).cast("binary")),
+    )
+    out_bad = str(tmp_path / "bad")
+    try:
+        W.write_warc(bad, out_bad).collect()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    # the failed attempts committed nothing and cleaned up their temps
+    assert not glob.glob(os.path.join(out_bad, "*.warc.gz"))
+    assert not glob.glob(os.path.join(out_bad, ".*.tmp"))

@@ -13,8 +13,9 @@ k = 20 scattered bits.  Same role in the crawl loop as the Bloom tier: a
 against the exact seen-set, so correctness never depends on the FPR.
 
 Partial-key cuckoo hashing: each key stores only a fingerprint
-``fp = low bits of hash (0 remapped — 0 marks an empty slot)`` in one of two
-buckets ``i1 = high bits mod m`` and ``i2 = i1 XOR H(fp)``; the pair
+``fp = low bits of splitmix64(hash) (0 remapped — 0 marks an empty slot;
+the remix keeps fp independent of the low-bit shard selector)`` in one of
+two buckets ``i1 = high bits mod m`` and ``i2 = i1 XOR H(fp)``; the pair
 {i1, i2} is recoverable from (bucket, fp) alone, which is what makes
 deletion and shard-merge possible without the original keys.  Eviction
 victims are chosen DETERMINISTICALLY ((kicks + fp) mod b) — no RNG in
@@ -42,6 +43,21 @@ __all__ = ["CuckooParams", "CuckooFilter", "build_cuckoo_shards",
            "cuckoo_negative_filter_sharded"]
 
 _FP_MULT = np.uint64(0x5BD1E995)  # odd multiplier scrambles fp → bucket offset
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain, Steele et al.) — a 64-bit
+    bijection.  Sharding selects on ``hash mod num_shards`` (low bits), so
+    deriving the fingerprint from the RAW low bits would pin
+    log2(num_shards) of its bits constant within a shard and inflate the
+    effective FPR by the same factor (measured 4.0e-4 vs ~5.9e-6 expected
+    at 64 shards).  Remixing first makes fingerprint and bucket bits
+    independent of the shard selector; build and probe share the remix, so
+    the no-false-negative contract is untouched."""
+    z = h.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 @dataclass(frozen=True)
@@ -87,7 +103,7 @@ class CuckooFilter:
 
     # --- hash splitting ---------------------------------------------------
     def _fp_and_index(self, hashes: np.ndarray):
-        h = hashes.astype(np.uint64)
+        h = _splitmix64(hashes.astype(np.uint64))
         mask = np.uint64((1 << self.params.fp_bits) - 1)
         fp = (h & mask).astype(np.uint32)
         fp[fp == 0] = 1  # 0 marks empty slots

@@ -240,32 +240,49 @@ def write_warc(
     ``info_fields`` (e.g. ``{"software": ..., "format": "WARC File Format
     1.0"}``) prepends a ``warcinfo`` record to every part file, per the WARC
     convention; pass the crawl date as ``info_date`` (deterministic — no
-    wall clock in executors)."""
+    wall clock in executors).
+
+    Write protocol: each attempt writes ``.<final>.<taskAttemptId>.tmp`` and
+    atomically renames onto the final name when its stream is complete, so
+    a speculative twin or a re-executed stage never interleaves gzip
+    members into a half-written ``.warc.gz`` — the last completed attempt
+    wins with a whole, valid file (same commit shape as Hadoop's file
+    output committer, collapsed to one rename)."""
     os.makedirs(path, exist_ok=True)
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(path, f"{prefix}-{pid:05d}.warc.gz")
+        tmpname = os.path.join(
+            path, f".{prefix}-{pid:05d}.{ctx.taskAttemptId()}.tmp"
+        )
         n = total = 0
-        with open(fname, "wb") as fh:
-            if info_fields is not None:
-                member = gzip.compress(
-                    _warcinfo_bytes(os.path.basename(fname), info_fields, info_date),
-                    mtime=0,
-                )
-                fh.write(member)
-                total += len(member)
-            for pdf in batches:
-                for rec in pdf[record_col]:
-                    member = gzip.compress(bytes(rec), mtime=0)  # deterministic
+        try:
+            with open(tmpname, "wb") as fh:
+                if info_fields is not None:
+                    member = gzip.compress(
+                        _warcinfo_bytes(os.path.basename(fname), info_fields, info_date),
+                        mtime=0,
+                    )
                     fh.write(member)
-                    n += 1
                     total += len(member)
-        if n == 0:
-            os.remove(fname)
-            return
+                for pdf in batches:
+                    for rec in pdf[record_col]:
+                        member = gzip.compress(bytes(rec), mtime=0)  # deterministic
+                        fh.write(member)
+                        n += 1
+                        total += len(member)
+            if n == 0:
+                os.remove(tmpname)
+                return
+            os.replace(tmpname, fname)  # atomic on POSIX: complete files only
+        except BaseException:
+            if os.path.exists(tmpname):
+                os.remove(tmpname)
+            raise
         yield pd.DataFrame({"file": [fname], "n_records": [n], "bytes": [total]})
 
     return records.select(record_col).mapInPandas(

@@ -216,7 +216,12 @@ def _epoch_plan(
         F.min("host").alias("host"),
         F.min("url_path").alias("url_path"),
         F.min("hops").alias("hops"),
-        F.min("retries").alias("retries"),
+        # MAX, not min: a fetch-error URL that is also organically
+        # rediscovered each epoch (retries=0 from links) must keep its
+        # highest attempt count, or the retry penalty resets every epoch
+        # and max_retries exhaustion never fires for persistently-linked
+        # dead URLs — the common case.
+        F.max("retries").alias("retries"),
         F.count(F.lit(1)).alias("inlinks"),
     )
 

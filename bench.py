@@ -63,6 +63,8 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "bloom_shard_probe",
     "cuckoo_shard_probe",
+    "bloom_probe_1m",
+    "cuckoo_probe_1m",
     "semantic_dedup",
     "line_dedup_corpus",
     "warc_write_records",

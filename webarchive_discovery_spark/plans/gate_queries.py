@@ -3642,6 +3642,140 @@ def bloom_shard_probe(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_unseen"))
 
 
+@q(
+    "domain_politeness_budget",
+    _FRONTIER_DD_CTE + """
+    , m AS (
+      SELECT url_key,
+             CASE CAST(hostn % 4 AS INT)
+               WHEN 0 THEN 'example.org'
+               WHEN 1 THEN 'example.co.uk'
+               WHEN 2 THEN 'sites.hosted.ck'
+               ELSE 'www.ck' END AS domain,
+             CAST(first_event % 3 AS INT) AS retries,
+             round(1.0 / (1 + first_event % 3) + log10(1.0 + inlinks) / 4
+                   - 0.3 * (first_event % 3), 6) AS pri
+      FROM dd
+    ), s AS (
+      SELECT *, row_number() OVER (PARTITION BY domain
+                                   ORDER BY pri DESC, url_key) AS slot
+      FROM m
+    )
+    SELECT domain,
+           count(*) AS n_urls,
+           CAST(sum(CASE WHEN slot <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_fetchable,
+           CAST(sum(CASE WHEN slot > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_delayed,
+           min(pri) AS min_priority,
+           max(pri) AS max_priority,
+           min(CASE WHEN slot = 1 THEN url_key END) AS top_url_key
+    FROM s GROUP BY domain
+    """,
+)
+def domain_politeness_budget(spark, sf_dir):
+    """``politeness_key="domain"`` + retry backoff under the gate: hosts are
+    remapped across four PSL rule classes (exact ``org``, the reference's
+    ``.uk`` 3-label override, wildcard ``*.ck``, exception ``!www.ck``), the
+    registered domain comes from the REAL PSL snapshot UDF while the oracle
+    hard-codes the expected collapse — so a wrong wildcard/exception lookup
+    surfaces as a grouping mismatch — and priorities carry the
+    ``retries × 0.3`` penalty the crawl loop applies.  Budget accounting is
+    the per-domain politeness window (one shuffle keyed by domain).  See
+    ``plans/crawl.py`` (politeness_key) and ``functions/psl.py``."""
+    from ..functions.udfs import private_suffix_udf
+
+    dd = _frontier_dedup(spark, sf_dir)
+    label = F.concat(F.lit("h"), F.lpad(F.col("hostn").cast("string"), 2, "0"))
+    cls = (F.col("hostn") % 4).cast("int")
+    host2 = (
+        F.when(cls == 0, F.concat(label, F.lit(".example.org")))
+        .when(cls == 1, F.concat(label, F.lit(".shop.example.co.uk")))
+        .when(cls == 2, F.concat(label, F.lit(".sites.hosted.ck")))
+        .otherwise(F.concat(label, F.lit(".www.ck")))
+    )
+    retries = (F.col("first_event") % 3).cast("int")
+    pri_expr = frontier.priority_score(
+        F.col("first_event") % 3, F.col("inlinks"),
+        -F.col("retries") * F.lit(0.3),
+    )
+    mapped = (
+        dd.withColumn("_h2", host2)
+        .withColumn("domain", F.coalesce(private_suffix_udf(F.col("_h2")), F.col("_h2")))
+        .withColumn("retries", retries)
+    ).withColumn("pri", F.round(pri_expr, 6))
+    w = Window.partitionBy("domain").orderBy(F.col("pri").desc(), F.col("url_key"))
+    slotted = mapped.withColumn("slot", F.row_number().over(w))
+    return slotted.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.when(F.col("slot") <= 100, 1).otherwise(0)).alias("n_fetchable"),
+        F.sum(F.when(F.col("slot") > 100, 1).otherwise(0)).alias("n_delayed"),
+        F.min("pri").alias("min_priority"),
+        F.max("pri").alias("max_priority"),
+        F.min(F.when(F.col("slot") == 1, F.col("url_key"))).alias("top_url_key"),
+    )
+
+
+# Frontier-scale seen-tier benchmarks: the SAME build→cogrouped-probe→exact-
+# verify shape as {bloom,cuckoo}_shard_probe but over 1M synthesized hashes
+# (sf-independent — spark.range), so the two tiers' costs are comparable
+# round-over-round at a scale where per-shard work dominates scheduling.
+
+_SEEN_1M_SQL = """
+    SELECT CAST(r % 32 AS BIGINT) AS bucket,
+           count(*) AS n_unseen
+    FROM range(0, 1000000) t(r)
+    WHERE r % 7 <> 0
+    GROUP BY 1
+"""
+
+
+def _seen_1m_frontier(spark):
+    # raw sequential ids: both filters hash internally (sequential input is
+    # the adversarial case for bit-overlap bugs), and the oracle stays
+    # trivially restatable over the ids
+    return spark.range(0, 1_000_000).select(F.col("id").alias("url_hash"))
+
+
+def _seen_probe_1m(spark, build, probe, params):
+    ev = _seen_1m_frontier(spark)
+    seen = ev.filter(F.col("url_hash") % 7 == 0)
+    shards = build(seen, "url_hash", params)
+    probed = probe(ev, "url_hash", shards, params)
+    definite = probed.filter(~F.col("maybe_seen")).select("url_hash")
+    candidates = probed.filter(F.col("maybe_seen")).select("url_hash")
+    verified = candidates.join(seen, "url_hash", "left_anti")
+    unseen = definite.unionByName(verified)
+    return unseen.groupBy(
+        (F.col("url_hash") % 32).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_unseen"))
+
+
+@q("bloom_probe_1m", _SEEN_1M_SQL)
+def bloom_probe_1m(spark, sf_dir):
+    """Bloom seen-tier at frontier scale: 1M hashes through the sharded
+    build → cogrouped negative probe → exact anti-join verify.  Oracle is
+    the plain set difference (no-false-negatives ⇒ the unseen set is
+    exact)."""
+    from ..operators import bloom as B
+
+    return _seen_probe_1m(
+        spark, B.build_bloom_shards, B.bloom_negative_filter_sharded,
+        B.BloomParams(n_capacity=1_500_000, fpr=1e-4, num_shards=32),
+    )
+
+
+@q("cuckoo_probe_1m", _SEEN_1M_SQL)
+def cuckoo_probe_1m(spark, sf_dir):
+    """Cuckoo seen-tier at frontier scale — the deletion-capable twin of
+    :func:`bloom_probe_1m`, same 1M-hash build→probe→verify shape so the
+    two tiers' costs stay directly comparable in the bench."""
+    from ..operators import cuckoo as C
+
+    return _seen_probe_1m(
+        spark, C.build_cuckoo_shards, C.cuckoo_negative_filter_sharded,
+        C.CuckooParams(n_capacity=1_500_000, fpr=1e-4, num_shards=32),
+    )
+
+
 # ===========================================================================
 # Oracled flagship composition (SimHash near-dup variant)
 # ===========================================================================
@@ -5079,39 +5213,26 @@ def sitemap_frontier_scores(spark, sf_dir):
 # earned a driver CORRECTNESS row register first; long-green gates fill the
 # remaining sample slots.
 _DRIVER_PRIORITY = [
-    # never driver-sampled (rounds 1-3)
-    "c4_line_filter",
-    "pii_redaction",
-    "capture_full_extract",
-    "training_corpus_build",
-    # new this round
-    "training_corpus_build_oracled",
-    "ann_ivf_trained_topk",
-    "bloom_shard_probe",
-    "lang_id_model_counts",
-    "doc_formats_extract",
-    "entity_extract_model",
-    "substring_dedup_spans",
+    # r4 hash-mismatch rows (oracle HUGEINT, cast in r5) — must re-sample
     "substring_dedup_stats",
-    "dsir_select",
-    "quality_classifier_probs",
-    "image_text_pairs",
-    "image_text_clip_scores",
-    "perplexity_buckets",
     "sequence_packing",
     "sequence_manifest",
-    "temperature_mixture_sample",
-    "multimodal_corpus_build",
-    "image_phash_clusters",
-    "aspect_bucket_assign",
-    "image_safety_scores",
-    "sitemap_parse",
-    "sitemap_frontier_scores",
-    "cuckoo_shard_probe",
-    "line_dedup_corpus",
-    "warc_write_records",
+    # rows-only-by-design composition: keep its driver row current
+    "training_corpus_build",
+    # new gates this round
+    "bloom_probe_1m",
+    "cuckoo_probe_1m",
+    "domain_politeness_budget",
+    # r5 behavior changed under these (partition scaling, skew routing,
+    # cuckoo remix) — re-sample the affected gates
+    "frontier_fetch_order",
+    "frontier_canonicalize",
+    "url_seen_antijoin",
+    "cdx_generate",
     "semantic_dedup",
-    # driver-green only in round 2 (re-validated locally in round 3)
+    "cuckoo_shard_probe",
+    "bloom_shard_probe",
+    # oldest driver rows next (green only in r2, re-validated locally since)
     "ann_ivf_cosine_topk",
     "datasets_generate",
     "dedup_clusters",
@@ -5124,6 +5245,32 @@ _DRIVER_PRIORITY = [
     "recrawl_schedule",
     "repetition_stats",
     "robots_parse",
+    "mdx_seq_merge",
+    "reservoir_sample_events",
+    "persist_sessions",
+    "outlink_graph",
+    "host_pagerank",
+    "postcode_extract",
+    "sentiment_buckets",
+    "memento_json_lines",
+    "wet_records",
+    "arcname_fields",
+    "solr_xml_docs",
+    "links_extract",
+    "html_metadata",
+    "capture_facet_counts",
+    "wayback_dates",
+    "parse_extensions",
+    "mime_norm_counts",
+    "url_type_counts",
+    "annotations_apply",
+    "entity_extract",
+    "postcode_extract",
+    "reduplicate_mdx",
+    "warc_parse_records",
+    "warc_regex_freq",
+    "frequency_count_events",
+    "hosts_report",
 ]
 
 

@@ -289,6 +289,8 @@ def test_capture_image_analysis_composition(spark, tmp_path):
     img = np.zeros((20, 30, 3), np.uint8)
     img[:, :, 2] = 255
     img[5:13, 5:13] = (224, 160, 128)
+    img[7, 7] = img[7, 10] = (90, 64, 51)   # eyes — the trained verifier
+    img[10, 7:11] = (90, 64, 51)            # mouth — demands face structure
     png = encode_image(img, "png")
 
     def http(body, ctype):

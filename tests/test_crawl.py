@@ -549,3 +549,46 @@ def test_retry_counter_survives_link_rediscovery(spark, world):
     assert 3 not in rows or rows[3]["status"] == "dup_seen"
     seen = res["seen"].filter(F.col("url_norm").contains("999999")).collect()
     assert len(seen) == 1 and seen[0]["digest"] == "unfetchable"
+
+
+def test_torn_snapshot_invisible_and_resume_clean(spark, world, tmp_path):
+    """Epoch snapshots publish via stage-dir + one atomic rename: a writer
+    killed mid-snapshot leaves either a dot-prefixed temp dir or a
+    manifest-less epoch dir — both invisible to latest()/read_merged — and
+    a rewrite of the same epoch replaces the torn leftovers, so resume
+    proceeds exactly as if the crash never happened."""
+    import json
+    import os
+
+    from webarchive_discovery_spark.plans.checkpoint import CheckpointStore
+
+    ckdir = str(tmp_path / "ck")
+    _run(spark, world, ckdir=ckdir, epochs=2)
+    store = CheckpointStore(ckdir)
+    assert store.latest()["epoch"] == 1
+
+    # simulate a writer killed mid-snapshot for epoch 2, both failure shapes:
+    # (a) staged temp dir that never reached its rename
+    torn_tmp = os.path.join(ckdir, ".epoch=00002.killed.tmp")
+    os.makedirs(os.path.join(torn_tmp, "crawl_log"))
+    open(os.path.join(torn_tmp, "crawl_log", "part-00000.parquet"), "wb").write(b"torn")
+    # (b) a pre-atomic-protocol in-place dir with table data but no manifest
+    torn_dir = os.path.join(ckdir, "epoch=00002")
+    os.makedirs(os.path.join(torn_dir, "crawl_log"))
+    open(os.path.join(torn_dir, "crawl_log", "part-00000.parquet"), "wb").write(b"torn")
+
+    # resume sees only the committed epochs
+    assert store.latest()["epoch"] == 1
+    assert store.manifest(2) is None
+    merged = store.read_merged(spark, 10, "seen_delta")
+    assert merged.count() == store.read_merged(spark, 1, "seen_delta").count()
+
+    # the resumed run rewrites epoch 2 over the torn leftovers and commits it
+    resumed = _run(spark, world, ckdir=ckdir, epochs=3, resume=True)
+    assert store.latest()["epoch"] == 2
+    assert store.manifest(2) is not None
+    committed = store.read(spark, 2, "crawl_log")
+    assert committed.count() == resumed["crawl_log"].filter(F.col("epoch") == 2).count()
+    # no temp litter under the root after the commit sweep
+    leftover = [d for d in os.listdir(ckdir) if d.endswith(".tmp")]
+    assert leftover == [".epoch=00002.killed.tmp"] or leftover == []

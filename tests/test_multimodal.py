@@ -142,6 +142,8 @@ def test_analyse_images_operator(spark):
     img = np.zeros((48, 64, 3), np.uint8)
     img[:, :, 2] = 255
     img[10:18, 10:18] = _SKIN
+    img[12, 12] = img[12, 15] = (90, 64, 51)  # eyes — default cascade
+    img[15, 12:16] = (90, 64, 51)             # mouth — verifies structure
     rows = [
         ("a", encode_image(img, "png"), "png"),
         ("b", encode_image(img, "jpeg"), "jpeg"),  # fake-lossy path
@@ -245,3 +247,34 @@ def test_image_safety_scores(spark):
     got2 = {r.image_id: r.safety_score for r in image_safety_scores(
         df.filter(F.col("image_id") < 3), scorer=lambda rgb: 0.9).collect()}
     assert got2 == {1: 0.9, 2: 0.9}
+
+
+def test_trained_face_verifier_held_out_rates():
+    """The committed Haar-feature model (functions/facemodel.py — the
+    trained stand-in for the reference's OpenIMAJ cascade,
+    FaceDetectionAnalyser.java:112-160) must generalize past its training
+    seed: ≥90% detection on unseen procedural faces (full-res and the
+    8x8-upsampled gate shape), ≤15% false accepts on unseen non-face skin
+    blobs, and determinism across retrains."""
+    from webarchive_discovery_spark.functions import facemodel as FM
+
+    v = FM.default_verifier()
+    rng = np.random.default_rng(20260818)  # NOT the training seed
+    faces = np.stack([FM.draw_face(rng) for _ in range(300)])
+    nons = np.stack([FM.draw_nonface(rng) for _ in range(300)])
+    f8 = np.stack([np.kron(FM.draw_face(rng, 8), np.ones((2, 2), np.uint8))
+                   for _ in range(300)])
+    assert v.is_face(faces).mean() >= 0.90
+    assert v.is_face(f8).mean() >= 0.90
+    assert v.is_face(nons).mean() <= 0.15
+    # determinism: retraining reproduces the identical model
+    v2 = FM.train_default_verifier()
+    assert np.array_equal(v.weights, v2.weights) and v.bias == v2.bias
+    # end-to-end slot contract: plain skin blob rejected, structured accepted
+    img = np.zeros((48, 64, 3), np.uint8)
+    img[:, :, 2] = 255
+    img[10:18, 10:18] = _SKIN
+    assert FM.model_face_detector(img) == []
+    img[12, 12] = img[12, 15] = (90, 64, 51)
+    img[15, 12:16] = (90, 64, 51)
+    assert FM.model_face_detector(img) == [("human", 10, 10, 8, 8)]

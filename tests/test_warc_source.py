@@ -67,3 +67,50 @@ def test_hash_files_matches_hashlib(spark, warc_dir, tmp_path):
     row = hash_files(files, bits=512).collect()[0]
     raw = open(row["path"].replace("file:", ""), "rb").read()
     assert row["digest"] == hashlib.sha512(raw).hexdigest()
+
+
+def test_compression_matrix_sentinel(spark, tmp_path):
+    """The reference's compression-matrix golden
+    (``WARCIndexerTest.java:248-288``): every Content-Encoding in
+    {none, gzip, br} inside every container in {.warc, .warc.gz} must
+    surface the sentinel phrase in the parsed payload.  The brotli leg runs
+    on the vendored RFC 7932 uncompressed-metablock codec
+    (``functions/brotli_lite.py``); a native wheel is preferred when
+    installed."""
+    from webarchive_discovery_spark.functions import brotli_lite
+
+    sentinel = "Jingle jangle morning rain"
+    body = f"<html><body>{sentinel}</body></html>".encode()
+
+    def record(uri, payload, encoding=None):
+        enc_hdr = f"Content-Encoding: {encoding}\r\n" if encoding else ""
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n{enc_hdr}"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload
+        headers = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{abs(hash(uri)) & 0xFFFF}>\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: {uri}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return headers + http + b"\r\n\r\n"
+
+    plain = (
+        record("http://m.example.org/none", body)
+        + record("http://m.example.org/gzip", gzip.compress(body, mtime=0), "gzip")
+        + record("http://m.example.org/br",
+                 brotli_lite.compress_uncompressed(body), "br")
+    )
+    d = tmp_path / "matrix"
+    d.mkdir()
+    (d / "m.warc").write_bytes(plain)
+    (d / "m.warc.gz").write_bytes(gzip.compress(plain))
+
+    recs = warc_records(read_binary_files(spark, str(d), glob="*.warc*"))
+    rows = recs.collect()
+    good = [r for r in rows if r["parse_error"] is None]
+    assert len(good) == 6  # 3 encodings x 2 containers
+    for r in good:
+        assert sentinel in r["payload"], (r["target_uri"], r["payload"][:80])

@@ -17,11 +17,13 @@ Reference semantics:
   (``FaceDetectionAnalyser.java:145-161``).
 
 The reference detects faces with OpenCV/OpenIMAJ Haar cascades; those model
-files don't ship here, so :func:`detect_faces` runs a REAL but deliberately
-simple detector — a skin-tone mask (classic RGB rule) + exact two-pass
-connected-component labelling, reporting each component's bounding box. It
-is deterministic and honestly a stand-in: a cascade/CNN detector drops into
-the same ``detector`` callable slot in ``operators/multimodal.analyse_images``.
+files don't ship here.  :func:`detect_faces` is the CANDIDATE stage — a
+skin-tone mask (classic RGB rule) + exact two-pass connected-component
+labelling reporting each component's bounding box.  The default pipeline in
+``operators/multimodal.analyse_images`` verifies these candidates with the
+committed trained Haar-feature model (:mod:`.facemodel`), completing the
+cascade shape; any cascade/CNN detector still drops into the same
+``detector`` callable slot.
 
 Everything here is numpy-vectorized; the operators layer wraps it in
 Arrow-batched ``mapInPandas`` kernels.

@@ -142,9 +142,13 @@ def analyse_images(
     ``ColourMatcher`` L1 match, ``FaceDetectionParser.java:148,205-223``),
     and faces as W3C media-fragment ``kind@xywh=…`` strings + count.
 
-    ``detector(rgb) -> [(kind, x, y, w, h), ...]`` is pluggable — the default
-    is the skin-blob stand-in in :mod:`..functions.colours` (the reference
-    uses OpenCV Haar cascades, whose model files don't ship here).  Payloads
+    ``detector(rgb) -> [(kind, x, y, w, h), ...]`` is pluggable — the
+    DEFAULT is the two-stage cascade: batched skin-blob candidate regions
+    (:mod:`..functions.colours`) verified by the committed trained Haar
+    model (:mod:`..functions.facemodel` — the Viola-Jones shape the
+    reference's OpenIMAJ ``FaceDetectionAnalyser`` loads from cascade
+    files).  Pass ``detector=colours.detect_faces`` for the raw skin-blob
+    behaviour, or any custom callable.  Payloads
     over ``max_size_bytes`` are skipped like the reference's size gate
     (``FaceDetectionAnalyser.java:119-121``); per-record failures land in
     ``decode_error``, never kill the task.
@@ -180,6 +184,31 @@ def analyse_images(
 #: images per vectorized sub-batch — bounds the stacked-array working set
 #: (256 × a 1-megapixel image ≈ 768 MB int64 histogram scratch is the cap)
 _STACK_CHUNK = 256
+
+
+def _verify_faces_batch(stack, all_faces):
+    """Second cascade stage over skin-blob candidates: grayscale window
+    crops for EVERY candidate in the sub-batch, one batched Haar-feature
+    scoring pass (``functions.facemodel``), keep accepted boxes per image.
+    No candidates → zero model cost."""
+    import numpy as np
+
+    from ..functions import facemodel
+
+    idx = [i for i, faces in enumerate(all_faces) if faces]
+    if not idx:
+        return all_faces
+    crops = np.concatenate(
+        [facemodel.crop_windows(stack[i], all_faces[i]) for i in idx]
+    )
+    keep = facemodel.default_verifier().is_face(crops)
+    out = list(all_faces)
+    pos = 0
+    for i in idx:
+        n = len(all_faces[i])
+        out[i] = [bx for bx, k in zip(all_faces[i], keep[pos:pos + n]) if k]
+        pos += n
+    return out
 
 
 def _analyse_image_batch(datas, fmts, extract_dominant, extract_faces,
@@ -236,6 +265,7 @@ def _analyse_image_batch(datas, fmts, extract_dominant, extract_faces,
                 if extract_faces:
                     if detector is None:
                         all_faces = faces_from_masks_batch(skin_mask_batch(stack))
+                        all_faces = _verify_faces_batch(stack, all_faces)
                         for i, faces in zip(sub, all_faces):
                             res["image_faces"][i] = face_fragments(faces)
                             res["image_faces_count"][i] = len(faces)
@@ -248,8 +278,9 @@ def _analyse_image_batch(datas, fmts, extract_dominant, extract_faces,
                 # batch-op failure (or a raising custom detector): recover
                 # per image so one bad record costs one row, not the chunk
                 from ..functions.colours import dominant_colour, match_colour_name
+                from ..functions.facemodel import model_face_detector
 
-                det = detector or detect_faces
+                det = detector or model_face_detector
                 for i in sub:
                     try:
                         if extract_dominant:

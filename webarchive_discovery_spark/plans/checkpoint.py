@@ -71,22 +71,43 @@ class CheckpointStore:
         return None
 
     def write(self, epoch: int, tables: dict[str, DataFrame], extra: dict | None = None) -> None:
+        """Commit an epoch snapshot ATOMICALLY: all tables plus the manifest
+        are staged under a dot-prefixed temp dir (invisible to
+        :meth:`latest`/:meth:`read_merged`, which only look at ``epoch=``
+        dirs), then one directory rename publishes the whole epoch.  A
+        writer killed mid-snapshot leaves only the temp dir; a previous
+        crashed IN-PLACE attempt (table dirs but no manifest) is swept
+        before publish.  Same commit shape as Iceberg: readers never see a
+        torn snapshot."""
+        import shutil
+
         edir = self._epoch_dir(epoch)
-        counts = {}
-        for name, df in tables.items():
-            path = os.path.join(edir, name)
-            df.write.mode("overwrite").parquet(path)
-        manifest = {
-            "epoch": epoch,
-            "tables": sorted(tables),
-            "counts": counts,
-            "extra": extra or {},
-        }
-        # atomic: write sidecar then rename — manifest presence == commit
-        fd, tmp = tempfile.mkstemp(dir=edir, suffix=".manifest.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(edir, "manifest.json"))
+        tmpdir = tempfile.mkdtemp(
+            prefix=f".epoch={epoch:05d}.", suffix=".tmp", dir=self.root
+        )
+        try:
+            counts = {}
+            for name, df in tables.items():
+                df.write.mode("overwrite").parquet(os.path.join(tmpdir, name))
+            manifest = {
+                "epoch": epoch,
+                "tables": sorted(tables),
+                "counts": counts,
+                "extra": extra or {},
+            }
+            fd, tmp = tempfile.mkstemp(dir=tmpdir, suffix=".manifest.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, os.path.join(tmpdir, "manifest.json"))
+            if os.path.isdir(edir):
+                # an existing committed epoch is an explicit rewrite; an
+                # existing manifest-less dir is torn garbage — either way
+                # the fully-staged snapshot replaces it
+                shutil.rmtree(edir)
+            os.rename(tmpdir, edir)  # the commit: one atomic publish
+        except BaseException:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            raise
         self._append_snapshot(
             {"type": "append", "epoch": epoch, "tables": sorted(tables)}
         )
@@ -188,7 +209,24 @@ class CheckpointStore:
                 .filter(F.col("_rk") == 1).drop("_rk")
             )
         rel = os.path.join(f"epoch={epoch:05d}", f"{table}.base")
-        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        final = os.path.join(self.root, rel)
+        # stage + rename: the snapshot-log append below is the commit, but
+        # publishing the base atomically keeps a killed compaction from
+        # leaving a partial dir under the final name for a retry to trip on
+        import shutil
+
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        tmp = tempfile.mkdtemp(
+            prefix=f".{table}.base.", suffix=".tmp", dir=os.path.dirname(final)
+        )
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         return self._append_snapshot(
             {"type": "compaction", "epoch": epoch, "table": table, "path": rel}
         )

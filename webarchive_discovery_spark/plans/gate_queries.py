@@ -2543,10 +2543,13 @@ _IMG_W, _IMG_H = 64, 48
 
 def _synth_images(spark, sf_dir):
     """Deterministic image corpus from ``documents``: background colour =
-    palette[doc_id % 8], ``doc_id % 4`` skin-tone 8×8 'face' blocks at
-    x = 10+14i, y = 10, encoded as png/bmp/fake-jpeg by doc_id % 3 — every
-    output of the analysis is then pure arithmetic in doc_id, which is what
-    the oracle recomputes."""
+    palette[doc_id % 8], ``doc_id % 4`` face-structured 8×8 blocks (skin
+    with a 1-px skin border ring + darker eye pair + mouth bar, so the
+    skin-mask candidate bbox stays exactly 8×8 AND the trained Haar
+    verifier accepts it — 58 skin px per block) at x = 10+14i, y = 10,
+    encoded as png/bmp/fake-jpeg by doc_id % 3 — every output of the
+    analysis is then pure arithmetic in doc_id, which is what the oracle
+    recomputes."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -2573,6 +2576,8 @@ def _synth_images(spark, sf_dir):
                 for i in range(doc_id % 4):
                     x = 10 + 14 * i
                     img[10:18, x:x + 8] = (224, 160, 128)
+                    img[12, x + 2] = img[12, x + 5] = (90, 64, 51)  # eyes
+                    img[15, x + 2:x + 6] = (90, 64, 51)             # mouth
                 fmt = fmts[doc_id % 3]
                 # jpeg rows use the fake codec UNCONDITIONALLY: the oracle's
                 # expected names/bboxes are derived from its 5-bit
@@ -4764,15 +4769,16 @@ def aspect_bucket_assign(spark, sf_dir):
     "image_safety_scores",
     f"""
     SELECT doc_id,
-           round((doc_id % 4) * 64.0 / {_IMG_W * _IMG_H}, 6) AS safety_score,
-           (doc_id % 4) * 64.0 / {_IMG_W * _IMG_H} >= 0.03 AS safety_flagged
+           round((doc_id % 4) * 58.0 / {_IMG_W * _IMG_H}, 6) AS safety_score,
+           (doc_id % 4) * 58.0 / {_IMG_W * _IMG_H} >= 0.03 AS safety_flagged
     FROM documents
     """,
 )
 def image_safety_scores_gate(spark, sf_dir):
     """Safety (NSFW-cut) scoring over REAL decoded pixels: the synth corpus
-    carries ``doc_id % 4`` 8×8 skin blocks, so the default skin-fraction
-    scorer must return exactly ``(doc_id%4)·64 / (W·H)`` — decode, masking,
+    carries ``doc_id % 4`` face blocks of 58 skin px each (eye/mouth px are
+    non-skin), so the default skin-fraction
+    scorer must return exactly ``(doc_id%4)·58 / (W·H)`` — decode, masking,
     and the flag threshold all arithmetically oracled; the ``scorer`` slot
     takes a real classifier in production (model weights sandbox-blocked).
     See :func:`operators.multimodal.image_safety_scores`."""

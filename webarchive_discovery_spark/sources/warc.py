@@ -106,11 +106,16 @@ def _decompress_payload(payload: bytes, encoding: str) -> bytes:
         return zlib.decompress(payload, -zlib.MAX_WBITS)
     if enc == "br":
         try:
-            import brotli  # not in this container — honest gate
+            import brotli  # native wheel preferred when installed
 
             return brotli.decompress(payload)
         except ImportError:
-            return payload
+            from ..functions import brotli_lite
+
+            try:
+                return brotli_lite.decompress(payload)
+            except brotli_lite.BrotliUnsupported:
+                return payload  # compressed metablocks need the native wheel
     return payload
 
 

@@ -121,8 +121,16 @@ class CuckooFilter:
         """Insert; returns the number of keys DROPPED after ``max_kicks``
         evictions (0 when sized within capacity — asserted in tests at the
         design load factor).  A dropped key would be a false negative, so
-        the sharded builder treats drops as a hard error."""
+        the sharded builder treats drops as a hard error.
+
+        Bulk inserts run a VECTORIZED two-choice pass first (stable-sorted
+        placement into each bucket's free slots for i1, then i2 — numpy
+        throughout), which places ~all keys below the design load factor;
+        only the residue needs the sequential eviction loop.  Which of
+        {i1, i2} holds a fingerprint never affects membership (probes check
+        both), so the fast path preserves the seen-set contract exactly."""
         fp, i1 = self._fp_and_index(hashes)
+        fp, i1 = self._bulk_two_choice(fp, i1)
         table, b = self.table, self.params.bucket_size
         dropped = 0
         for j in range(len(fp)):
@@ -151,6 +159,35 @@ class CuckooFilter:
             if not placed:
                 dropped += 1
         return dropped
+
+    def _bulk_two_choice(self, fp: np.ndarray, i1: np.ndarray):
+        """Vectorized first phase of bulk insert: place as many keys as fit
+        directly into the free slots of their primary then alternate
+        buckets; return the (fp, i1) residue for the eviction loop.
+        Deterministic: stable sorts only."""
+        table, b = self.table, self.params.bucket_size
+        for attempt in range(2):
+            if len(fp) == 0:
+                return fp, i1
+            buckets = i1 if attempt == 0 else self._alt_index(i1, fp)
+            empty = table == 0
+            free = empty.sum(axis=1)
+            # rank of each key within its target bucket (stable by input)
+            order = np.argsort(buckets, kind="stable")
+            sb = buckets[order]
+            run_start = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+            run_len = np.diff(np.r_[run_start, len(sb)])
+            ranks = np.arange(len(sb)) - np.repeat(run_start, run_len)
+            placeable = ranks < free[sb]
+            if placeable.any():
+                # rank-th free slot per bucket: empties-first column order
+                slot_order = np.argsort(~empty, axis=1, kind="stable")
+                rows = sb[placeable]
+                cols = slot_order[rows, ranks[placeable]]
+                table[rows, cols] = fp[order][placeable]
+            rest = order[~placeable]
+            fp, i1 = fp[rest], i1[rest]
+        return fp, i1
 
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
         if len(hashes) == 0:

@@ -47,13 +47,19 @@ def packed_sequences(
     ``order_cols`` must be a unique key — ties crossing a range boundary
     would otherwise make placement partition-dependent."""
     spark = df.sparkSession
-    parts = num_partitions or spark.sparkContext.defaultParallelism
-    # localCheckpoint pins ONE materialization of the range exchange: the
-    # totals fetch below and the final plan both read it, and range
-    # boundaries (sampled at execution time) must be THE SAME in both —
-    # recomputing the exchange per consumer would also scan the input twice.
-    # The token-count table is narrow (~tens of bytes/row), so the pinned
-    # copy is small even when the corpus is 100 TB.
+    # Pin the narrow token-count input FIRST (one upstream scan: the range
+    # boundary-sampling job and the exchange both read the pin), size the
+    # range exchange from the measured row count (cached-block scan) like
+    # the frontier's global_sequence, then pin the RANGED layout too: the
+    # totals fetch below and the final plan must see the SAME execution-
+    # time-sampled boundaries.  Both pinned copies are ~tens of bytes/row,
+    # small even when the corpus is 100 TB.
+    from .frontier import scaled_partitions
+
+    df = df.localCheckpoint()
+    parts = num_partitions or scaled_partitions(
+        df.count(), spark.sparkContext.defaultParallelism
+    )
     ranged = (
         df.repartitionByRange(parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())

@@ -114,8 +114,10 @@ def _decompress_payload(payload: bytes, encoding: str) -> bytes:
 
             try:
                 return brotli_lite.decompress(payload)
-            except brotli_lite.BrotliUnsupported:
-                return payload  # compressed metablocks need the native wheel
+            except brotli_lite.BrotliError:
+                # compressed metablocks need the native wheel; malformed
+                # streams behave like an unknown codec — as-served payload
+                return payload
     return payload
 
 

@@ -267,7 +267,8 @@ def test_trained_face_verifier_held_out_rates():
     assert v.is_face(faces).mean() >= 0.90
     assert v.is_face(f8).mean() >= 0.90
     assert v.is_face(nons).mean() <= 0.15
-    # determinism: retraining reproduces the identical model
+    # determinism: the COMMITTED weight file equals a fresh retrain, so the
+    # artifact is reproducible from the in-repo trainer alone
     v2 = FM.train_default_verifier()
     assert np.array_equal(v.weights, v2.weights) and v.bias == v2.bias
     # end-to-end slot contract: plain skin blob rejected, structured accepted

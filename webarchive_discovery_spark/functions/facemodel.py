@@ -250,10 +250,25 @@ _DEFAULT: HaarFaceVerifier | None = None
 
 
 def default_verifier() -> HaarFaceVerifier:
-    """Memoized default model (trains once per process, ~a second)."""
+    """Memoized default model, loaded from the COMMITTED weight file
+    (``facemodel_weights.json`` — 276 floats + bias, written by
+    :func:`train_default_verifier`; a test pins committed == retrained).
+    Loading instead of retraining keeps Spark Python workers from paying
+    ~1.7 s of training each; falls back to training if the file is gone."""
     global _DEFAULT
     if _DEFAULT is None:
-        _DEFAULT = train_default_verifier()
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "facemodel_weights.json")
+        try:
+            with open(path) as f:
+                m = json.load(f)
+            _DEFAULT = HaarFaceVerifier(
+                np.asarray(m["weights"]), m["bias"], m["threshold"]
+            )
+        except (OSError, KeyError, ValueError):
+            _DEFAULT = train_default_verifier()
     return _DEFAULT
 
 

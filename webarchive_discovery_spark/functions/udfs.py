@@ -97,6 +97,15 @@ def host_surts_udf(hosts: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
+def sha1_base32_udf(digests: pd.Series) -> pd.Series:
+    """``sha1:<hex>`` → base32 (the CDX/WARC de-facto digest form,
+    ``Normalisation.sha1HashAsBase32`` — used for the CDX ``k`` field)."""
+    from .normalisation import sha1_hash_as_base32
+
+    return digests.map(_safe(sha1_hash_as_base32))
+
+
+@F.pandas_udf(StringType())
 def public_suffix_udf(hosts: pd.Series) -> pd.Series:
     return hosts.map(_safe(S.extract_public_suffix))
 

@@ -301,22 +301,62 @@ def _parse_arc_stream(name: str, data: bytes, max_payload: int = 65536,
         yield rec
 
 
+def _gzip_members(data: bytes) -> tuple[bytes, list[tuple[int, int]]]:
+    """Inflate a (possibly multi-member) gzip stream, returning the
+    concatenated plaintext plus ``(uncompressed_start, compressed_offset)``
+    per member.  WARC.gz/ARC.gz convention is one member per record, and
+    CDX offsets refer to the member's position in the COMPRESSED file
+    (``DereferencingArchiveToCDXRecordReader.java:85-214``)."""
+    import zlib
+
+    out = bytearray()
+    members: list[tuple[int, int]] = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        chunk = d.decompress(data[pos:])
+        members.append((len(out), pos))
+        out += chunk
+        while not d.eof and d.unconsumed_tail:
+            out += d.decompress(d.unconsumed_tail)
+        if not d.eof:
+            raise OSError("truncated gzip member")
+        consumed = (len(data) - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return bytes(out), members
+
+
 def _parse_archive(name: str, data: bytes, max_payload: int = 65536,
                    keep_binary: bool = False):
     """Dispatch WARC vs ARC by content (gzip members transparently inflated),
-    with whole-file error recovery."""
+    with whole-file error recovery.  For gzipped containers,
+    ``record_offset`` is the offset of the record's gzip member in the
+    compressed file — the number CDX lines and wayback lookups need."""
+    members: list[tuple[int, int]] | None = None
     if data[:2] == b"\x1f\x8b":
         try:
-            data = gzip.decompress(data)
+            data, members = _gzip_members(data)
         except Exception as exc:
             rec = _blank(name, 0)
             rec["parse_error"] = f"gzip: {exc}"
             yield rec
             return
     if data.startswith(b"filedesc://"):
-        yield from _parse_arc_stream(name, data, max_payload, keep_binary)
+        recs = _parse_arc_stream(name, data, max_payload, keep_binary)
     else:
-        yield from _parse_warc_stream(name, data, max_payload, keep_binary)
+        recs = _parse_warc_stream(name, data, max_payload, keep_binary)
+    if members is None or len(members) <= 1:
+        yield from recs
+        return
+    import bisect
+
+    starts = [u for u, _ in members]
+    for rec in recs:
+        i = bisect.bisect_right(starts, rec["record_offset"]) - 1
+        rec["record_offset"] = members[max(i, 0)][1]
+        yield rec
 
 
 def warc_records(files_df: DataFrame, max_payload: int = 65536,

@@ -109,3 +109,24 @@ def test_blackbook_cdx11_golden_lines(spark):
         " http://www.archive.org/services/collection-rss.php text/xml 200"
         " JXXJNHJX4GEM44C4NOM3RJWKMKVBIGHF - - 6965 11441"
         " IAH-20080430204825-00000-blackbook-truncated.arc.gz")
+
+
+_TRUNC = f"{_DIR}/truncated_datetime.warc"
+
+
+@pytest.mark.skipif(not os.path.isfile(_TRUNC), reason="reference not mounted")
+def test_truncated_datetime_record_id(spark):
+    """``WARCIndexerTest.testTruncatedTime`` (:291-310): a WARC-Date
+    truncated to minutes keeps its raw 12 digits in the record id
+    (``201908150102/+BV/tmv/tASHANg2c3/2MA==``) while crawl_date and
+    wayback_date are padded to the same full instant.  The fixture's
+    ``WARC-Target-URI: <url>`` form also pins the angle-bracket
+    sanitisation (``Normalisation.sanitiseWARCHeaderValue``)."""
+    recs = warc_records(
+        read_binary_files(spark, _DIR, glob="truncated_datetime.warc"))
+    caps = extract_capture(recs.filter(F.col("record_type") == "response"))
+    r = caps.collect()[0]
+    assert r["id"] == "201908150102/+BV/tmv/tASHANg2c3/2MA=="
+    assert r["url"] == "http://tokemon.sb.statsbiblioteket.dk/"
+    crawl_digits = "".join(c for c in str(r["crawl_date"]) if c.isdigit())
+    assert crawl_digits == str(r["wayback_date"]) == "20190815010200"

@@ -279,7 +279,13 @@ def extract_capture(
     _head_hex = _payload_head_hex(has_raw_head="payload_head" in records.columns)
 
     filled: dict[str, Column] = {
-        "id": date_fns.record_id(wayback, F.col("target_uri")),
+        # the id's date component is the RAW header-date digits — a
+        # truncated WARC-Date stays truncated (12 digits) while
+        # crawl_date/wayback_date are padded to the full instant
+        # (WARCIndexer.java:540-553, golden: WARCIndexerTest.testTruncatedTime)
+        "id": date_fns.record_id(
+            F.regexp_replace(F.col("warc_date"), "[^0-9]", ""),
+            F.col("target_uri")),
         "source_file": F.col("source_file"),
         "source_file_offset": F.col("record_offset"),
         "record_type": F.col("record_type"),

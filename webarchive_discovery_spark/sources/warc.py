@@ -202,11 +202,17 @@ def _parse_warc_stream(name: str, data: bytes, max_payload: int = 65536,
                     )
             length = int(headers.get("content-length", "0"))
             body = stream.read(length)
+            # wget and some crawlers write `WARC-Target-URI: <url>`; the
+            # reference strips one matched <> pair before any use
+            # (Normalisation.sanitiseWARCHeaderValue, WARCIndexer.java:323)
+            turi = headers.get("warc-target-uri")
+            if turi and turi.startswith("<") and turi.endswith(">"):
+                turi = turi[1:-1]
             rec.update(
                 record_type=headers.get("warc-type"),
                 warc_record_id=headers.get("warc-record-id"),
                 warc_date=headers.get("warc-date"),
-                target_uri=headers.get("warc-target-uri"),
+                target_uri=turi,
                 content_type=headers.get("content-type"),
                 content_length=length,
                 payload_digest=headers.get("warc-payload-digest"),

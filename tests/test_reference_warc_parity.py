@@ -130,3 +130,47 @@ def test_truncated_datetime_record_id(spark):
     assert r["url"] == "http://tokemon.sb.statsbiblioteket.dk/"
     crawl_digits = "".join(c for c in str(r["crawl_date"]) if c.isdigit())
     assert crawl_digits == str(r["wayback_date"]) == "20190815010200"
+
+
+@pytest.mark.skipif(not os.path.isfile(_FIXTURE), reason="reference not mounted")
+def test_filter_chain_golden_counts(spark):
+    """The reference's filter-behaviour goldens on IAH-urls-wget
+    (``WARCIndexerTest.java:115-194``, all via the 36-record fixture;
+    expectedNullCount → indexed = 36 − nulls):
+
+    - protocol [http,https] + status ["2"] (reference.conf defaults) → 7
+    - protocol [https] only → 2
+    - url_exclude robots.txt → 6
+    - response_include [] (status filter disabled) → 16
+    - response_include ["2","3"] → 16
+    - exclusion list http://www.archive.org/images (SURT-prefix tier) → 4
+    """
+    from webarchive_discovery_spark.functions.udfs import canonicalise_url_udf
+    from webarchive_discovery_spark.operators import record_filters as rf
+
+    recs = warc_records(
+        read_binary_files(spark, _DIR, glob="IAH-urls-wget.warc.gz")).select(
+        "record_type",
+        F.col("target_uri").alias("url"),
+        F.col("http_status").cast("int").alias("status_code"),
+    ).localCheckpoint()
+    assert recs.count() == 36
+
+    def chain(protocols=("http", "https"), exclude=None, statuses=("2",)):
+        out = rf.record_type_filter(recs)
+        out = rf.protocol_filter(out, "url", protocols)
+        out = rf.url_exclude_filter(out, "url", exclude)
+        return rf.response_code_filter(out, "status_code", statuses)
+
+    assert chain().count() == 36 - 29                              # 7
+    assert chain(protocols=("https",)).count() == 36 - 34          # 2
+    assert chain(exclude=r".*robots\.txt.*").count() == 36 - 30    # 6
+    assert chain(statuses=()).count() == 36 - 20                   # 16
+    assert chain(statuses=("2", "3")).count() == 36 - 20           # 16
+
+    # exclusion tier: canonical-prefix match on the exclusion file's entry
+    # (exclusion_test.txt -> 32 nulls -> 4 indexed)
+    excl_prefix = "http://archive.org/images"
+    base = chain().withColumn("url_norm", canonicalise_url_udf(F.col("url")))
+    kept = base.filter(~F.col("url_norm").startswith(excl_prefix))
+    assert kept.count() == 36 - 32                                 # 4

@@ -77,7 +77,12 @@ def response_code_filter(
 ) -> DataFrame:
     """Keep responses whose status code starts with an allowed prefix
     (``WARCIndexer.java:859-875`` — the reference matches on the first
-    character of the code)."""
+    character of the code).  An EMPTY prefix list disables the status
+    filter entirely, like the reference's empty ``response_include``
+    (golden: ``WARCIndexerTest.testResponseCodeFilters``, where [] indexes
+    all 16 responses but ["2"] only 7)."""
+    if not prefixes:
+        return df
     cond = None
     s = F.col(status_col).cast("string")
     for p in prefixes:

@@ -325,19 +325,26 @@ def encode_fake_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
 def sample_video_frames(data: bytes, every_n: int = 1) -> list[tuple[int, np.ndarray]]:
     """Decode every ``every_n``-th frame as (frame_index, rgb).  Real
     containers supported: **animated GIF** (the one animated format web
-    archives hold in bulk — ``functions/gif.py``).  mp4/webm raise
-    NotImplementedError — no video codecs ship in this sandbox; the
-    Spark-side plumbing is identical once a demuxer is plugged in.  The
-    deterministic fake container remains for plumbing tests."""
+    archives hold in bulk — ``functions/gif.py``) and **RIFF/AVI** with
+    MJPEG or uncompressed-DIB video streams (``functions/avi.py``, frames
+    decoded by the in-repo JPEG codec).  mp4/webm raise
+    NotImplementedError — their codecs (H.264/VP9) genuinely cannot ship
+    in this sandbox; the Spark-side plumbing is identical once a demuxer
+    is plugged in.  The deterministic fake container remains for plumbing
+    tests."""
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import gif_frames
 
         return [(i, frame) for i, _, frame in gif_frames(data)
                 if i % every_n == 0]
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from .avi import avi_frames
+
+        return list(avi_frames(data, every_n=every_n))
     if not data.startswith(_FAKE_VIDEO_SIG):
         raise NotImplementedError(
-            "only GIF and the deterministic fake video container are "
-            "decodable here"
+            "only GIF, AVI (MJPEG/DIB), and the deterministic fake video "
+            "container are decodable here"
         )
     n = struct.unpack(">I", data[4:8])[0]
     pos = 8

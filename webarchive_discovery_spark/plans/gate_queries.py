@@ -5212,6 +5212,99 @@ def sitemap_frontier_scores(spark, sf_dir):
 
 
 # ===========================================================================
+# Video frame sampling (real RIFF/AVI demux through the in-repo codecs)
+# ===========================================================================
+
+@q(
+    "video_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 50 AS INT)          AS base,
+             CAST(5 + 2 * (doc_id % 2) AS INT) AS w,
+             CAST(6 AS INT)                    AS h,
+             CAST(2 + doc_id % 3 AS INT)       AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(f AS INT)                                  AS frame_index,
+           w                                               AS frame_w,
+           h                                               AS frame_h,
+           CAST(base + 2 * f AS INT)                       AS px00_r,
+           CAST(base + 2 * f + 3 * (h - 1) + (w - 1) + 2 AS INT) AS pxlast_b,
+           CAST(3 * w * h * (base + 2 * f) + (9 * w * h * (h - 1)) // 2
+                + (3 * h * w * (w - 1)) // 2 + 3 * w * h AS BIGINT) AS pixel_sum
+    FROM p, UNNEST([0, 2]) AS t(f)
+    WHERE f < nf
+    """,
+)
+def video_frame_sample(spark, sf_dir):
+    """Real video demux under the value oracle: per document a
+    spec-compliant RIFF/AVI (uncompressed bottom-up BI_RGB DIB stream,
+    odd widths so the 4-byte row stride is exercised) is muxed from
+    deterministic gradient frames — pixel ``(x,y,c)`` of frame ``f`` is
+    ``base + 2f + 3y + x + c`` — then demuxed by the REAL container parser
+    (``functions/avi.py``) sampling every 2nd frame, and per-frame pixel
+    stats from the DECODED array are compared against the oracle's
+    closed-form restatement of the generator arithmetic.  A flipped row
+    order, swapped channel order, wrong stride, or off-by-one frame
+    sampling shifts ``px00_r``/``pxlast_b``/``pixel_sum``.  (Mux/demux
+    asymmetry is separately pinned by the hand-rolled byte-level fixture
+    in ``tests/test_avi.py``.)  Reference scope: the Tika container tier
+    (``TikaPayloadAnalyser.java:165-240``) identifies ``video/*``; frame
+    sampling is the training-pipeline addition over the same per-record
+    recovery contract."""
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    from ..functions.avi import encode_avi
+    from ..functions.imaging import sample_video_frames
+
+    frame_struct = StructType([
+        StructField("frame_index", IntegerType()),
+        StructField("frame_w", IntegerType()),
+        StructField("frame_h", IntegerType()),
+        StructField("px00_r", IntegerType()),
+        StructField("pxlast_b", IntegerType()),
+        StructField("pixel_sum", LongType()),
+    ])
+
+    @F.pandas_udf(ArrayType(frame_struct))
+    def mux_demux(ids: pd.Series) -> pd.Series:
+        out = []
+        for k in ids:
+            k = int(k)
+            base, w, h, nf = k % 50, 5 + 2 * (k % 2), 6, 2 + k % 3
+            y, x = np.mgrid[0:h, 0:w]
+            frames = [
+                np.stack([base + 2 * f + 3 * y + x + c for c in range(3)],
+                         axis=-1).astype(np.uint8)
+                for f in range(nf)
+            ]
+            avi = encode_avi(frames, codec="DIB ", fps=10)
+            rows = []
+            for idx, rgb in sample_video_frames(avi, every_n=2):
+                rows.append({
+                    "frame_index": idx,
+                    "frame_w": int(rgb.shape[1]),
+                    "frame_h": int(rgb.shape[0]),
+                    "px00_r": int(rgb[0, 0, 0]),
+                    "pxlast_b": int(rgb[-1, -1, 2]),
+                    "pixel_sum": int(rgb.astype(np.int64).sum()),
+                })
+            out.append(rows)
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.select("doc_id", F.explode(mux_demux(F.col("doc_id"))).alias("fr"))
+        .select("doc_id", "fr.frame_index", "fr.frame_w", "fr.frame_h",
+                "fr.px00_r", "fr.pxlast_b", "fr.pixel_sum")
+    )
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -5229,6 +5322,7 @@ _DRIVER_PRIORITY = [
     "bloom_probe_1m",
     "cuckoo_probe_1m",
     "domain_politeness_budget",
+    "video_frame_sample",
     # r5 behavior changed under these (partition scaling, skew routing,
     # cuckoo remix) — re-sample the affected gates
     "frontier_fetch_order",

@@ -243,6 +243,7 @@ _DOC_COLS = [f.name for f in DOCFORMAT_STRUCT.fields]
 
 def _docformat_one(payload, mime: str | None) -> dict:
     from ..functions import docformats as DF
+    from ..functions import officeformats as OF
 
     rec: dict = {c: None for c in _DOC_COLS}
     m = (mime or "").lower()
@@ -251,10 +252,31 @@ def _docformat_one(payload, mime: str | None) -> dict:
         rec.update(doc_format="pdf", doc_text=r["text"], doc_pages=r["n_pages"],
                    doc_title=r["title"], doc_author=r["author"],
                    doc_producer=r["producer"], parse_error=r["parse_error"])
+    elif "officedocument.spreadsheetml" in m:
+        r = OF.xlsx_extract(payload)
+        rec.update(doc_format="xlsx", doc_text=r["text"],
+                   doc_pages=r["n_sheets"], doc_paragraphs=r["n_cells"],
+                   doc_title=r["title"], doc_author=r["author"],
+                   parse_error=r["parse_error"])
+    elif "officedocument.presentationml" in m:
+        r = OF.pptx_extract(payload)
+        rec.update(doc_format="pptx", doc_text=r["text"],
+                   doc_pages=r["n_slides"], doc_title=r["title"],
+                   doc_author=r["author"], parse_error=r["parse_error"])
     elif "officedocument.wordprocessingml" in m or m.startswith(
             "application/vnd.openxmlformats"):
         r = DF.docx_extract(payload)
         rec.update(doc_format="docx", doc_text=r["text"],
+                   doc_paragraphs=r["n_paragraphs"], doc_title=r["title"],
+                   doc_author=r["author"], parse_error=r["parse_error"])
+    elif m.startswith("application/vnd.oasis.opendocument.text"):
+        r = OF.odt_extract(payload)
+        rec.update(doc_format="odt", doc_text=r["text"],
+                   doc_paragraphs=r["n_paragraphs"], doc_title=r["title"],
+                   doc_author=r["author"], parse_error=r["parse_error"])
+    elif m.startswith(("application/rtf", "text/rtf")):
+        r = OF.rtf_extract(payload)
+        rec.update(doc_format="rtf", doc_text=r["text"],
                    doc_paragraphs=r["n_paragraphs"], doc_title=r["title"],
                    doc_author=r["author"], parse_error=r["parse_error"])
     elif m.startswith("image/jpeg") or m.startswith("image/jpg"):

@@ -3602,6 +3602,141 @@ def doc_formats_extract(spark, sf_dir):
     )
 
 
+@q(
+    "office_formats_extract",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'xlsx' WHEN 1 THEN 'pptx'
+             WHEN 2 THEN 'odt' ELSE 'rtf' END AS doc_format,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'Cell ' || CAST(doc_id AS VARCHAR) || chr(9)
+                         || CAST(doc_id % 100 AS VARCHAR) || chr(10) || 'row2'
+             WHEN 1 THEN 'Slide one of ' || CAST(doc_id AS VARCHAR)
+                         || chr(10) || 'Bullet ' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 2 THEN 'Heading ' || CAST(doc_id AS VARCHAR) || chr(10)
+                         || 'Body text ' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE 'Line one ' || CAST(doc_id AS VARCHAR) || chr(10)
+                  || 'Line two' END AS doc_text,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 1 WHEN 1 THEN 2 END AS doc_pages,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 3 WHEN 2 THEN 2 WHEN 3 THEN 2 END AS doc_paragraphs,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'Sheet T' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'P' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'O' || CAST(doc_id AS VARCHAR)
+             ELSE 'R' || CAST(doc_id AS VARCHAR) END AS doc_title,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'xa' || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'oa' || CAST(doc_id % 2 AS VARCHAR)
+             WHEN 3 THEN 'ra' || CAST(doc_id % 5 AS VARCHAR) END AS doc_author,
+           CAST(NULL AS VARCHAR) AS doc_parse_error
+    FROM documents
+    """,
+)
+def office_formats_extract(spark, sf_dir):
+    """The Tika long tail under the value oracle: per document a
+    deterministic XLSX (shared strings + numeric + two rows), PPTX (two
+    slides), ODT (heading + body), or RTF (info group + two paragraphs) is
+    CONSTRUCTED byte-for-byte from doc_id, pushed through the same
+    MIME-dispatched Arrow kernel as ``doc_formats_extract``, and the
+    oracle restates every extracted field (text with real tab/newline
+    joins, sheet/slide/cell/paragraph counts, Dublin Core / ``\\info``
+    title+author).  Real parsers: ``functions/officeformats.py``.
+    Reference scope: ``TikaPayloadAnalyser.java:165-414``."""
+    import io
+    import zipfile
+
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    from ..operators.metadata import extract_document_metadata
+
+    def _zip(files: dict[str, str]) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, c in files.items():
+                z.writestr(n, c)
+        return buf.getvalue()
+
+    def _xlsx(k: int) -> bytes:
+        return _zip({
+            "xl/sharedStrings.xml":
+                f"<sst><si><t>Cell {k}</t></si><si><t>row2</t></si></sst>",
+            "xl/worksheets/sheet1.xml":
+                '<worksheet><sheetData>'
+                f'<row r="1"><c r="A1" t="s"><v>0</v></c>'
+                f'<c r="B1"><v>{k % 100}</v></c></row>'
+                '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+                '</sheetData></worksheet>',
+            "docProps/core.xml":
+                f"<cp><dc:title>Sheet T{k}</dc:title>"
+                f"<dc:creator>xa{k % 3}</dc:creator></cp>",
+        })
+
+    def _pptx(k: int) -> bytes:
+        return _zip({
+            "ppt/slides/slide1.xml":
+                f"<p:sld><a:p><a:r><a:t>Slide one of {k}</a:t></a:r></a:p></p:sld>",
+            "ppt/slides/slide2.xml":
+                f"<p:sld><a:p><a:r><a:t>Bullet {k % 7}</a:t></a:r></a:p></p:sld>",
+            "docProps/core.xml": f"<cp><dc:title>P{k}</dc:title></cp>",
+        })
+
+    def _odt(k: int) -> bytes:
+        return _zip({
+            "content.xml":
+                f"<office:body><text:h>Heading {k}</text:h>"
+                f"<text:p>Body <text:span>text {k % 5}</text:span></text:p>"
+                "</office:body>",
+            "meta.xml":
+                f"<office:meta><dc:title>O{k}</dc:title>"
+                f"<meta:initial-creator>oa{k % 2}</meta:initial-creator>"
+                "</office:meta>",
+        })
+
+    def _rtf(k: int) -> bytes:
+        return (
+            b"{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}"
+            + f"{{\\info{{\\title R{k}}}{{\\author ra{k % 5}}}}}".encode()
+            + f"Line one {k}\\par Line two}}".encode()
+        )
+
+    mimes = [
+        "application/vnd.openxmlformats-officedocument"
+        ".spreadsheetml.sheet",
+        "application/vnd.openxmlformats-officedocument"
+        ".presentationml.presentation",
+        "application/vnd.oasis.opendocument.text",
+        "application/rtf",
+    ]
+    builders = [_xlsx, _pptx, _odt, _rtf]
+    payload_struct = StructType([
+        StructField("payload", BinaryType()),
+        StructField("content_type", StringType()),
+    ])
+
+    @F.pandas_udf(payload_struct)
+    def construct(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for k in ids:
+            k = int(k)
+            rows.append({"payload": builders[k % 4](k),
+                         "content_type": mimes[k % 4]})
+        return pd.DataFrame(rows, columns=["payload", "content_type"])
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", construct(F.col("doc_id")).alias("_p")
+    ).select("doc_id", F.col("_p.payload").alias("payload"),
+             F.col("_p.content_type").alias("content_type"))
+    out = extract_document_metadata(docs)
+    return out.select(
+        "doc_id", "doc_format", "doc_text", "doc_pages", "doc_paragraphs",
+        "doc_title", "doc_author", "doc_parse_error",
+    )
+
+
 # ===========================================================================
 # Sharded Bloom seen-set (the 1e10-capable tier) under the correctness gate
 # ===========================================================================
@@ -5323,6 +5458,7 @@ _DRIVER_PRIORITY = [
     "cuckoo_probe_1m",
     "domain_politeness_budget",
     "video_frame_sample",
+    "office_formats_extract",
     # r5 behavior changed under these (partition scaling, skew routing,
     # cuckoo remix) — re-sample the affected gates
     "frontier_fetch_order",

@@ -1,0 +1,85 @@
+"""RIFF/WAVE PCM decoder + integer-exact audio features
+(``functions/audio.py``)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from webarchive_discovery_spark.functions.audio import (
+    audio_features,
+    decode_wav,
+    encode_wav,
+    is_wav,
+    wav_info,
+)
+
+
+def test_pcm16_stereo_round_trip_bit_exact():
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32768, (1000, 2)).astype(np.int16)
+    w = encode_wav(s, 44100)
+    assert is_wav(w)
+    dec, rate = decode_wav(w)
+    assert rate == 44100 and np.array_equal(dec, s)
+    assert wav_info(w) == {"sample_rate": 44100, "channels": 2, "bits": 16,
+                           "n_samples": 1000, "duration_ms": 22,
+                           "codec": "pcm"}
+
+
+def _wav(fmt_payload: bytes, data: bytes, extra_chunks: bytes = b"") -> bytes:
+    payload = (b"WAVE" + extra_chunks
+               + b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+               + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_hand_rolled_spec_wav_8bit_and_unknown_chunk_skip():
+    """Written field-by-field from the spec (NOT via encode_wav): unsigned
+    8-bit PCM rescales exactly to int16, and an unknown chunk before
+    ``fmt `` is skipped by declared size."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    w = _wav(fmt, bytes([128, 255, 0, 128]), extra_chunks=junk)
+    dec, rate = decode_wav(w)
+    assert rate == 8000
+    assert list(dec[:, 0]) == [0, 127 * 256, -128 * 256, 0]
+
+
+def test_wave_format_extensible_resolves_to_pcm():
+    sub = struct.pack("<H", 1) + b"\0" * 14  # PCM subformat GUID prefix
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+           + struct.pack("<H", 22) + struct.pack("<HI", 16, 1) + sub)
+    s = np.array([1, -2, 3], dtype="<i2").tobytes()
+    dec, rate = decode_wav(_wav(fmt, s))
+    assert list(dec[:, 0]) == [1, -2, 3]
+    assert wav_info(_wav(fmt, s))["codec"] == "pcm"
+
+
+def test_features_integer_exact():
+    mono = np.array([0, 5, -3, 0, 2, -2], dtype=np.int16)
+    assert audio_features(mono, 1000) == {
+        "n_samples": 6, "duration_ms": 6, "peak_abs": 5, "energy": 42,
+        "zero_crossings": 3,
+    }
+    # full-scale negative squares must not overflow int16/int32
+    full = np.array([-32768, 32767], dtype=np.int16)
+    f = audio_features(full, 8000)
+    assert f["energy"] == 32768**2 + 32767**2 and f["peak_abs"] == 32768
+
+
+def test_malformed_inputs_raise_for_per_record_recovery():
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3\x03" + b"\0" * 20)  # mp3: honest no
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt
+    fmt_float = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    with pytest.raises(ValueError):
+        decode_wav(_wav(fmt_float, b"\0" * 8))  # float PCM unsupported
+    # truncated data chunk is clamped, not fatal
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", 100) + b"\x01\x00\x02\x00")
+    w = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    dec, _ = decode_wav(w)
+    assert list(dec[:, 0]) == [1, 2]

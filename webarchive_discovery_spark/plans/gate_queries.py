@@ -5440,6 +5440,92 @@ def video_frame_sample(spark, sf_dir):
 
 
 # ===========================================================================
+# Audio decode + features (real RIFF/WAVE PCM through the in-repo decoder)
+# ===========================================================================
+
+@q(
+    "audio_features_extract",
+    """
+    WITH p AS (
+      SELECT doc_id, CAST(doc_id % 97 AS BIGINT) AS base,
+             CAST(300 + (doc_id % 5) * 60 AS BIGINT) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n, i, ((base * 13 + i * 7) % 201) - 100 AS v
+      FROM p, range(540) t(i) WHERE i < n
+    ), z AS (
+      SELECT doc_id, CASE WHEN v > 0 THEN 1 ELSE -1 END AS sgn,
+             LAG(CASE WHEN v > 0 THEN 1 ELSE -1 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM s WHERE v <> 0
+    ), agg AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS INT)                 AS n_samples,
+             CAST(8000 AS INT)                   AS sample_rate,
+             CAST(MAX(n) * 1000 // 8000 AS INT)  AS duration_ms,
+             CAST(MAX(ABS(v)) AS INT)            AS peak_abs,
+             CAST(SUM(v * v) AS BIGINT)          AS energy
+      FROM s GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_samples, a.sample_rate, a.duration_ms, a.peak_abs,
+           a.energy, CAST(COALESCE(zc.c, 0) AS INT) AS zero_crossings
+    FROM agg a LEFT JOIN (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE prev IS NOT NULL AND sgn <> prev) AS c
+      FROM z GROUP BY doc_id) zc USING (doc_id)
+    """,
+)
+def audio_features_extract(spark, sf_dir):
+    """Real audio decode under the value oracle: per document a PCM-16 WAV
+    is muxed from a deterministic integer waveform
+    (``s[i] = (base·13 + 7i) mod 201 − 100``), decoded by the REAL
+    RIFF/WAVE parser (``functions/audio.py``), and integer-exact features
+    (peak, energy = sum of squares, sign-change zero crossings, duration)
+    from the DECODED samples are compared against the oracle's
+    per-sample recomputation over ``range(n)``.  A byte-order, header
+    offset, or channel-interleave bug shifts every feature.  Reference
+    scope: the MIME ladder classifies ``audio/*``
+    (``format_tools/mime.py`` port); sample-level features are the
+    training-pipeline addition."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from ..functions.audio import audio_features, decode_wav, encode_wav
+
+    feat_struct = StructType([
+        StructField("n_samples", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("zero_crossings", IntegerType()),
+    ])
+
+    @F.pandas_udf(feat_struct)
+    def mux_decode(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for k in ids:
+            k = int(k)
+            base, n = k % 97, 300 + (k % 5) * 60
+            i = np.arange(n, dtype=np.int64)
+            wav = encode_wav((((base * 13 + i * 7) % 201) - 100)
+                             .astype(np.int16), 8000)
+            samples, rate = decode_wav(wav)
+            f = audio_features(samples, rate)
+            rows.append({"n_samples": f["n_samples"], "sample_rate": rate,
+                         "duration_ms": f["duration_ms"],
+                         "peak_abs": f["peak_abs"], "energy": f["energy"],
+                         "zero_crossings": f["zero_crossings"]})
+        return pd.DataFrame(rows, columns=[f.name for f in feat_struct.fields])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = docs.select("doc_id", mux_decode(F.col("doc_id")).alias("_f"))
+    return out.select("doc_id", "_f.n_samples", "_f.sample_rate",
+                      "_f.duration_ms", "_f.peak_abs", "_f.energy",
+                      "_f.zero_crossings")
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -5459,6 +5545,7 @@ _DRIVER_PRIORITY = [
     "domain_politeness_budget",
     "video_frame_sample",
     "office_formats_extract",
+    "audio_features_extract",
     # r5 behavior changed under these (partition scaling, skew routing,
     # cuckoo remix) — re-sample the affected gates
     "frontier_fetch_order",

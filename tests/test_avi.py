@@ -114,8 +114,12 @@ def test_sample_video_frames_dispatches_avi_and_every_n():
 def test_malformed_avi_raises_for_per_record_recovery():
     with pytest.raises((ValueError, NotImplementedError)):
         sample_video_frames(b"RIFF\x10\x00\x00\x00AVI LIST\x04\x00\x00\x00hdrl")
+    # mp4 container parses for real now; a moov-less stub is a ValueError,
+    # a modern codec a NotImplementedError (tests/test_mp4.py)
+    with pytest.raises(ValueError):
+        sample_video_frames(b"\x00\x00\x00\x18ftypmp42" + b"\0" * 16)
     with pytest.raises(NotImplementedError):
-        sample_video_frames(b"\x00\x00\x00\x18ftypmp42")  # mp4: honest no
+        sample_video_frames(b"\x1aE\xdf\xa3webm stub")  # webm: honest no
 
 
 def test_sample_frames_operator_over_avi(spark):

@@ -325,13 +325,14 @@ def encode_fake_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
 def sample_video_frames(data: bytes, every_n: int = 1) -> list[tuple[int, np.ndarray]]:
     """Decode every ``every_n``-th frame as (frame_index, rgb).  Real
     containers supported: **animated GIF** (the one animated format web
-    archives hold in bulk — ``functions/gif.py``) and **RIFF/AVI** with
-    MJPEG or uncompressed-DIB video streams (``functions/avi.py``, frames
-    decoded by the in-repo JPEG codec).  mp4/webm raise
-    NotImplementedError — their codecs (H.264/VP9) genuinely cannot ship
-    in this sandbox; the Spark-side plumbing is identical once a demuxer
-    is plugged in.  The deterministic fake container remains for plumbing
-    tests."""
+    archives hold in bulk — ``functions/gif.py``), **RIFF/AVI** with MJPEG
+    or uncompressed-DIB video streams (``functions/avi.py``), and
+    **MP4/MOV** with MJPEG sample formats (``functions/mp4.py`` — full box
+    walk + sample-table resolution; frames decoded by the in-repo JPEG
+    codec).  Modern mp4 codecs and webm raise NotImplementedError naming
+    the codec — H.264/VP9 decoders genuinely cannot ship in this sandbox;
+    the Spark-side plumbing is identical once a codec is plugged in.  The
+    deterministic fake container remains for plumbing tests."""
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import gif_frames
 
@@ -341,10 +342,14 @@ def sample_video_frames(data: bytes, every_n: int = 1) -> list[tuple[int, np.nda
         from .avi import avi_frames
 
         return list(avi_frames(data, every_n=every_n))
+    if data[4:8] == b"ftyp":
+        from .mp4 import mp4_frames
+
+        return list(mp4_frames(data, every_n=every_n))
     if not data.startswith(_FAKE_VIDEO_SIG):
         raise NotImplementedError(
-            "only GIF, AVI (MJPEG/DIB), and the deterministic fake video "
-            "container are decodable here"
+            "only GIF, AVI (MJPEG/DIB), MP4/MOV (MJPEG sample formats), "
+            "and the deterministic fake video container are decodable here"
         )
     n = struct.unpack(">I", data[4:8])[0]
     pos = 8

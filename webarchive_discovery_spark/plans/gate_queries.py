@@ -5439,6 +5439,67 @@ def video_frame_sample(spark, sf_dir):
     )
 
 
+@q(
+    "mp4_metadata_extract",
+    """
+    SELECT doc_id,
+           CAST(16 + 8 * (doc_id % 3) AS INT) AS video_w,
+           CAST(16 AS INT)                    AS video_h,
+           CAST(1 + doc_id % 4 AS INT)        AS n_frames,
+           CAST(5 + doc_id % 10 AS INT)       AS fps,
+           'jpeg'                             AS codec
+    FROM documents
+    """,
+)
+def mp4_metadata_extract(spark, sf_dir):
+    """Real ISO BMFF container parsing under the value oracle: per document
+    an MP4 with a Motion-JPEG track is muxed from doc_id-derived frames
+    (dims, frame count, and fps all parameterized), then ``mp4_info``
+    re-derives them from the box tree alone — tkhd/stsd dims, stsz sample
+    count, mdhd timescale/duration — and the oracle restates the
+    parameters.  A box-offset or fixed-point (16.16) bug shifts the
+    fields.  Pixel-level MJPEG decode is pinned by PSNR tests
+    (``tests/test_mp4.py``); container metadata is exact so it gates here.
+    Reference scope: Tika's container detector
+    (``TikaPayloadAnalyser.java:165-240``)."""
+    import numpy as np
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    from ..functions.mp4 import encode_mp4_mjpeg, mp4_info
+
+    meta_struct = StructType([
+        StructField("video_w", IntegerType()),
+        StructField("video_h", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("codec", StringType()),
+    ])
+
+    @F.pandas_udf(meta_struct)
+    def mux_probe(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for k in ids:
+            k = int(k)
+            w, h, n, fps = 16 + 8 * (k % 3), 16, 1 + k % 4, 5 + k % 10
+            y, x = np.mgrid[0:h, 0:w]
+            frames = [
+                np.stack([(x * 3 + f) % 200, (y * 2) % 200, (x + y) % 200],
+                         axis=-1).astype(np.uint8)
+                for f in range(n)
+            ]
+            info = mp4_info(encode_mp4_mjpeg(frames, fps=fps))
+            rows.append({"video_w": info["width"], "video_h": info["height"],
+                         "n_frames": info["n_frames"], "fps": info["fps"],
+                         "codec": info["codec"]})
+        return pd.DataFrame(rows, columns=[f.name for f in meta_struct.fields])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = docs.select("doc_id", mux_probe(F.col("doc_id")).alias("_m"))
+    return out.select("doc_id", "_m.video_w", "_m.video_h", "_m.n_frames",
+                      "_m.fps", "_m.codec")
+
+
 # ===========================================================================
 # Audio decode + features (real RIFF/WAVE PCM through the in-repo decoder)
 # ===========================================================================
@@ -5546,6 +5607,7 @@ _DRIVER_PRIORITY = [
     "video_frame_sample",
     "office_formats_extract",
     "audio_features_extract",
+    "mp4_metadata_extract",
     # r5 behavior changed under these (partition scaling, skew routing,
     # cuckoo remix) — re-sample the affected gates
     "frontier_fetch_order",

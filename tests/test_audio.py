@@ -83,3 +83,40 @@ def test_malformed_inputs_raise_for_per_record_recovery():
     w = b"RIFF" + struct.pack("<I", len(payload)) + payload
     dec, _ = decode_wav(w)
     assert list(dec[:, 0]) == [1, 2]
+
+
+def test_mp3_id3v2_tags_and_frame_walk():
+    from webarchive_discovery_spark.functions.audio import (
+        encode_mp3_stub,
+        mp3_info,
+    )
+
+    m = encode_mp3_stub(100, 128, 44100, title="Song T", artist="Ann",
+                        album="LP")
+    assert mp3_info(m) == {
+        "title": "Song T", "artist": "Ann", "album": "LP",
+        "bitrate_kbps": 128, "sample_rate": 44100, "n_frames": 100,
+        "duration_ms": 100 * 1152 * 1000 // 44100,
+    }
+    # junk before the first sync word is scanned past; no tag -> None tags
+    j = mp3_info(b"\x00junkjunk" + encode_mp3_stub(3, 192, 48000))
+    assert (j["n_frames"], j["sample_rate"], j["bitrate_kbps"],
+            j["title"]) == (3, 48000, 192, None)
+    with pytest.raises(ValueError):
+        mp3_info(b"RIFFxxxxWAVE")  # no MPEG frame
+
+
+def test_mp3_utf16_tag_and_id3v24_syncsafe_sizes():
+    import struct as st
+
+    from webarchive_discovery_spark.functions.audio import mp3_info
+
+    body = b"\x01" + "Tétra".encode("utf-16")  # enc=1: UTF-16 with BOM
+    frame = b"TIT2" + bytes(((len(body) >> s) & 0x7F)
+                            for s in (21, 14, 7, 0)) + b"\0\0" + body
+    id3 = (b"ID3\x04\x00\x00"
+           + bytes(((len(frame) >> s) & 0x7F) for s in (21, 14, 7, 0))
+           + frame)
+    mpeg = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00])
+    mpeg += b"\0" * ((144 * 128000) // 44100 - 4)
+    assert mp3_info(id3 + mpeg)["title"] == "Tétra"

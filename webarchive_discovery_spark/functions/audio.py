@@ -4,10 +4,12 @@ features (pure stdlib + numpy).
 The multimodal training-data tier treats audio as an opaque binary column
 with typed metadata; WAV/PCM is the one audio format fully decodable
 without codec libraries, so its decode and feature-extraction path is REAL
-here (mp3/ogg/aac stay honest ``NotImplementedError``s — their codecs
-cannot ship in this sandbox).  The reference classifies ``audio/*`` via
-the MIME ladder only (``functions/mime.py`` ports that); sample-level
-features are the training-pipeline addition.
+here.  MP3 gets a real METADATA tier (ID3v2 text tags + MPEG frame-header
+walk, below) while its sample decode — like ogg/aac — stays an honest
+``ValueError``/``NotImplementedError`` (those codecs cannot ship in this
+sandbox).  The reference classifies ``audio/*`` via the MIME ladder only
+(``functions/mime.py`` ports that); sample-level features are the
+training-pipeline addition.
 
 Container: RIFF 'WAVE' with 'fmt ' (PCM format 1 or WAVE_FORMAT_EXTENSIBLE
 0xFFFE wrapping PCM) and 'data' chunks, walked tolerantly like the AVI
@@ -22,7 +24,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_wav", "wav_info", "decode_wav", "audio_features", "is_wav"]
+__all__ = ["encode_wav", "wav_info", "decode_wav", "audio_features", "is_wav",
+           "mp3_info", "encode_mp3_stub"]
 
 _U32 = struct.Struct("<I")
 
@@ -138,3 +141,114 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
         "energy": int((s64 * s64).sum()),
         "zero_crossings": int((nz[1:] != nz[:-1]).sum()) if nz.size else 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio) metadata: ID3v2 tags + frame-header walk — no decode.
+# ``audio/mpeg`` is the most common audio MIME in web archives; its header
+# grammar (ISO 11172-3) and ID3v2 (id3.org spec) are pure-stdlib parseable,
+# so the METADATA tier is real here while sample decode stays an honest
+# ``NotImplementedError`` (an MDCT/huffman decoder cannot ship here).
+# ---------------------------------------------------------------------------
+
+# MPEG1 Layer III bitrate table (kbps), index 1-14
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320)
+_MP3_RATES = (44100, 48000, 32000)  # MPEG1 sample-rate index 0-2
+_ID3_TEXT_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3v2_tags(data: bytes) -> tuple[dict, int]:
+    """Parse leading ID3v2.3/2.4 text frames; returns (tags, body_offset)."""
+    tags: dict = {"title": None, "artist": None, "album": None}
+    if data[:3] != b"ID3" or len(data) < 10:
+        return tags, 0
+    version = data[3]
+    size = _syncsafe(data[6:10])
+    end = min(10 + size, len(data))
+    pos = 10
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if not fid.strip(b"\0"):
+            break  # padding
+        fsz = (_syncsafe(data[pos + 4 : pos + 8]) if version >= 4
+               else struct.unpack(">I", data[pos + 4 : pos + 8])[0])
+        body = data[pos + 10 : pos + 10 + fsz]
+        key = _ID3_TEXT_FRAMES.get(fid)
+        if key and body:
+            enc, text = body[0], body[1:]
+            if enc == 0:
+                tags[key] = text.decode("latin-1", "replace").rstrip("\0") or None
+            elif enc == 1:
+                tags[key] = text.decode("utf-16", "replace").rstrip("\0") or None
+            elif enc == 3:
+                tags[key] = text.decode("utf-8", "replace").rstrip("\0") or None
+        pos += 10 + fsz
+    return tags, end
+
+
+def mp3_info(data: bytes) -> dict:
+    """ID3v2 text tags + MPEG1-Layer-III frame-header walk: title / artist /
+    album / bitrate_kbps (of the first frame) / sample_rate / n_frames /
+    duration_ms (1152 samples per frame).  Frames are walked by computed
+    length (``144 * bitrate / rate + padding``), so a corrupt stream ends
+    the walk instead of failing the record."""
+    data = bytes(data)
+    tags, pos = _id3v2_tags(data)
+    first = None
+    n_frames = 0
+    while pos + 4 <= len(data):
+        if data[pos] == 0xFF and (data[pos + 1] & 0xFE) == 0xFA:
+            # MPEG1 (11 sync + version 11 + layer 01): 0xFFFA/0xFFFB
+            br_idx = data[pos + 2] >> 4
+            sr_idx = (data[pos + 2] >> 2) & 0x3
+            if not (1 <= br_idx <= 14) or sr_idx > 2:
+                break
+            bitrate = _MP3_BITRATES[br_idx] * 1000
+            rate = _MP3_RATES[sr_idx]
+            padding = (data[pos + 2] >> 1) & 0x1
+            if first is None:
+                first = (bitrate, rate)
+            n_frames += 1
+            pos += (144 * bitrate) // rate + padding
+        elif first is None:
+            pos += 1  # scan for first sync word past junk
+        else:
+            break
+    if first is None:
+        raise ValueError("no MPEG audio frame found")
+    bitrate, rate = first
+    return {
+        **tags,
+        "bitrate_kbps": bitrate // 1000,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": (n_frames * 1152 * 1000) // rate,
+    }
+
+
+def encode_mp3_stub(n_frames: int, bitrate_kbps: int = 128,
+                    sample_rate: int = 44100, title: str | None = None,
+                    artist: str | None = None, album: str | None = None) -> bytes:
+    """Header-valid MPEG1-Layer-III stream (frame payloads are zeros — a
+    real encoder cannot ship here) with an ID3v2.3 tag, for exercising the
+    metadata walk end-to-end."""
+    frames = []
+    for k, v in ((b"TIT2", title), (b"TPE1", artist), (b"TALB", album)):
+        if v is not None:
+            body = b"\x03" + v.encode("utf-8")
+            frames.append(k + struct.pack(">I", len(body)) + b"\0\0" + body)
+    tag_body = b"".join(frames)
+    id3 = (b"ID3\x03\x00\x00"
+           + bytes(((len(tag_body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+           + tag_body)
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    flen = (144 * bitrate_kbps * 1000) // sample_rate
+    header = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    frame = header + b"\0" * (flen - 4)
+    return id3 + frame * n_frames

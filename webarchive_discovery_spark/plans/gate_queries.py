@@ -5586,6 +5586,86 @@ def audio_features_extract(spark, sf_dir):
                       "_f.zero_crossings")
 
 
+@q(
+    "mp3_metadata_extract",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 64 WHEN 1 THEN 128
+               WHEN 2 THEN 192 ELSE 320 END     AS kbps,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END                   AS rate,
+             CAST(50 + doc_id % 20 AS INT)      AS nf
+      FROM documents
+    )
+    SELECT doc_id,
+           'T' || CAST(doc_id AS VARCHAR)       AS mp3_title,
+           'A' || CAST(doc_id % 9 AS VARCHAR)   AS mp3_artist,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'LP' || CAST(doc_id % 5 AS VARCHAR) END AS mp3_album,
+           CAST(kbps AS INT)                    AS bitrate_kbps,
+           CAST(rate AS INT)                    AS sample_rate,
+           nf                                   AS n_frames,
+           CAST(nf * 1152 * 1000 // rate AS INT) AS duration_ms
+    FROM p
+    """,
+)
+def mp3_metadata_extract(spark, sf_dir):
+    """Real MPEG-audio metadata under the value oracle: per document a
+    header-valid MP3 (ID3v2.3 UTF-8 text frames + MPEG1-Layer-III frames
+    at a parameterized bitrate/rate/count) is constructed, the frame walk
+    re-derives bitrate/sample-rate/frame-count/duration from the sync
+    headers alone (computed frame lengths, not the construction count),
+    and the oracle restates the parameters.  Reference scope: Tika's
+    ``audio/mpeg`` identification (``TikaPayloadAnalyser.java:165-240``);
+    the tag/duration tier is the training-pipeline addition.  Sample
+    decode stays honestly gated (``functions/audio.py``)."""
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    from ..functions.audio import encode_mp3_stub, mp3_info
+
+    meta_struct = StructType([
+        StructField("mp3_title", StringType()),
+        StructField("mp3_artist", StringType()),
+        StructField("mp3_album", StringType()),
+        StructField("bitrate_kbps", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ])
+    kbps_by = [64, 128, 192, 320]
+    rate_by = [44100, 48000, 32000]
+
+    @F.pandas_udf(meta_struct)
+    def mux_probe(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for k in ids:
+            k = int(k)
+            mp3 = encode_mp3_stub(
+                50 + k % 20, kbps_by[k % 4], rate_by[k % 3],
+                title=f"T{k}", artist=f"A{k % 9}",
+                album=f"LP{k % 5}" if k % 2 == 0 else None,
+            )
+            info = mp3_info(mp3)
+            rows.append({"mp3_title": info["title"],
+                         "mp3_artist": info["artist"],
+                         "mp3_album": info["album"],
+                         "bitrate_kbps": info["bitrate_kbps"],
+                         "sample_rate": info["sample_rate"],
+                         "n_frames": info["n_frames"],
+                         "duration_ms": info["duration_ms"]})
+        return pd.DataFrame(rows, columns=[f.name for f in meta_struct.fields])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = docs.select("doc_id", mux_probe(F.col("doc_id")).alias("_m"))
+    return out.select("doc_id", "_m.mp3_title", "_m.mp3_artist",
+                      "_m.mp3_album", "_m.bitrate_kbps", "_m.sample_rate",
+                      "_m.n_frames", "_m.duration_ms")
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -5608,6 +5688,7 @@ _DRIVER_PRIORITY = [
     "office_formats_extract",
     "audio_features_extract",
     "mp4_metadata_extract",
+    "mp3_metadata_extract",
     # r5 behavior changed under these (partition scaling, skew routing,
     # cuckoo remix) — re-sample the affected gates
     "frontier_fetch_order",

@@ -141,3 +141,13 @@ def test_operator_dispatch_routes_all_office_mimes(spark):
         "x": ("xlsx", "7"), "p": ("pptx", "s"), "o": ("odt", "t"),
         "r": ("rtf", "hi"), "d": ("docx", "w"),
     }
+
+
+def test_zip_entry_listing():
+    from webarchive_discovery_spark.functions.officeformats import zip_extract
+
+    data = _zip({"a/b.txt": "hello", "c.bin": "x" * 100})
+    r = zip_extract(data)
+    assert r == {"text": "a/b.txt\nc.bin", "n_entries": 2,
+                 "total_uncompressed": 105, "parse_error": None}
+    assert zip_extract(b"PK\x03\x04 truncated")["parse_error"] is not None

@@ -33,7 +33,8 @@ import re
 import zipfile
 from html import unescape as _xml_unescape
 
-__all__ = ["xlsx_extract", "pptx_extract", "odt_extract", "rtf_extract"]
+__all__ = ["xlsx_extract", "pptx_extract", "odt_extract", "rtf_extract",
+           "zip_extract"]
 
 from .docformats import TEXT_CAP, _MAX_INPUT
 
@@ -326,6 +327,30 @@ def rtf_extract(data: bytes | None, max_chars: int = TEXT_CAP) -> dict:
         out["text"] = full[:max_chars] or None
         out["title"] = "".join(sinks["title"]).strip() or None
         out["author"] = "".join(sinks["author"]).strip() or None
+    except Exception as e:
+        out["parse_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ZIP entry listing (Tika reports container entries for application/zip)
+# ---------------------------------------------------------------------------
+
+def zip_extract(data: bytes | None, max_entries: int = 10_000) -> dict:
+    """List a ZIP container's entries (the Tika ``application/zip`` tier):
+    newline-joined entry names as the text, plus entry count and total
+    uncompressed size.  Bounded by ``max_entries``."""
+    out = {"text": None, "n_entries": None, "total_uncompressed": None,
+           "parse_error": None}
+    if data is None:
+        out["parse_error"] = "null payload"
+        return out
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(bytes(data[:_MAX_INPUT])))
+        infos = zf.infolist()[:max_entries]
+        out["n_entries"] = len(infos)
+        out["total_uncompressed"] = int(sum(i.file_size for i in infos))
+        out["text"] = "\n".join(i.filename for i in infos)[:TEXT_CAP] or None
     except Exception as e:
         out["parse_error"] = f"{type(e).__name__}: {e}"[:200]
     return out

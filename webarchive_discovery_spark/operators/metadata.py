@@ -279,6 +279,11 @@ def _docformat_one(payload, mime: str | None) -> dict:
         rec.update(doc_format="rtf", doc_text=r["text"],
                    doc_paragraphs=r["n_paragraphs"], doc_title=r["title"],
                    doc_author=r["author"], parse_error=r["parse_error"])
+    elif m.startswith(("application/zip", "application/x-zip")):
+        r = OF.zip_extract(payload)
+        rec.update(doc_format="zip", doc_text=r["text"],
+                   doc_paragraphs=r["n_entries"],
+                   parse_error=r["parse_error"])
     elif m.startswith("image/jpeg") or m.startswith("image/jpg"):
         r = DF.exif_extract(payload)
         rec.update(doc_format="jpeg_exif", exif_make=r["make"],

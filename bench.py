@@ -71,6 +71,11 @@ HEADLINE = [
     "sitemap_parse",
     "lang_id_model_counts",
     "doc_formats_extract",
+    "office_formats_extract",
+    "video_frame_sample",
+    "mp4_metadata_extract",
+    "mp3_metadata_extract",
+    "audio_features_extract",
     "entity_extract_model",
     "token_stats",
     "bpe_token_stats",

@@ -306,9 +306,11 @@ def extract_document_metadata(
 ) -> DataFrame:
     """Deep-format extraction for the formats the reference routes through
     Tika (``TikaPayloadAnalyser.java:165-414``): real minimal parsers for
-    PDF text/info, DOCX text/core-properties, and JPEG EXIF — pure-stdlib
-    kernels (``functions/docformats.py``), MIME-dispatched inside ONE Arrow
-    struct UDF (one Python stage, no shuffle, no per-format pass).
+    PDF text/info, DOCX/XLSX/PPTX/ODT/RTF text + core properties, ZIP
+    entry listings, and JPEG EXIF — pure-stdlib kernels
+    (``functions/docformats.py``, ``functions/officeformats.py``),
+    MIME-dispatched inside ONE Arrow struct UDF (one Python stage, no
+    shuffle, no per-format pass).
     Unhandled MIME types get ``doc_format='unsupported'`` with every field
     null; per-record failures land in ``doc_parse_error`` (the
     ``addParseException`` recovery contract)."""

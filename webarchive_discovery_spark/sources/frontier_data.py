@@ -116,12 +116,33 @@ def _caption_for(rng: np.random.Generator) -> str:
 
 
 def expected_pixels(k: int, seed: int = 42) -> tuple[np.ndarray, str]:
-    """Re-derive the source pixel array + fmt for record ``k``."""
+    """Re-derive the source pixel array + fmt for record ``k``.
+
+    Lossless records (png/bmp) are iid noise — round trips must be
+    bit-exact regardless of content.  Lossy records (jpeg) are structured
+    low-frequency fields (gradients + sinusoid + ±2 dither), the content
+    class the PSNR≥40dB invariant is defined over: an iid-noise field has
+    no spectral structure for ANY real JPEG codec to preserve at 40 dB
+    (the in-repo codec measures 42-67 dB on the reference's photo corpus
+    and ~36 dB on noise — as does libjpeg)."""
     rng = np.random.default_rng(seed * 1_000_003 + k)
     w = int(rng.integers(8, 33))
     h = int(rng.integers(8, 33))
-    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     fmt = _FMTS[k % len(_FMTS)]
+    if fmt == "jpeg":
+        yy, xx = np.mgrid[0:h, 0:w]
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for c in range(3):
+            gx, gy = rng.uniform(-3, 3, 2)
+            amp = rng.uniform(10, 40)
+            phase = rng.uniform(0, 6.28318)
+            base = rng.uniform(60, 195)
+            plane = (base + gx * xx + gy * yy
+                     + amp * np.sin(xx / 5.0 + yy / 7.0 + phase))
+            plane = plane + rng.integers(-2, 3, (h, w))
+            out[:, :, c] = np.clip(plane, 0, 255).astype(np.uint8)
+        return out, fmt
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     return rgb, fmt
 
 

@@ -72,6 +72,7 @@ HEADLINE = [
     "lang_id_model_counts",
     "doc_formats_extract",
     "office_formats_extract",
+    "droid_identify",
     "video_frame_sample",
     "mp4_metadata_extract",
     "mp3_metadata_extract",

@@ -192,6 +192,17 @@ class TestResolution:
         assert identify_bytes(wav)["puid"] == "fmt/6"
         assert identify_bytes(avi)["puid"] == "fmt/5"
 
+    def test_tiff_both_endians(self):
+        assert identify_bytes(b"II*\x00" + b"\x08\x00\x00\x00")["puid"] == "fmt/353"
+        assert identify_bytes(b"MM\x00*" + b"\x00\x00\x00\x08")["puid"] == "fmt/353"
+
+    def test_bmp_v3(self):
+        hdr = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+               + struct.pack("<I", 40))  # BITMAPINFOHEADER size 40
+        assert identify_bytes(hdr)["puid"] == "fmt/116"
+        # a BM prefix without the v3 info-header size is not fmt/116
+        assert identify_bytes(b"BM" + b"\x00" * 16)["puid"] is None
+
 
 # ---------------------------------------------------------------------------
 # ZIP container signatures

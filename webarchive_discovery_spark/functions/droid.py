@@ -269,6 +269,10 @@ PRONOM_REGISTRY: tuple[FormatSig, ...] = (
               bof="494433"),
     FormatSig("fmt/134", "MPEG 1/2 Audio Layer 3", "audio/mpeg",
               bof="FF(FB|FA|F3|F2|E3|E2)"),
+    FormatSig("fmt/353", "Tagged Image File Format", "image/tiff",
+              bof="(49492A00|4D4D002A)"),
+    FormatSig("fmt/116", "Windows Bitmap 3.0", "image/bmp",
+              bof="424D{12}28000000"),
     FormatSig("fmt/101", "Extensible Markup Language 1.0", "text/xml",
               bof="3C3F786D6C", bof_max_offset=3),
     FormatSig("fmt/96", "Hypertext Markup Language", "text/html",

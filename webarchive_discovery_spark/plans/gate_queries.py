@@ -5478,10 +5478,17 @@ def mp4_metadata_extract(spark, sf_dir):
 
     @F.pandas_udf(meta_struct)
     def mux_probe(ids: pd.Series) -> pd.DataFrame:
-        rows = []
-        for k in ids:
-            k = int(k)
-            w, h, n, fps = 16 + 8 * (k % 3), 16, 1 + k % 4, 5 + k % 10
+        # the mux parameters take only 3*4*10 distinct combos — memoize the
+        # real mux->demux round trip per combo (each distinct container is
+        # still genuinely encoded and re-parsed; identical inputs aren't).
+        # plain-dict cache: lru_cache wrappers don't cloudpickle.
+        cache: dict = {}
+
+        def _probe(w: int, h: int, n: int, fps: int) -> tuple:
+            key = (w, h, n, fps)
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
             y, x = np.mgrid[0:h, 0:w]
             frames = [
                 np.stack([(x * 3 + f) % 200, (y * 2) % 200, (x + y) % 200],
@@ -5489,9 +5496,16 @@ def mp4_metadata_extract(spark, sf_dir):
                 for f in range(n)
             ]
             info = mp4_info(encode_mp4_mjpeg(frames, fps=fps))
-            rows.append({"video_w": info["width"], "video_h": info["height"],
-                         "n_frames": info["n_frames"], "fps": info["fps"],
-                         "codec": info["codec"]})
+            cache[key] = (info["width"], info["height"], info["n_frames"],
+                          info["fps"], info["codec"])
+            return cache[key]
+
+        rows = []
+        for k in ids:
+            k = int(k)
+            vals = _probe(16 + 8 * (k % 3), 16, 1 + k % 4, 5 + k % 10)
+            rows.append(dict(zip(
+                ("video_w", "video_h", "n_frames", "fps", "codec"), vals)))
         return pd.DataFrame(rows, columns=[f.name for f in meta_struct.fields])
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")

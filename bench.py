@@ -73,6 +73,8 @@ HEADLINE = [
     "doc_formats_extract",
     "office_formats_extract",
     "droid_identify",
+    "chem_entities_extract",
+    "pdfa_preflight",
     "video_frame_sample",
     "mp4_metadata_extract",
     "mp3_metadata_extract",

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "extract_entities",
+    "extract_chemical_entities",
     "entity_frequencies",
     "register_ner_model",
     "NER_MODELS",
@@ -143,4 +144,20 @@ def entity_frequencies(
     return ents.groupBy("entity_type", "entity").agg(
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_mentions"),
+    )
+
+
+def extract_chemical_entities(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """OSCAR4-contract chemistry NER: exploded ``(id, entity)`` rows where
+    ``entity`` is ``OSCAR4:MATCH:<surface>`` or ``OSCAR4:STD_INCHI:<inchi>``
+    — the exact unique strings the reference adds to the Tika metadata
+    list (``Oscar4TextAnalyser.java:63-85``).  One Arrow pass
+    (``functions/chemner.py``); the explode stays JVM-side."""
+    from ..functions.chemner import chem_entities_udf
+
+    ents = chem_entities_udf()
+    return df.select(
+        F.col(id_col), F.explode(ents(F.col(text_col))).alias("entity")
     )

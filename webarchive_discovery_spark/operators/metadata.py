@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 from ..functions.markup import PARSE_TIMEOUT_S, Deadline, markup_scan_guard
 
 __all__ = ["extract_html_metadata", "extract_document_metadata",
+           "preflight_pdfa",
            "METADATA_STRUCT", "DOCFORMAT_STRUCT", "TEXT_CAP"]
 
 TEXT_CAP = 512 * 1024  # SolrRecordFactory.DEFAULT_CONTENT_MAX_LENGTH
@@ -332,3 +333,22 @@ def extract_document_metadata(
         name = "doc_parse_error" if c == "parse_error" else c
         out = out.withColumn(name, F.col(f"_doc.{c}"))
     return out.drop("_doc")
+
+
+def preflight_pdfa(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """PDF/A-1b preflight-lite over raw PDF payloads: adds the reference's
+    two Solr fields — ``pdf_pdfa_is_valid`` (string ``"true"``/``"false"``)
+    and ``pdf_pdfa_errors`` (unique, sorted ``"code : details"`` strings) —
+    ``PDFAnalyser.java:82-122`` / ``SolrFields.java:96-97``.  ONE
+    Arrow-batched struct UDF (``functions/preflight.py``), no per-row
+    Python; the reference's 30 s ``TimeLimiter`` guard is unnecessary here
+    because the kernel is a bounded linear scan."""
+    from ..functions.preflight import preflight_udf
+
+    kernel = preflight_udf()
+    out = df.withColumn("_pf", kernel(F.col(payload_col)))
+    return (
+        out.withColumn("pdf_pdfa_is_valid", F.col("_pf.pdf_pdfa_is_valid"))
+        .withColumn("pdf_pdfa_errors", F.col("_pf.pdf_pdfa_errors"))
+        .drop("_pf")
+    )

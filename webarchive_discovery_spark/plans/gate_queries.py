@@ -5859,6 +5859,148 @@ def droid_identify(spark, sf_dir):
                       F.col("droid.method").alias("method"))
 
 
+@q(
+    "chem_entities_extract",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'acetone' WHEN 1 THEN 'ethanol'
+               WHEN 2 THEN 'benzene' WHEN 3 THEN 'methanol'
+               WHEN 4 THEN 'toluene' WHEN 5 THEN 'phenol'
+               WHEN 6 THEN 'ammonia' ELSE 'ethylene' END AS chem,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'InChI=1S/C3H6O/c1-3(2)4/h1-2H3'
+               WHEN 1 THEN 'InChI=1S/C2H6O/c1-2-3/h3H,2H2,1H3'
+               WHEN 2 THEN 'InChI=1S/C6H6/c1-2-4-6-5-3-1/h1-6H'
+               WHEN 3 THEN 'InChI=1S/CH4O/c1-2/h2H,1H3'
+               WHEN 4 THEN 'InChI=1S/C7H8/c1-7-5-3-2-4-6-7/h2-6H,1H3'
+               WHEN 5 THEN 'InChI=1S/C6H6O/c7-6-4-2-1-3-5-6/h1-5,7H'
+               WHEN 6 THEN 'InChI=1S/H3N/h1H3'
+               ELSE 'InChI=1S/C2H4/c1-2/h1-2H2' END AS inchi
+      FROM documents
+    )
+    SELECT doc_id, 'OSCAR4:MATCH:' || chem AS entity FROM c
+    UNION ALL
+    SELECT doc_id, 'OSCAR4:STD_INCHI:' || inchi FROM c
+    UNION ALL
+    SELECT doc_id, 'OSCAR4:MATCH:H2SO4' FROM c WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id,
+           'OSCAR4:STD_INCHI:InChI=1S/H2O4S/c1-5(2,3)4/h(H2,1,2,3,4)'
+    FROM c WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'OSCAR4:MATCH:NaCl' FROM c WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'OSCAR4:STD_INCHI:InChI=1S/ClH.Na/h1H;/q;+1/p-1'
+    FROM c WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'OSCAR4:MATCH:butanone' FROM c WHERE doc_id % 4 = 1
+    """,
+)
+def chem_entities_extract(spark, sf_dir):
+    """OSCAR4 chemistry NER under the value oracle: per document a
+    sentence embeds one dictionary chemical (``doc_id % 8``), even docs
+    add a molecular-formula clause (``H2SO4`` + ``NaCl``), and
+    ``doc_id % 4 == 1`` docs add a morphology-only systematic name
+    (``butanone``, MATCH with no structure); the kernel re-derives the
+    exact unique ``OSCAR4:MATCH:`` / ``OSCAR4:STD_INCHI:`` strings the
+    reference emits (``Oscar4TextAnalyser.java:63-85``; its "Hello
+    acetone world!" golden is ported in ``tests/test_chemner.py``)."""
+    from ..operators.entities import extract_chemical_entities
+
+    chems = ["acetone", "ethanol", "benzene", "methanol",
+             "toluene", "phenol", "ammonia", "ethylene"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "text",
+        F.concat(
+            F.lit("Sample "), F.col("doc_id").cast("string"),
+            F.lit(": the "),
+            F.element_at(F.array(*[F.lit(c) for c in chems]),
+                         (F.col("doc_id") % 8 + 1).cast("int")),
+            F.lit(" residue was measured."),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(" Residue H2SO4 and NaCl detected."))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 1,
+                   F.lit(" Trace butanone observed."))
+             .otherwise(F.lit("")),
+        ),
+    )
+    return extract_chemical_entities(docs, "text", "doc_id")
+
+
+@q(
+    "pdfa_preflight",
+    """
+    SELECT doc_id,
+           CASE WHEN CAST(doc_id % 6 AS INT) = 0 THEN 'true' ELSE 'false'
+           END AS pdf_pdfa_is_valid,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN ''
+             WHEN 1 THEN '1.1.1 : PDF/A-1 requires PDF version 1.4 or '
+                         || 'earlier, found 1.7'
+             WHEN 2 THEN '1.4.2 : Encryption dictionary is forbidden '
+                         || 'in PDF/A-1'
+             WHEN 3 THEN '6.2.3 : JavaScript actions are forbidden '
+                         || 'in PDF/A-1'
+             WHEN 4 THEN '1.0.2 : Missing end-of-file marker %%EOF'
+             ELSE '7.1 : Document has no XMP metadata stream; '
+                  || '7.11 : PDF/A OutputIntent is missing'
+           END AS pdfa_errors
+    FROM documents
+    """,
+)
+def pdfa_preflight(spark, sf_dir):
+    """PDF/A preflight-lite under the value oracle: per document a PDF is
+    constructed byte-for-byte with one of six defect mixes (valid /
+    version 1.7 / encrypted / JavaScript action / torn EOF / no XMP+
+    OutputIntent), pushed through ``preflight_pdfa``'s Arrow kernel, and
+    the oracle restates the validity flag and the unique sorted error
+    set.  Reference contract: ``PDFAnalyser.java:82-122`` (the
+    ``pdf_pdfa_is_valid`` string + deduplicated ``pdf_pdfa_errors``),
+    ``ApachePreflightParser.java:88-160`` (syntax-exception path =
+    invalid with collected errors)."""
+    from pyspark.sql.types import BinaryType
+
+    from ..operators.metadata import preflight_pdfa
+
+    def _pdf(k: int) -> bytes:
+        v = k % 6
+        header = b"%PDF-1.7" if v == 1 else b"%PDF-1.4"
+        xmp = (b"" if v == 5 else
+               b"2 0 obj << /Type /Metadata /Subtype /XML >> stream\n"
+               b'<x:xmpmeta xmlns:x="adobe:ns:meta/"></x:xmpmeta>\n'
+               b"endstream endobj\n")
+        intent = (b"" if v == 5 else
+                  b"/OutputIntents [ << /Type /OutputIntent "
+                  b"/S /GTS_PDFA1 >> ] ")
+        extra = b""
+        if v == 2:
+            extra = b"/Encrypt 9 0 R "
+        elif v == 3:
+            extra = (b"/OpenAction << /S /JavaScript "
+                     b"/JS (app.alert(1)) >> ")
+        body = (header + b"\n1 0 obj << /Type /Catalog /Metadata 2 0 R "
+                + intent + b">> endobj\n" + xmp
+                + b"trailer << /Root 1 0 R /ID [<41><41>] " + extra
+                + b">>\n")
+        if v != 4:
+            body += b"%%EOF\n"
+        return body
+
+    @F.pandas_udf(BinaryType())
+    def construct(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda k: _pdf(int(k)))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", construct(F.col("doc_id")).alias("payload"))
+    out = preflight_pdfa(docs, "payload")
+    return out.select(
+        "doc_id", "pdf_pdfa_is_valid",
+        F.array_join("pdf_pdfa_errors", "; ").alias("pdfa_errors"))
+
+
 # ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
@@ -5874,6 +6016,8 @@ _DRIVER_PRIORITY = [
     # rows-only-by-design composition: keep its driver row current
     "training_corpus_build",
     # new gates this round
+    "chem_entities_extract",
+    "pdfa_preflight",
     "droid_identify",
     "bloom_probe_1m",
     "cuckoo_probe_1m",

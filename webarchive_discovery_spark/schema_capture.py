@@ -213,6 +213,7 @@ def extract_capture(
     with_links: bool = False,
     with_metadata: bool = False,
     with_images: bool = False,
+    with_preflight: bool = False,
 ) -> DataFrame:
     """Project a WARC record scan (``WARC_RECORD_SCHEMA``) into the full
     capture document.  One Arrow kernel pass (canonical URL + SURT key) plus
@@ -225,8 +226,12 @@ def extract_capture(
     extracted text.  ``with_images`` runs the image analyser
     (dims/dominant-colour/faces — the ``FaceDetectionAnalyser`` slot) over
     image-MIME records; it needs the raw ``payload_bytes`` column
-    (``warc_records(..., keep_binary=True)``).  Each adds exactly one more
-    Arrow stage — the full WARCIndexer.extract() analog is then scan →
+    (``warc_records(..., keep_binary=True)``).  ``with_preflight`` runs the
+    PDF/A preflight-lite validator over ``application/pdf`` records (the
+    reference's config-keyed ``extractApachePreflightErrors`` —
+    ``PDFAnalyser.java:63-77``) and fills ``pdf_pdfa_is_valid`` /
+    ``pdf_pdfa_errors``; it also needs ``payload_bytes``.  Each adds
+    exactly one more Arrow stage — the full WARCIndexer.extract() analog is then scan →
     vectorized kernels → one projection, still shuffle-free."""
     canon = canonical_struct_udf(F.col("target_uri"))
     crawl_ts = F.to_timestamp(F.col("warc_date"))
@@ -275,6 +280,22 @@ def extract_capture(
         base = base.withColumn(
             "_img", image_analysis_struct_udf()(imagey, served)
         )
+
+    if with_preflight:
+        if "payload_bytes" not in records.columns:
+            raise ValueError(
+                "with_preflight needs the raw payload_bytes column — read "
+                "the archive with warc_records(..., keep_binary=True)"
+            )
+        from .functions.preflight import preflight_udf
+
+        # the reference's shouldProcess gate (PDFAnalyser.java:70-77,
+        # config-keyed extractApachePreflightErrors): only application/pdf
+        # records reach the validator; everything else ships a null and
+        # keeps NULL fields
+        pdfy = F.when(served.startswith("application/pdf"),
+                      F.col("payload_bytes"))
+        base = base.withColumn("_pf", preflight_udf()(pdfy))
 
     _head_hex = _payload_head_hex(has_raw_head="payload_head" in records.columns)
 
@@ -365,6 +386,9 @@ def extract_capture(
                      "image_dominant_colour", "image_faces",
                      "image_faces_count"):
             filled[name] = F.col("_img")[name]
+    if with_preflight:
+        filled["pdf_pdfa_is_valid"] = F.col("_pf.pdf_pdfa_is_valid")
+        filled["pdf_pdfa_errors"] = F.col("_pf.pdf_pdfa_errors")
     if with_links or with_metadata:
         # analyser refusals (scan-cost guard / parse deadline / exceptions)
         # join the multi-valued parse_error field, the reference's

@@ -6002,6 +6002,186 @@ def pdfa_preflight(spark, sf_dir):
 
 
 # ===========================================================================
+# Iceberg-style checkpoint protocol: merge-on-read + equality deletes +
+# epoch time travel, end-to-end through the real CheckpointStore
+# ===========================================================================
+
+@q(
+    "checkpoint_time_travel",
+    """
+    WITH e AS (SELECT DISTINCT event_id FROM events),
+    r1 AS (
+      SELECT CAST(1 AS INT) AS as_of, event_id AS url_hash,
+             CAST(event_id % 3 AS INT) AS first_epoch
+      FROM e
+      WHERE event_id % 3 <= 1
+        AND NOT (event_id % 3 = 0 AND event_id % 5 = 0)
+    ),
+    r2_kept AS (
+      SELECT CAST(2 AS INT) AS as_of, event_id AS url_hash,
+             CAST(event_id % 3 AS INT) AS first_epoch
+      FROM e
+      WHERE NOT (event_id % 3 = 0 AND event_id % 5 = 0)
+    ),
+    r2_reappended AS (
+      SELECT CAST(2 AS INT) AS as_of, event_id AS url_hash,
+             CAST(2 AS INT) AS first_epoch
+      FROM e
+      WHERE event_id % 3 = 0 AND event_id % 5 = 0 AND event_id % 2 = 0
+    )
+    SELECT * FROM r1
+    UNION ALL SELECT * FROM r2_kept
+    UNION ALL SELECT * FROM r2_reappended
+    """,
+)
+def checkpoint_time_travel(spark, sf_dir):
+    """The Iceberg merge-on-read seen-set protocol from the north rule,
+    end-to-end through the real ``CheckpointStore`` (``plans/checkpoint.py``):
+    three epoch snapshots are COMMITTED to disk via the metadata-file
+    protocol (atomic publish + optimistic snapshot log), epoch 1 also
+    commits a ``seen.deletes`` equality-delete file (Iceberg v2 shape)
+    keyed on ``url_hash``, and epoch 2 re-appends half the deleted keys.
+    The gate reads the table back twice with ``read_merged`` — as-of
+    epoch 1 and as-of epoch 2 — asserting the v2 delete semantics: a
+    delete committed at epoch *d* removes rows committed at epochs ≤ *d*,
+    while a later re-append of the same key survives.  The oracle restates
+    both reads arithmetically from the epoch derivation (epoch =
+    ``event_id % 3``, deleted keys = multiples of 15, re-appends = the
+    even ones).  Crash-atomicity, compaction, expiry, stats pruning and
+    conflict retry of the same store are pytest-covered
+    (test_checkpoint_metadata, test_crawl)."""
+    import shutil
+    import tempfile
+
+    from .checkpoint import CheckpointStore
+
+    e = F.col("event_id")
+    base = (
+        _t(spark, sf_dir, "events").select("event_id").distinct()
+        .select(e.alias("url_hash"), (e % 3).cast("int").alias("first_epoch"))
+    )
+    h = F.col("url_hash")
+    root = tempfile.mkdtemp(prefix="wads_ckpt_gate_")
+    try:
+        store = CheckpointStore(root)
+        store.write(0, {"seen": base.filter(F.col("first_epoch") == 0)})
+        deletes = base.filter(
+            (F.col("first_epoch") == 0) & (h % 5 == 0)
+        ).select("url_hash")
+        store.write(
+            1,
+            {"seen": base.filter(F.col("first_epoch") == 1),
+             "seen.deletes": deletes},
+        )
+        reappended = deletes.filter(h % 2 == 0).select(
+            "url_hash", F.lit(2).cast("int").alias("first_epoch"))
+        store.write(
+            2,
+            {"seen": base.filter(F.col("first_epoch") == 2)
+                         .unionByName(reappended)},
+        )
+        legs = [
+            store.read_merged(spark, as_of, "seen", apply_deletes=True)
+            .select(F.lit(as_of).cast("int").alias("as_of"),
+                    "url_hash", "first_epoch")
+            for as_of in (1, 2)
+        ]
+        # pin the result before the store directory is removed: the gate's
+        # output must not lazily re-read files this function cleans up
+        return legs[0].unionByName(legs[1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ===========================================================================
+# Structured Streaming: watermarked windowed aggregation, availableNow
+# ===========================================================================
+
+@q(
+    "streaming_host_counts",
+    """
+    WITH e AS (
+      SELECT 'h' || CAST(user_id % 10 AS VARCHAR) || '.example.org' AS host,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_minutes((event_id % 64) // 5 * 5) AS ws
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + to_minutes(5), '%Y-%m-%d %H:%M:%S') AS window_end,
+           host,
+           count(*) AS n_fetched
+    FROM e
+    GROUP BY window_start, window_end, host
+    """,
+)
+def streaming_host_counts(spark, sf_dir):
+    """The streaming analog of ``HostsReportReducer`` run as a REAL
+    Structured Streaming query (``streaming/dedup_stream.py:
+    windowed_host_counts``): events become a file-source stream, the
+    watermarked 5-minute tumbling window aggregates per host in append
+    mode under an ``availableNow`` trigger, and windows emit exactly once
+    when the watermark passes their end.  A single far-future sentinel row
+    advances the final watermark past every real window so the emitted set
+    is total and deterministic; the sentinel's own window stays open and
+    never emits, which is itself part of the asserted semantics.  The
+    oracle recomputes the closed windows as a batch aggregate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType)
+
+    from ..streaming.dedup_stream import windowed_host_counts
+
+    ev = _t(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    fetches = ev.select(
+        F.col("event_id").alias("fetch_id"),
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        (t0 + F.make_interval(mins=(F.col("event_id") % 64).cast("int")))
+        .alias("discovered_at"),
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).alias("fetch_id"),
+        F.lit("zz.sentinel.example.org").alias("host"),
+        F.lit("2024-01-02 00:00:00").cast("timestamp").alias("discovered_at"),
+    )
+    root = tempfile.mkdtemp(prefix="wads_stream_gate_")
+    try:
+        indir = root + "/in"
+        fetches.unionByName(sentinel).write.mode("overwrite").parquet(indir)
+        schema = StructType([
+            StructField("fetch_id", LongType()),
+            StructField("host", StringType()),
+            StructField("discovered_at", TimestampType()),
+        ])
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q_ = (
+            windowed_host_counts(stream, window="5 minutes",
+                                 watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(300)
+        out = spark.read.parquet(root + "/out").select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_end"),
+            "host",
+            "n_fetched",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -6016,6 +6196,8 @@ _DRIVER_PRIORITY = [
     # rows-only-by-design composition: keep its driver row current
     "training_corpus_build",
     # new gates this round
+    "checkpoint_time_travel",
+    "streaming_host_counts",
     "chem_entities_extract",
     "pdfa_preflight",
     "droid_identify",

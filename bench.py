@@ -96,6 +96,8 @@ HEADLINE = [
     "frontier_canonicalize",
     "url_seen_antijoin",
     "frontier_fetch_order",
+    "checkpoint_time_travel",
+    "streaming_host_counts",
 ]
 
 

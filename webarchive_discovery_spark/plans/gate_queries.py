@@ -6182,6 +6182,229 @@ def streaming_host_counts(spark, sf_dir):
 
 
 # ===========================================================================
+# End-to-end multi-epoch crawl loop: the full run_crawl composition under
+# one oracle (BFS frontier expansion, URL-seen dedup, robots, politeness
+# slots, retry backoff, delayed carryover, deterministic global fetch order)
+# ===========================================================================
+
+@q(
+    "crawl_two_epochs",
+    """
+    WITH ev AS (SELECT DISTINCT event_id AS n FROM events),
+    u AS (SELECT count(*) AS cnt FROM ev),
+    univ AS (
+      SELECT n,
+             'h' || lpad(CAST(n % 12 AS VARCHAR), 2, '0')
+               || '.example.org' AS host,
+             '(org,example,h' || lpad(CAST(n % 12 AS VARCHAR), 2, '0')
+               || ',)/img/' || CAST(n AS VARCHAR) || '.html' AS url_key,
+             (n % 12) % 4 = 0 AS denied,
+             n % 7 = 3 AS missing
+      FROM ev
+    ),
+    f0 AS (
+      SELECT univ.*, 0 AS hops, 0 AS retries, CAST(1 AS BIGINT) AS inlinks,
+             1.0 + log10(2.0) / 4 AS priority
+      FROM univ WHERE n % 5 = 0
+    ),
+    s0 AS (
+      SELECT *,
+             CAST(sum(CASE WHEN denied THEN 0 ELSE 1 END) OVER (
+               PARTITION BY host ORDER BY priority DESC, url_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS host_slot
+      FROM f0
+    ),
+    st0 AS (
+      SELECT *,
+             CASE WHEN denied THEN 'robots_denied'
+                  WHEN host_slot > 10 THEN 'delayed'
+                  WHEN missing THEN 'fetch_error'
+                  ELSE 'fetched' END AS status,
+             least(3, CAST(floor(priority * 2) AS INT)) AS band
+      FROM s0
+    ),
+    seq0 AS (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY band DESC, host_slot, url_key) AS BIGINT) AS fetch_seq
+      FROM st0 WHERE NOT denied AND host_slot <= 10
+    ),
+    log0 AS (
+      SELECT 0 AS epoch, n, host, status, hops, retries, inlinks,
+             fetch_seq, host_slot, priority
+      FROM seq0
+      UNION ALL
+      SELECT 0, n, host, status, hops, retries, inlinks,
+             CAST(NULL AS BIGINT), host_slot, priority
+      FROM st0 WHERE status IN ('delayed', 'robots_denied')
+    ),
+    fetched0 AS (SELECT n FROM seq0 WHERE status = 'fetched'),
+    exp1 AS (
+      SELECT (f.n * 3 + 1) % u.cnt AS n, 1 AS hops, 0 AS retries
+      FROM fetched0 f, u
+      UNION ALL
+      SELECT (f.n * 3 + 4) % u.cnt, 1, 0 FROM fetched0 f, u
+      UNION ALL
+      SELECT n, hops, retries FROM st0 WHERE status = 'delayed'
+      UNION ALL
+      SELECT n, hops, retries + 1 FROM seq0 WHERE status = 'fetch_error'
+    ),
+    dd1 AS (
+      SELECT n, min(hops) AS hops, max(retries) AS retries,
+             count(*) AS inlinks
+      FROM exp1 GROUP BY n
+    ),
+    j1 AS (
+      SELECT d.n, d.hops, d.retries, d.inlinks, univ.host, univ.url_key,
+             univ.denied, univ.missing,
+             EXISTS (SELECT 1 FROM fetched0 f WHERE f.n = d.n) AS is_dup
+      FROM dd1 d JOIN univ ON univ.n = d.n
+    ),
+    new1 AS (
+      SELECT *, 1.0 / (1 + hops) + log10(1.0 + inlinks) / 4
+                - 0.3 * retries AS priority
+      FROM j1 WHERE NOT is_dup
+    ),
+    s1 AS (
+      SELECT *,
+             CAST(sum(CASE WHEN denied THEN 0 ELSE 1 END) OVER (
+               PARTITION BY host ORDER BY priority DESC, url_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS host_slot
+      FROM new1
+    ),
+    st1 AS (
+      SELECT *,
+             CASE WHEN denied THEN 'robots_denied'
+                  WHEN host_slot > 10 THEN 'delayed'
+                  WHEN missing THEN 'fetch_error'
+                  ELSE 'fetched' END AS status,
+             least(3, CAST(floor(priority * 2) AS INT)) AS band
+      FROM s1
+    ),
+    seq1 AS (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY band DESC, host_slot, url_key) AS BIGINT) AS fetch_seq
+      FROM st1 WHERE NOT denied AND host_slot <= 10
+    ),
+    log1 AS (
+      SELECT 1 AS epoch, n, host, status, hops, retries, inlinks,
+             fetch_seq, host_slot, priority
+      FROM seq1
+      UNION ALL
+      SELECT 1, n, host, status, hops, retries, inlinks,
+             CAST(NULL AS BIGINT), host_slot, priority
+      FROM st1 WHERE status IN ('delayed', 'robots_denied')
+      UNION ALL
+      SELECT 1, n, host, 'dup_seen', hops, retries, inlinks,
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS DOUBLE)
+      FROM j1 WHERE is_dup
+    )
+    SELECT CAST(epoch AS INT) AS epoch, n, host, status,
+           CAST(hops AS INT) AS hops, CAST(retries AS INT) AS retries,
+           CAST(inlinks AS BIGINT) AS inlinks, fetch_seq, host_slot,
+           round(priority, 6) AS priority
+    FROM (SELECT * FROM log0 UNION ALL SELECT * FROM log1)
+    """,
+)
+def crawl_two_epochs(spark, sf_dir):
+    """The ENTIRE crawl loop (``plans/crawl.py:run_crawl``) as one oracled
+    composition: two epochs of canonicalize → url_hash dedup → Bloom-
+    prefiltered URL-seen anti-join → robots → retry-penalized priority →
+    per-host politeness slots → banded deterministic global fetch order →
+    REAL image fetch simulation (in-repo BMP decode validating dims) →
+    seen-delta → frontier expansion (outlinks + delayed carryover + retry
+    backoff).  The record store gives every URL a real 4×4 BMP except ids
+    ≡3 (mod 7), whose candidates surface as ``fetch_error`` and re-enter
+    epoch 1 with ``retries=1`` and the 0.3 priority penalty; hosts ≡0
+    (mod 4) deny ``/img/`` outright; a 10-slot budget forces delayed
+    carryover; epoch-1 rediscoveries of epoch-0 fetches come out
+    ``dup_seen``.  The oracle replays both epochs as chained CTEs — BFS
+    edges ``n → (3n+1, 3n+4) mod U``, the conditional politeness window,
+    and the retry/carryover recurrence restated arithmetically.  Reference
+    anchors: ``PersistLogMapper.java:99-143`` (fetch history),
+    ``MDXReduplicatingReducer.java:72-152`` (URL-seen),
+    ``ArchiveCDXGenerator.java:208-215`` (total-order scheduling)."""
+    import numpy as np
+
+    from ..functions.imaging import encode_image
+    from ..sources.frontier_data import FRONTIER_SCHEMA
+    from .crawl import CrawlConfig, run_crawl
+
+    ev = _t(spark, sf_dir, "events").select("event_id").distinct()
+    n_univ = ev.count()
+    e = F.col("event_id")
+
+    def url_of(col):
+        lbl = F.lpad((col % 12).cast("string"), 2, "0")
+        return F.concat(F.lit("http://h"), lbl, F.lit(".example.org/img/"),
+                        col.cast("string"), F.lit(".html"))
+
+    seeds = ev.filter(e % 5 == 0).select(
+        url_of(e).alias("url"), F.lit(0).alias("hops"))
+    link_graph = ev.select(
+        url_of(e).alias("src_url"),
+        url_of((e * 3 + 1) % n_univ).alias("dst_url"),
+    ).unionByName(ev.select(
+        url_of(e).alias("src_url"),
+        url_of((e * 3 + 4) % n_univ).alias("dst_url"),
+    ))
+    robots_rows = []
+    for i in range(12):
+        host = f"h{i:02d}.example.org"
+        delay = 100 * (i % 3 + 1)
+        if i % 4 == 0:
+            robots_rows.append((host, "deny", "/img/", delay))
+        else:
+            robots_rows.append((host, "allow", "/", delay))
+    robots_rules = spark.createDataFrame(
+        robots_rows,
+        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
+    )
+
+    ids = ev.filter(e % 7 != 3).select(e.alias("k"))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for k in pdf["k"].astype("int64"):
+                k = int(k)
+                rgb = ((k * 17 + np.arange(48) * 3) % 256).astype(
+                    np.uint8).reshape(4, 4, 3)
+                rows.append({
+                    "image_id": f"img-{k:09d}",
+                    "bytes": encode_image(rgb, "bmp"),
+                    "w": 4, "h": 4, "fmt": "bmp",
+                    "caption": f"cap {k}", "phash": 0,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRONTIER_SCHEMA.fields])
+
+    records = ids.mapInPandas(gen, FRONTIER_SCHEMA)
+
+    cfg = CrawlConfig(epochs=2, host_budget=10, max_retries=1,
+                      retry_penalty=0.3)
+    res = run_crawl(spark, records, seeds, link_graph, robots_rules, cfg)
+    log = res["crawl_log"]
+    return log.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.regexp_extract("url_norm", r"/img/(\d+)\.html", 1)
+        .cast("long").alias("n"),
+        "host",
+        "status",
+        F.col("hops").cast("int").alias("hops"),
+        F.col("retries").cast("int").alias("retries"),
+        F.col("inlinks").cast("long").alias("inlinks"),
+        F.col("fetch_seq").cast("long").alias("fetch_seq"),
+        F.col("host_slot").cast("long").alias("host_slot"),
+        F.round("priority", 6).alias("priority"),
+    )
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -6196,6 +6419,7 @@ _DRIVER_PRIORITY = [
     # rows-only-by-design composition: keep its driver row current
     "training_corpus_build",
     # new gates this round
+    "crawl_two_epochs",
     "checkpoint_time_travel",
     "streaming_host_counts",
     "chem_entities_extract",

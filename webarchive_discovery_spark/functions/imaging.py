@@ -255,9 +255,60 @@ def image_dims(data: bytes) -> tuple[int, int] | None:
             from .gif import gif_dims
 
             return gif_dims(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return _webp_dims(data)
+        if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
+            # ICO: first directory entry; 0 encodes 256
+            return (data[6] or 256, data[7] or 256)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            return _tiff_dims(data)
     except Exception:
         return None
     return None
+
+
+def _webp_dims(data: bytes) -> tuple[int, int] | None:
+    """WebP container dims from the first chunk: VP8X (extended canvas),
+    VP8L (lossless bitstream), or VP8 (lossy key frame)."""
+    tag = data[12:16]
+    if tag == b"VP8X":
+        w = 1 + int.from_bytes(data[24:27], "little")
+        h = 1 + int.from_bytes(data[27:30], "little")
+        return w, h
+    if tag == b"VP8L" and data[20] == 0x2F:
+        b = data[21:25]
+        w = 1 + (((b[1] & 0x3F) << 8) | b[0])
+        h = 1 + (((b[3] & 0x0F) << 10) | (b[2] << 2) | ((b[1] & 0xC0) >> 6))
+        return w, h
+    if tag == b"VP8 " and data[23:26] == b"\x9d\x01\x2a":
+        w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+        return w, h
+    return None
+
+
+def _tiff_dims(data: bytes) -> tuple[int, int] | None:
+    """TIFF dims from the first IFD (tags 256/257, SHORT or LONG)."""
+    end = "<" if data[:2] == b"II" else ">"
+    off = struct.unpack(end + "I", data[4:8])[0]
+    if off + 2 > len(data):
+        return None
+    n = struct.unpack(end + "H", data[off:off + 2])[0]
+    w = h = None
+    for i in range(min(n, 512)):
+        base = off + 2 + i * 12
+        if base + 12 > len(data):
+            break
+        tag, typ = struct.unpack(end + "HH", data[base:base + 4])
+        if tag in (256, 257):
+            v = (struct.unpack(end + "H", data[base + 8:base + 10])[0]
+                 if typ == 3 else
+                 struct.unpack(end + "I", data[base + 8:base + 12])[0])
+            if tag == 256:
+                w = v
+            else:
+                h = v
+    return (w, h) if w and h else None
 
 
 def average_hash(rgb: np.ndarray) -> int:

@@ -34,7 +34,7 @@ import zipfile
 from html import unescape as _xml_unescape
 
 __all__ = ["xlsx_extract", "pptx_extract", "odt_extract", "rtf_extract",
-           "zip_extract"]
+           "zip_extract", "epub_extract"]
 
 from .docformats import TEXT_CAP, _MAX_INPUT
 
@@ -351,6 +351,71 @@ def zip_extract(data: bytes | None, max_entries: int = 10_000) -> dict:
         out["n_entries"] = len(infos)
         out["total_uncompressed"] = int(sum(i.file_size for i in infos))
         out["text"] = "\n".join(i.filename for i in infos)[:TEXT_CAP] or None
+    except Exception as e:
+        out["parse_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EPUB (OCF container: META-INF/container.xml → OPF package → spine XHTML)
+# ---------------------------------------------------------------------------
+
+_ROOTFILE = re.compile(r'<rootfile[^>]*full-path="([^"]+)"')
+_DC_LANG = re.compile(r"<dc:language[^>]*>(.*?)</dc:language>", re.S)
+_MANIFEST_ITEM = re.compile(r"<item\b[^>]*/?>", re.S)
+_ATTR_ID = re.compile(r'\bid="([^"]+)"')
+_ATTR_HREF = re.compile(r'\bhref="([^"]+)"')
+_ITEMREF = re.compile(r'<itemref[^>]*\bidref="([^"]+)"')
+_BODY = re.compile(r"<body\b[^>]*>(.*?)</body>", re.S | re.I)
+
+
+def epub_extract(data: bytes | None, max_chars: int = TEXT_CAP) -> dict:
+    """Extract an EPUB (OCF/OPF): Dublin Core title/creator/language from
+    the package document located via ``META-INF/container.xml``, spine
+    length, and the spine XHTML documents' tag-stripped text in reading
+    order.  Returns ``{text, n_spine, title, author, language,
+    parse_error}`` — the fields Tika's EpubParser surfaces."""
+    out = {"text": None, "n_spine": None, "title": None, "author": None,
+           "language": None, "parse_error": None}
+    if data is None:
+        out["parse_error"] = "null payload"
+        return out
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(bytes(data[:_MAX_INPUT])))
+        container = zf.read("META-INF/container.xml").decode("utf-8", "replace")
+        m = _ROOTFILE.search(container)
+        if m is None:
+            out["parse_error"] = "container.xml has no rootfile"
+            return out
+        opf_path = m.group(1)
+        opf = zf.read(opf_path).decode("utf-8", "replace")
+        mt, mc = _CORE_TITLE.search(opf), _CORE_CREATOR.search(opf)
+        ml = _DC_LANG.search(opf)
+        out["title"] = (_xml_unescape(mt.group(1)).strip() or None) if mt else None
+        out["author"] = (_xml_unescape(mc.group(1)).strip() or None) if mc else None
+        out["language"] = (_xml_unescape(ml.group(1)).strip() or None) if ml else None
+        base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+        hrefs = {}
+        for item in _MANIFEST_ITEM.finditer(opf):
+            mid, mh = _ATTR_ID.search(item.group(0)), _ATTR_HREF.search(item.group(0))
+            if mid and mh:
+                hrefs[mid.group(1)] = mh.group(1)
+        spine = [hrefs[r] for r in _ITEMREF.findall(opf) if r in hrefs]
+        out["n_spine"] = len(spine)
+        texts = []
+        for href in spine:
+            try:
+                doc = zf.read(base + href).decode("utf-8", "replace")
+            except KeyError:
+                continue
+            body = _BODY.search(doc)
+            raw = body.group(1) if body else doc
+            txt = " ".join(_xml_unescape(_TAG.sub(" ", raw)).split())
+            if txt:
+                texts.append(txt)
+            if sum(len(t) for t in texts) > max_chars:
+                break
+        out["text"] = "\n".join(texts)[:max_chars] or None
     except Exception as e:
         out["parse_error"] = f"{type(e).__name__}: {e}"[:200]
     return out

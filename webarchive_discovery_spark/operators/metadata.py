@@ -280,6 +280,24 @@ def _docformat_one(payload, mime: str | None) -> dict:
         rec.update(doc_format="rtf", doc_text=r["text"],
                    doc_paragraphs=r["n_paragraphs"], doc_title=r["title"],
                    doc_author=r["author"], parse_error=r["parse_error"])
+    elif m.startswith("application/epub"):
+        r = OF.epub_extract(payload)
+        rec.update(doc_format="epub", doc_text=r["text"],
+                   doc_pages=r["n_spine"], doc_title=r["title"],
+                   doc_author=r["author"], doc_producer=r["language"],
+                   parse_error=r["parse_error"])
+    elif m.startswith(("application/msword", "application/vnd.ms-excel",
+                       "application/vnd.ms-powerpoint",
+                       "application/x-ole-storage",
+                       "application/x-tika-msoffice")):
+        from ..functions.ole2 import ole2_extract
+
+        r = ole2_extract(payload)
+        rec.update(doc_format="ole2",
+                   doc_text="\n".join(r["streams"] or []) or None,
+                   doc_paragraphs=r["n_streams"], doc_title=r["title"],
+                   doc_author=r["author"], doc_producer=r["app_name"],
+                   parse_error=r["parse_error"])
     elif m.startswith(("application/zip", "application/x-zip")):
         r = OF.zip_extract(payload)
         rec.update(doc_format="zip", doc_text=r["text"],

@@ -6405,6 +6405,116 @@ def crawl_two_epochs(spark, sf_dir):
 
 
 # ===========================================================================
+# Legacy-container Tika tier: OLE2/CFBF (.doc-shaped) + EPUB (OCF/OPF)
+# ===========================================================================
+
+@q(
+    "legacy_formats_extract",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ole2' ELSE 'epub' END AS doc_format,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Legacy ' || CAST(doc_id AS VARCHAR)
+                ELSE 'Book ' || CAST(doc_id AS VARCHAR) END AS doc_title,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'Ada Author' WHEN 1 THEN 'Bo Writer'
+             ELSE 'Cy Scribe' END AS doc_author,
+           CASE WHEN doc_id % 2 = 0 THEN 'Microsoft Word 8.0'
+                WHEN doc_id % 4 = 1 THEN 'en' ELSE 'fr' END AS doc_producer,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(NULL AS INT)
+                ELSE CAST(doc_id % 3 + 1 AS INT) END AS doc_pages,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS INT)
+                ELSE CAST(NULL AS INT) END AS doc_paragraphs,
+           CASE WHEN doc_id % 2 = 0
+                THEN chr(5) || 'SummaryInformation' || chr(10)
+                     || 'WordDocument' || chr(10) || '1Table'
+                ELSE
+                  'Chapter 0 of ' || CAST(doc_id AS VARCHAR) || '.'
+                  || CASE WHEN doc_id % 3 >= 1
+                       THEN chr(10) || 'Chapter 1 of '
+                            || CAST(doc_id AS VARCHAR) || '.' ELSE '' END
+                  || CASE WHEN doc_id % 3 = 2
+                       THEN chr(10) || 'Chapter 2 of '
+                            || CAST(doc_id AS VARCHAR) || '.' ELSE '' END
+                END AS doc_text
+    FROM documents
+    """,
+)
+def legacy_formats_extract(spark, sf_dir):
+    """The legacy-container Tika tier end-to-end through the MIME
+    dispatcher: even ids get a REAL OLE2/CFBF compound file (.doc shape —
+    ``\\x05SummaryInformation`` property set in the mini tier, a >4096-byte
+    ``WordDocument`` in the FAT tier, ``1Table`` in the mini tier) built by
+    the spec writer (``functions/ole2.py``); odd ids get a REAL EPUB
+    (container.xml → OPF Dublin Core → 1-3 spine XHTML chapters).  The
+    oracle restates every extracted field arithmetically — stream listing,
+    property-set title/author/appname, EPUB title/creator/language, spine
+    count, and the tag-stripped reading-order text.  Reference contract:
+    ``TikaPayloadAnalyser.java:165-414`` (Tika metadata → Solr fields)."""
+    import io
+    import zipfile
+
+    from pyspark.sql.types import BinaryType
+
+    from ..functions.ole2 import build_cfbf, build_summary_information
+    from ..operators.metadata import extract_document_metadata
+
+    _AUTHORS = ["Ada Author", "Bo Writer", "Cy Scribe"]
+
+    def _payload(k: int) -> bytes:
+        author = _AUTHORS[k % 3]
+        if k % 2 == 0:
+            si = build_summary_information(
+                title=f"Legacy {k}", author=author,
+                app_name="Microsoft Word 8.0")
+            return build_cfbf({
+                "\x05SummaryInformation": si,
+                "WordDocument": b"W" * (4096 + (k % 3) * 512),
+                "1Table": b"t" * (10 + (k % 5) * 10),
+            })
+        lang = "en" if k % 4 == 1 else "fr"
+        n = k % 3 + 1
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype", "application/epub+zip")
+            zf.writestr(
+                "META-INF/container.xml",
+                '<container><rootfiles><rootfile full-path="OEBPS/pkg.opf"'
+                ' media-type="application/oebps-package+xml"/></rootfiles>'
+                "</container>")
+            manifest = "".join(
+                f'<item id="c{i}" href="ch{i}.xhtml"/>' for i in range(n))
+            spine = "".join(f'<itemref idref="c{i}"/>' for i in range(n))
+            zf.writestr(
+                "OEBPS/pkg.opf",
+                f"<package><metadata><dc:title>Book {k}</dc:title>"
+                f"<dc:creator>{author}</dc:creator>"
+                f"<dc:language>{lang}</dc:language></metadata>"
+                f"<manifest>{manifest}</manifest>"
+                f"<spine>{spine}</spine></package>")
+            for i in range(n):
+                zf.writestr(
+                    f"OEBPS/ch{i}.xhtml",
+                    f"<html><body><p>Chapter {i} of {k}.</p></body></html>")
+        return buf.getvalue()
+
+    @F.pandas_udf(BinaryType())
+    def construct(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda k: _payload(int(k)))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        construct(F.col("doc_id")).alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "application/msword")
+        .otherwise("application/epub+zip").alias("content_type"),
+    )
+    out = extract_document_metadata(docs)
+    return out.select(
+        "doc_id", "doc_format", "doc_title", "doc_author", "doc_producer",
+        "doc_pages", "doc_paragraphs", "doc_text")
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -6420,6 +6530,7 @@ _DRIVER_PRIORITY = [
     "training_corpus_build",
     # new gates this round
     "crawl_two_epochs",
+    "legacy_formats_extract",
     "checkpoint_time_travel",
     "streaming_host_counts",
     "chem_entities_extract",

@@ -120,3 +120,55 @@ def test_mp3_utf16_tag_and_id3v24_syncsafe_sizes():
     mpeg = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00])
     mpeg += b"\0" * ((144 * 128000) // 44100 - 4)
     assert mp3_info(id3 + mpeg)["title"] == "Tétra"
+
+
+# ---------------------------------------------------------------------------
+# FLAC metadata tier
+# ---------------------------------------------------------------------------
+
+def test_flac_roundtrip_all_fields():
+    from webarchive_discovery_spark.functions.audio import (
+        encode_flac_stub, flac_info)
+
+    d = encode_flac_stub(sample_rate=96000, channels=8, bits_per_sample=32,
+                         total_samples=(1 << 36) - 1, md5=bytes(range(16)),
+                         title="T", artist="A", album="L")
+    r = flac_info(d)
+    assert (r["sample_rate"], r["channels"], r["bits_per_sample"]) == (
+        96000, 8, 32)
+    assert r["total_samples"] == (1 << 36) - 1  # 36-bit field saturated
+    assert r["md5_hex"] == bytes(range(16)).hex()
+    assert (r["title"], r["artist"], r["album"]) == ("T", "A", "L")
+
+
+def test_flac_streaminfo_bit_layout():
+    """The packed STREAMINFO bytes checked against the spec layout
+    independently of the symmetric encoder: sample rate is the TOP 20 bits
+    of the 8-byte field."""
+    from webarchive_discovery_spark.functions.audio import encode_flac_stub
+
+    d = encode_flac_stub(sample_rate=44100, channels=2, bits_per_sample=16,
+                         total_samples=7)
+    # STREAMINFO body starts after 'fLaC' + 4-byte block header
+    body = d[8:8 + 34]
+    packed = int.from_bytes(body[10:18], "big")
+    assert packed >> 44 == 44100
+    assert ((packed >> 41) & 0x7) + 1 == 2
+    assert ((packed >> 36) & 0x1F) + 1 == 16
+    assert packed & ((1 << 36) - 1) == 7
+
+
+def test_flac_malformed_and_case_insensitive_comments():
+    import struct
+
+    import pytest as _pytest
+
+    from webarchive_discovery_spark.functions.audio import (
+        encode_flac_stub, flac_info)
+
+    with _pytest.raises(ValueError):
+        flac_info(b"RIFFxxxx")
+    # lowercase vorbis field names are accepted per spec
+    d = encode_flac_stub(title="X")
+    lc = d.replace(b"TITLE=", b"title=")
+    assert flac_info(lc)["title"] == "X"

@@ -295,3 +295,35 @@ class TestSpark:
     def test_container_sig_registry_consistent(self):
         for trigger, puid, name, mime in CONTAINER_SIGS:
             assert puid and name and mime and trigger
+
+
+class TestNewTierSignatures:
+    """WebP/ICO/OLE2/FLAC/Ogg BOF signatures + the EPUB container
+    refinement added alongside the r5 parser tiers."""
+
+    def test_webp(self):
+        d = b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 16
+        r = identify_bytes(d)
+        assert (r["puid"], r["mime"]) == ("fmt/566", "image/webp")
+
+    def test_ico(self):
+        d = b"\x00\x00\x01\x00\x01\x00" + bytes([16, 16]) + b"\x00" * 16
+        assert identify_bytes(d)["puid"] == "x-fmt/418"
+
+    def test_ole2(self):
+        from webarchive_discovery_spark.functions.ole2 import build_cfbf
+        r = identify_bytes(build_cfbf({"WordDocument": b"w" * 100}))
+        assert (r["puid"], r["mime"]) == (
+            "fmt/111", "application/x-ole-storage")
+
+    def test_flac_and_ogg(self):
+        from webarchive_discovery_spark.functions.audio import (
+            encode_flac_stub)
+        assert identify_bytes(encode_flac_stub())["puid"] == "fmt/279"
+        assert identify_bytes(b"OggS\x00" + b"\x00" * 32)["puid"] == "fmt/203"
+
+    def test_epub_container_refinement(self):
+        d = _zip({"META-INF/container.xml": "<container/>"},
+                 first_stored=("mimetype", "application/epub+zip"))
+        r = identify_bytes(d)
+        assert (r["puid"], r["mime"]) == ("fmt/483", "application/epub+zip")

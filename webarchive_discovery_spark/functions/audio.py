@@ -25,7 +25,7 @@ import struct
 import numpy as np
 
 __all__ = ["encode_wav", "wav_info", "decode_wav", "audio_features", "is_wav",
-           "mp3_info", "encode_mp3_stub"]
+           "mp3_info", "encode_mp3_stub", "flac_info", "encode_flac_stub"]
 
 _U32 = struct.Struct("<I")
 
@@ -252,3 +252,85 @@ def encode_mp3_stub(n_frames: int, bitrate_kbps: int = 128,
     header = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
     frame = header + b"\0" * (flen - 4)
     return id3 + frame * n_frames
+
+
+# ---------------------------------------------------------------------------
+# FLAC metadata (STREAMINFO + VORBIS_COMMENT; spec: xiph.org/flac/format)
+# ---------------------------------------------------------------------------
+
+def flac_info(data: bytes) -> dict:
+    """FLAC metadata-block walk: STREAMINFO (sample rate, channels, bit
+    depth, total samples → duration) and VORBIS_COMMENT (TITLE/ARTIST/
+    ALBUM, case-insensitive field names).  Raises on a non-FLAC payload;
+    a truncated block list ends the walk with what was parsed."""
+    data = bytes(data)
+    if data[:4] != b"fLaC":
+        raise ValueError("no fLaC magic")
+    out = {"title": None, "artist": None, "album": None, "sample_rate": None,
+           "channels": None, "bits_per_sample": None, "total_samples": None,
+           "duration_ms": None, "md5_hex": None}
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+        body = data[pos + 4:pos + 4 + blen]
+        if btype == 0 and len(body) >= 34:  # STREAMINFO
+            bits = int.from_bytes(body[10:18], "big")
+            out["sample_rate"] = bits >> 44
+            out["channels"] = ((bits >> 41) & 0x7) + 1
+            out["bits_per_sample"] = ((bits >> 36) & 0x1F) + 1
+            out["total_samples"] = bits & ((1 << 36) - 1)
+            out["md5_hex"] = body[18:34].hex()
+            if out["sample_rate"]:
+                out["duration_ms"] = (
+                    out["total_samples"] * 1000) // out["sample_rate"]
+        elif btype == 4 and len(body) >= 8:  # VORBIS_COMMENT (all LE)
+            vlen = struct.unpack("<I", body[:4])[0]
+            p = 4 + vlen
+            if p + 4 <= len(body):
+                n = struct.unpack("<I", body[p:p + 4])[0]
+                p += 4
+                for _ in range(min(n, 256)):
+                    if p + 4 > len(body):
+                        break
+                    clen = struct.unpack("<I", body[p:p + 4])[0]
+                    item = body[p + 4:p + 4 + clen].decode("utf-8", "replace")
+                    p += 4 + clen
+                    k, _, v = item.partition("=")
+                    k = k.lower()
+                    if k in ("title", "artist", "album") and v:
+                        out[k] = v
+        pos += 4 + blen
+        if last:
+            break
+    if out["sample_rate"] is None:
+        raise ValueError("no STREAMINFO block")
+    return out
+
+
+def encode_flac_stub(sample_rate: int = 44100, channels: int = 2,
+                     bits_per_sample: int = 16, total_samples: int = 0,
+                     md5: bytes = b"\0" * 16, title: str | None = None,
+                     artist: str | None = None,
+                     album: str | None = None) -> bytes:
+    """Header-valid FLAC (metadata blocks only — a real FLAC encoder
+    cannot ship here), for exercising the metadata walk end-to-end."""
+    bits = ((sample_rate << 44) | ((channels - 1) << 41)
+            | ((bits_per_sample - 1) << 36)
+            | (total_samples & ((1 << 36) - 1)))
+    streaminfo = (struct.pack(">HH", 4096, 4096) + b"\0" * 6
+                  + bits.to_bytes(8, "big") + md5)
+    assert len(streaminfo) == 34
+    comments = [f"{k}={v}".encode() for k, v in
+                (("TITLE", title), ("ARTIST", artist), ("ALBUM", album))
+                if v is not None]
+    vendor = b"wads-flac-stub"
+    vc = struct.pack("<I", len(vendor)) + vendor
+    vc += struct.pack("<I", len(comments))
+    for c in comments:
+        vc += struct.pack("<I", len(c)) + c
+    out = b"fLaC"
+    out += bytes([0]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    out += bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+    return out

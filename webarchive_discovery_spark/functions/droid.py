@@ -273,6 +273,17 @@ PRONOM_REGISTRY: tuple[FormatSig, ...] = (
               bof="(49492A00|4D4D002A)"),
     FormatSig("fmt/116", "Windows Bitmap 3.0", "image/bmp",
               bof="424D{12}28000000"),
+    FormatSig("fmt/566", "WebP", "image/webp",
+              bof="52494646{4}57454250"),
+    FormatSig("x-fmt/418", "Windows Icon", "image/x-icon",
+              bof="00000100"),
+    FormatSig("fmt/111", "OLE2 Compound Document Format",
+              "application/x-ole-storage",
+              bof="D0CF11E0A1B11AE1"),
+    FormatSig("fmt/279", "FLAC (Free Lossless Audio Codec)", "audio/flac",
+              bof="664C6143"),
+    FormatSig("fmt/203", "Ogg Vorbis Audio", "audio/ogg",
+              bof="4F676753"),
     FormatSig("fmt/101", "Extensible Markup Language 1.0", "text/xml",
               bof="3C3F786D6C", bof_max_offset=3),
     FormatSig("fmt/96", "Hypertext Markup Language", "text/html",
@@ -301,6 +312,9 @@ CONTAINER_SIGS: tuple[tuple[str, str, str, str], ...] = (
     ("mimetype!application/vnd.oasis.opendocument.spreadsheet", "fmt/294",
      "OpenDocument Spreadsheet 1.1",
      "application/vnd.oasis.opendocument.spreadsheet"),
+    ("mimetype!application/epub+zip", "fmt/483",
+     "Electronic Publication (EPUB)",
+     "application/epub+zip"),
 )
 
 

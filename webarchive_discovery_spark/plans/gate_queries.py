@@ -6515,6 +6515,101 @@ def legacy_formats_extract(spark, sf_dir):
 
 
 # ===========================================================================
+# FLAC metadata tier (STREAMINFO + Vorbis comments)
+# ===========================================================================
+
+@q(
+    "flac_metadata_extract",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               WHEN 2 THEN 22050 ELSE 8000 END   AS rate,
+             CAST(doc_id % 2 + 1 AS INT)         AS ch,
+             CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS bits,
+             doc_id % 5 + 1                      AS secs
+      FROM documents
+    ), q AS (
+      SELECT *, rate * secs + (doc_id % 7) * 3 AS total FROM p
+    )
+    SELECT doc_id,
+           'FT' || CAST(doc_id AS VARCHAR)       AS flac_title,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'FA' || CAST(doc_id % 6 AS VARCHAR) END AS flac_artist,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'FL' || CAST(doc_id % 4 AS VARCHAR) END AS flac_album,
+           CAST(rate AS INT)                     AS sample_rate,
+           ch                                    AS channels,
+           CAST(bits AS INT)                     AS bits_per_sample,
+           CAST(total AS BIGINT)                 AS total_samples,
+           CAST(total * 1000 // rate AS BIGINT)  AS duration_ms,
+           lower(repeat(lpad(to_hex(doc_id % 256), 2, '0'), 16)) AS md5_hex
+    FROM q
+    """,
+)
+def flac_metadata_extract(spark, sf_dir):
+    """FLAC metadata under the value oracle: per document a header-valid
+    FLAC (STREAMINFO's big-endian packed sample-rate/channels/bits/samples
+    field, the signature MD5, and a little-endian VORBIS_COMMENT block)
+    is constructed, the metadata-block walk re-derives every field from
+    the bytes, and the oracle restates the parameters — including the
+    36-bit total-sample extraction and the integer duration.  Reference
+    scope: Tika's ``audio/flac`` identification
+    (``TikaPayloadAnalyser.java:165-240``); sample decode stays honestly
+    gated (``functions/audio.py``)."""
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    from ..functions.audio import encode_flac_stub, flac_info
+
+    meta_struct = StructType([
+        StructField("flac_title", StringType()),
+        StructField("flac_artist", StringType()),
+        StructField("flac_album", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("total_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("md5_hex", StringType()),
+    ])
+    rate_by = [44100, 48000, 22050, 8000]
+
+    @F.pandas_udf(meta_struct)
+    def mux_probe(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for k in ids:
+            k = int(k)
+            rate = rate_by[k % 4]
+            total = rate * (k % 5 + 1) + (k % 7) * 3
+            flac = encode_flac_stub(
+                sample_rate=rate, channels=k % 2 + 1,
+                bits_per_sample=24 if k % 3 == 0 else 16,
+                total_samples=total, md5=bytes([k % 256]) * 16,
+                title=f"FT{k}",
+                artist=f"FA{k % 6}" if k % 3 == 0 else None,
+                album=f"FL{k % 4}" if k % 2 == 0 else None,
+            )
+            info = flac_info(flac)
+            rows.append({
+                "flac_title": info["title"], "flac_artist": info["artist"],
+                "flac_album": info["album"],
+                "sample_rate": info["sample_rate"],
+                "channels": info["channels"],
+                "bits_per_sample": info["bits_per_sample"],
+                "total_samples": info["total_samples"],
+                "duration_ms": info["duration_ms"],
+                "md5_hex": info["md5_hex"],
+            })
+        return pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", mux_probe(F.col("doc_id")).alias("m"))
+    return docs.select("doc_id", "m.*")
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -6531,6 +6626,7 @@ _DRIVER_PRIORITY = [
     # new gates this round
     "crawl_two_epochs",
     "legacy_formats_extract",
+    "flac_metadata_extract",
     "checkpoint_time_travel",
     "streaming_host_counts",
     "chem_entities_extract",

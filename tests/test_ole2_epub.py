@@ -165,3 +165,73 @@ def test_vp8l_packing_derivation():
         data = (b"RIFF\x00\x00\x00\x00WEBPVP8L"
                 + struct.pack("<I", len(packed)) + packed)
         assert image_dims(data) == (w, h)
+
+
+# ---------------------------------------------------------------------------
+# Word 97 / Excel 97 binary CONTENT extraction (functions/docbinary.py)
+# ---------------------------------------------------------------------------
+
+def test_doc_piece_table_roundtrip_and_layout():
+    from webarchive_discovery_spark.functions.docbinary import (
+        build_doc, doc_text)
+
+    w, t = build_doc([("Hello.\r", True), ("Wörld — ünïcode.\r", False),
+                      ("cell\x07mark", True)])
+    assert doc_text(w, t) == "Hello.\nWörld — ünïcode.\ncell\tmark"
+    # structural [MS-DOC] assertions independent of the reader
+    assert struct.unpack_from("<H", w, 0)[0] == 0xA5EC      # wIdent
+    assert struct.unpack_from("<H", w, 0x0A)[0] & 0x0200    # fWhichTblStm
+    fc_clx, lcb_clx = struct.unpack_from("<II", w, 0x01A2)
+    assert t[fc_clx] == 0x01                                 # leading Prc
+    # compressed piece's fc has bit 30 set and doubles the byte offset
+    clx = t[fc_clx:fc_clx + lcb_clx]
+    pos = 3 + struct.unpack_from("<H", clx, 1)[0]            # skip Prc
+    assert clx[pos] == 0x02
+    plc = clx[pos + 5:]
+    n = (len(plc) - 4) // 12
+    first_fc = struct.unpack_from("<I", plc, 4 * (n + 1) + 2)[0]
+    assert first_fc & 0x40000000
+    assert (first_fc & 0x3FFFFFFF) >> 1 == 0x800
+
+
+def test_doc_table_stream_flag_selection():
+    from webarchive_discovery_spark.functions.docbinary import (
+        build_doc, doc_text_from_streams)
+
+    w, t = build_doc([("X\r", True)])
+    assert doc_text_from_streams({"WordDocument": w, "1Table": t}) == "X\n"
+    # flag says 1Table; only 0Table present → honest None
+    assert doc_text_from_streams({"WordDocument": w, "0Table": t}) is None
+
+
+def test_xls_biff8_roundtrip_sst_dedup_and_unicode():
+    from webarchive_discovery_spark.functions.docbinary import (
+        build_xls, xls_cells, xls_text)
+
+    xls = build_xls([["a", "a", "ü€"], [1.5, 7]])
+    assert xls_text(xls) == "a\ta\tü€\n1.5\t7"
+    # SST deduplicates: 3 refs, 2 unique
+    assert struct.unpack_from(
+        "<II", xls, xls.index(b"\xfc\x00") + 4) == (3, 2)
+    assert xls_cells(b"garbage") is None
+
+
+def test_ole2_dispatch_prefers_real_content():
+    from webarchive_discovery_spark.functions.docbinary import (
+        build_doc, build_xls)
+    from webarchive_discovery_spark.functions.ole2 import build_cfbf
+    from webarchive_discovery_spark.operators.metadata import _docformat_one
+
+    w, t = build_doc([("Real text.\r", True)])
+    doc = build_cfbf({"WordDocument": w, "1Table": t})
+    rec = _docformat_one(doc, "application/msword")
+    assert rec["doc_text"] == "Real text.\n"
+
+    xls = build_cfbf({"Workbook": build_xls([["v", 2]])})
+    rec = _docformat_one(xls, "application/vnd.ms-excel")
+    assert rec["doc_text"] == "v\t2"
+
+    # non-Word payload in a WordDocument stream → stream-listing fallback
+    junk = build_cfbf({"WordDocument": b"W" * 100})
+    rec = _docformat_one(junk, "application/msword")
+    assert rec["doc_text"] == "WordDocument"

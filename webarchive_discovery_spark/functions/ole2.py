@@ -131,15 +131,21 @@ def _props_from_summary(data: bytes, out: dict) -> None:
                 out[key] = _filetime_iso(v)
 
 
-def ole2_extract(data: bytes | None) -> dict:
+def ole2_extract(data: bytes | None,
+                 content_for: tuple[str, ...] = ()) -> dict:
     """Parse an OLE2/CFBF container: directory stream listing + the
     ``\\x05SummaryInformation`` properties.  Returns ``{streams,
     n_streams, title, subject, author, app_name, created, modified,
     parse_error}`` — ``streams`` is the directory-order list of stream
-    names (storage entries get a trailing ``/``)."""
+    names (storage entries get a trailing ``/``).  When ``content_for``
+    names streams, their bytes are additionally returned under
+    ``stream_bytes`` (for the Word/Excel content parsers,
+    ``functions/docbinary.py``)."""
     out = {"streams": None, "n_streams": None, "title": None, "subject": None,
            "author": None, "app_name": None, "created": None,
            "modified": None, "parse_error": None}
+    if content_for:
+        out["stream_bytes"] = {}
     if data is None:
         out["parse_error"] = "null payload"
         return out
@@ -234,6 +240,8 @@ def ole2_extract(data: bytes | None) -> dict:
             names.append(ent["name"] + ("/" if ent["type"] == 1 else ""))
             if ent["name"] == _SUMMARY and ent["type"] == 2:
                 _props_from_summary(read_stream(ent), out)
+            elif ent["name"] in content_for and ent["type"] == 2:
+                out["stream_bytes"][ent["name"]] = read_stream(ent)
         out["streams"] = names
         out["n_streams"] = len(names)
     except Exception as e:

@@ -290,11 +290,22 @@ def _docformat_one(payload, mime: str | None) -> dict:
                        "application/vnd.ms-powerpoint",
                        "application/x-ole-storage",
                        "application/x-tika-msoffice")):
+        from ..functions.docbinary import doc_text_from_streams, xls_text
         from ..functions.ole2 import ole2_extract
 
-        r = ole2_extract(payload)
-        rec.update(doc_format="ole2",
-                   doc_text="\n".join(r["streams"] or []) or None,
+        r = ole2_extract(payload, content_for=(
+            "WordDocument", "0Table", "1Table", "Workbook", "Book"))
+        sb = r.get("stream_bytes") or {}
+        # real content when the container holds a parseable Word/Excel
+        # document; stream listing otherwise (the honest degrade)
+        text = doc_text_from_streams(sb)
+        if text is None and "Workbook" in sb:
+            text = xls_text(sb["Workbook"])
+        if text is None and "Book" in sb:
+            text = xls_text(sb["Book"])
+        if text is None:
+            text = "\n".join(r["streams"] or []) or None
+        rec.update(doc_format="ole2", doc_text=text,
                    doc_paragraphs=r["n_streams"], doc_title=r["title"],
                    doc_author=r["author"], doc_producer=r["app_name"],
                    parse_error=r["parse_error"])

@@ -6610,6 +6610,79 @@ def flac_metadata_extract(spark, sf_dir):
 
 
 # ===========================================================================
+# Word 97 / Excel 97 binary CONTENT extraction through the OLE2 dispatch
+# ===========================================================================
+
+@q(
+    "doc_binary_text_extract",
+    """
+    SELECT doc_id,
+           'ole2' AS doc_format,
+           'Bin ' || CAST(doc_id AS VARCHAR) AS doc_title,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS INT)
+                ELSE CAST(2 AS INT) END AS doc_paragraphs,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'Alpha ' || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+                     || 'Ünicode ' || CAST(doc_id % 7 AS VARCHAR)
+                     || '—tail.' || chr(10)
+                ELSE 'Item' || chr(9) || 'Qty' || chr(10)
+                     || 'thing-' || CAST(doc_id % 5 AS VARCHAR) || chr(9)
+                     || CAST(doc_id % 9 AS VARCHAR) || chr(10)
+                     || 'ünï-' || CAST(doc_id % 3 AS VARCHAR) || chr(9)
+                     || '2.5'
+           END AS doc_text
+    FROM documents
+    """,
+)
+def doc_binary_text_extract(spark, sf_dir):
+    """REAL text out of legacy binary Office files, end-to-end through the
+    MIME dispatcher: even ids get a Word 97 .doc whose text lives in a
+    PIECE TABLE with one cp1252-compressed and one UTF-16 piece ([MS-DOC]
+    FIB → 1Table Clx → PlcPcd, the fc bit-30 compression encoding); odd
+    ids get an Excel 97 .xls whose cells go through a deduplicated BIFF8
+    SST with a high-byte unicode string ([MS-XLS] LABELSST + NUMBER).
+    Both ride inside real CFBF containers with a SummaryInformation title.
+    The oracle restates the extracted text, title, and stream counts
+    arithmetically.  Reference contract: Tika POI parsers behind
+    ``TikaPayloadAnalyser.java:165-414``."""
+    from pyspark.sql.types import BinaryType
+
+    from ..functions.docbinary import build_doc, build_xls
+    from ..functions.ole2 import build_cfbf, build_summary_information
+    from ..operators.metadata import extract_document_metadata
+
+    def _payload(k: int) -> bytes:
+        si = build_summary_information(title=f"Bin {k}")
+        if k % 2 == 0:
+            w, t = build_doc([
+                (f"Alpha {k}.\r", True),
+                (f"Ünicode {k % 7}—tail.\r", False),
+            ])
+            return build_cfbf({"\x05SummaryInformation": si,
+                               "WordDocument": w, "1Table": t})
+        xls = build_xls([
+            ["Item", "Qty"],
+            [f"thing-{k % 5}", float(k % 9)],
+            [f"ünï-{k % 3}", 2.5],
+        ])
+        return build_cfbf({"\x05SummaryInformation": si, "Workbook": xls})
+
+    @F.pandas_udf(BinaryType())
+    def construct(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda k: _payload(int(k)))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        construct(F.col("doc_id")).alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "application/msword")
+        .otherwise("application/vnd.ms-excel").alias("content_type"),
+    )
+    out = extract_document_metadata(docs)
+    return out.select(
+        "doc_id", "doc_format", "doc_title", "doc_paragraphs", "doc_text")
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -6626,6 +6699,7 @@ _DRIVER_PRIORITY = [
     # new gates this round
     "crawl_two_epochs",
     "legacy_formats_extract",
+    "doc_binary_text_extract",
     "flac_metadata_extract",
     "checkpoint_time_travel",
     "streaming_host_counts",

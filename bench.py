@@ -98,6 +98,11 @@ HEADLINE = [
     "frontier_fetch_order",
     "checkpoint_time_travel",
     "streaming_host_counts",
+    "legacy_formats_extract",
+    "doc_binary_text_extract",
+    "feed_extract",
+    "structured_data_extract",
+    "flac_metadata_extract",
 ]
 
 

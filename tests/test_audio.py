@@ -172,3 +172,20 @@ def test_flac_malformed_and_case_insensitive_comments():
     d = encode_flac_stub(title="X")
     lc = d.replace(b"TITLE=", b"title=")
     assert flac_info(lc)["title"] == "X"
+
+
+def test_mp3_id3v1_trailer_fallback():
+    from webarchive_discovery_spark.functions.audio import (
+        encode_mp3_stub, mp3_info)
+
+    mp3 = encode_mp3_stub(3)  # no ID3v2 text frames
+    v1 = (b"TAG" + b"Old Title".ljust(30, b"\0")
+          + b"Old Artist".ljust(30, b"\0") + b"Old Album".ljust(30, b"\0")
+          + b"\0" * 35)
+    assert len(v1) == 128
+    r = mp3_info(mp3 + v1)
+    assert (r["title"], r["artist"], r["album"]) == (
+        "Old Title", "Old Artist", "Old Album")
+    # ID3v2 wins when present
+    tagged = encode_mp3_stub(3, title="New")
+    assert mp3_info(tagged + v1)["title"] == "New"

@@ -138,3 +138,34 @@ def test_boilerplate_extraction(spark):
     assert rows[1]["boilerplate_parse_error"] is None
     assert rows[2]["main_text"] is None and rows[2]["blocks_total"] is None
     assert rows[3]["boilerplate_parse_error"] and "MarkupGuard" in rows[3]["boilerplate_parse_error"]
+
+
+# ---------------------------------------------------------------------------
+# schema.org structured data (JSON-LD + microdata)
+# ---------------------------------------------------------------------------
+
+def test_structured_data_nested_types_and_errors():
+    from webarchive_discovery_spark.operators.metadata import (
+        _structured_data_one)
+
+    html = (
+        '<script type="application/ld+json">{"@type":"Article","author":'
+        '{"@type":"Person"},"about":[{"@type":"Thing"}]}</script>'
+        '<script type="application/ld+json">[{"@type":["A","B"]}]</script>'
+        '<script type="application/ld+json">not json</script>'
+        '<div itemtype="https://schema.org/Product"></div>'
+        "<span itemtype='http://schema.org/Offer/'></span>"
+    )
+    r = _structured_data_one(html)
+    assert r["ld_types"] == "A;Article;B;Person;Thing"
+    assert (r["n_ld_blocks"], r["n_ld_errors"]) == (3, 1)
+    assert r["microdata_types"] == "Offer;Product"
+
+
+def test_structured_data_empty():
+    from webarchive_discovery_spark.operators.metadata import (
+        _structured_data_one)
+
+    r = _structured_data_one("<html><body>plain</body></html>")
+    assert r == {"ld_types": None, "n_ld_blocks": 0, "n_ld_errors": 0,
+                 "microdata_types": None}

@@ -235,3 +235,32 @@ def test_ole2_dispatch_prefers_real_content():
     junk = build_cfbf({"WordDocument": b"W" * 100})
     rec = _docformat_one(junk, "application/msword")
     assert rec["doc_text"] == "WordDocument"
+
+
+def test_ppt_record_walk_roundtrip_and_layout():
+    from webarchive_discovery_spark.functions.docbinary import (
+        build_ppt, ppt_text)
+
+    p = build_ppt([["Title", "Sübtitle — ü"], ["Body\rline"]])
+    assert ppt_text(p) == "Title\nSübtitle — ü\nBody\nline"
+    # structural [MS-PPT] assertions: Document container (0x03E8, recVer F)
+    ver_inst, rtype, rlen = struct.unpack_from("<HHI", p, 0)
+    assert (ver_inst & 0x0F, rtype) == (0x0F, 0x03E8)
+    assert rlen == len(p) - 8
+    # first child: SlideListWithText container holding a TextBytesAtom
+    ver_inst, rtype, _ = struct.unpack_from("<HHI", p, 8)
+    assert (ver_inst & 0x0F, rtype) == (0x0F, 0x0FF0)
+    _, atype, alen = struct.unpack_from("<HHI", p, 16)
+    assert atype == 0x0FA8  # ascii slide title → TextBytesAtom
+    assert p[24:24 + alen] == b"Title"
+    assert ppt_text(b"") is None
+
+
+def test_ppt_dispatch():
+    from webarchive_discovery_spark.functions.docbinary import build_ppt
+    from webarchive_discovery_spark.functions.ole2 import build_cfbf
+    from webarchive_discovery_spark.operators.metadata import _docformat_one
+
+    img = build_cfbf({"PowerPoint Document": build_ppt([["Deck text"]])})
+    rec = _docformat_one(img, "application/vnd.ms-powerpoint")
+    assert rec["doc_text"] == "Deck text"

@@ -221,6 +221,14 @@ def mp3_info(data: bytes) -> dict:
             break
     if first is None:
         raise ValueError("no MPEG audio frame found")
+    if all(v is None for v in tags.values()) and len(data) >= 128 \
+            and data[-128:-125] == b"TAG":
+        # ID3v1 trailer fallback: fixed 30-byte latin-1 fields
+        v1 = data[-128:]
+        for key, lo, hi in (("title", 3, 33), ("artist", 33, 63),
+                            ("album", 63, 93)):
+            val = v1[lo:hi].decode("latin-1", "replace").rstrip("\0 ")
+            tags[key] = val or None
     bitrate, rate = first
     return {
         **tags,

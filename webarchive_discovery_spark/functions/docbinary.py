@@ -33,7 +33,7 @@ from __future__ import annotations
 import struct
 
 __all__ = ["doc_text", "doc_text_from_streams", "xls_cells", "xls_text",
-           "build_doc", "build_xls"]
+           "ppt_text", "build_doc", "build_xls", "build_ppt"]
 
 _FC_COMPRESSED = 0x40000000
 
@@ -189,6 +189,47 @@ def xls_text(workbook_stream: bytes, max_chars: int = 1 << 20) -> str | None:
     return "\n".join(lines)[:max_chars] or None
 
 
+_PPT_TEXT_CHARS = 0x0FA0   # TextCharsAtom (UTF-16LE)
+_PPT_TEXT_BYTES = 0x0FA8   # TextBytesAtom (low bytes of UTF-16)
+
+
+def ppt_text(ppt_stream: bytes, max_chars: int = 1 << 20) -> str | None:
+    """Extract text from a PowerPoint 97 ``PowerPoint Document`` stream:
+    a recursive [MS-PPT] record walk (container records have recVer 0xF)
+    collecting TextCharsAtom / TextBytesAtom payloads in stream order.
+    Paragraph marks (0x0D) become newlines.  None when the stream has no
+    PPT records at all."""
+    try:
+        d = bytes(ppt_stream)
+        texts: list[str] = []
+
+        def walk(lo: int, hi: int, depth: int) -> None:
+            pos = lo
+            while pos + 8 <= hi and sum(map(len, texts)) <= max_chars:
+                ver_inst, rtype, rlen = struct.unpack_from("<HHI", d, pos)
+                body_lo = pos + 8
+                body_hi = min(body_lo + rlen, hi)
+                if body_hi < body_lo:
+                    return
+                if (ver_inst & 0x0F) == 0x0F and depth < 16:
+                    walk(body_lo, body_hi, depth + 1)  # container
+                elif rtype == _PPT_TEXT_CHARS:
+                    texts.append(
+                        d[body_lo:body_hi].decode("utf-16-le", "replace"))
+                elif rtype == _PPT_TEXT_BYTES:
+                    texts.append(
+                        d[body_lo:body_hi].decode("latin-1", "replace"))
+                pos = body_lo + rlen
+
+        walk(0, len(d), 0)
+        if not texts:
+            return None
+        text = "\n".join(t.replace("\r", "\n").rstrip("\0") for t in texts)
+        return text[:max_chars] or None
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # Minimal symmetric writers (fixtures)
 # ---------------------------------------------------------------------------
@@ -260,3 +301,23 @@ def build_xls(rows: list[list[object]]) -> bytes:
     out += b"".join(cells)
     out += _biff(0x000A, b"")  # EOF
     return out
+
+
+def build_ppt(slides: list[list[str]]) -> bytes:
+    """Serialize slide text lists into a PowerPoint Document stream: one
+    Document container (recType 0x03E8) holding per-slide SlideListWithText
+    containers (0x0FF0) of TextCharsAtom/TextBytesAtom records (unicode
+    picked automatically)."""
+    def rec(ver_inst: int, rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HHI", ver_inst, rtype, len(body)) + body
+
+    slide_blobs = []
+    for texts in slides:
+        atoms = b""
+        for t in texts:
+            if any(ord(c) > 0xFF for c in t):
+                atoms += rec(0x0000, _PPT_TEXT_CHARS, t.encode("utf-16-le"))
+            else:
+                atoms += rec(0x0000, _PPT_TEXT_BYTES, t.encode("latin-1"))
+        slide_blobs.append(rec(0x000F, 0x0FF0, atoms))  # SlideListWithText
+    return rec(0x000F, 0x03E8, b"".join(slide_blobs))   # Document

@@ -280,6 +280,13 @@ def _docformat_one(payload, mime: str | None) -> dict:
         rec.update(doc_format="rtf", doc_text=r["text"],
                    doc_paragraphs=r["n_paragraphs"], doc_title=r["title"],
                    doc_author=r["author"], parse_error=r["parse_error"])
+    elif m.startswith(("application/rss+xml", "application/atom+xml")):
+        from ..functions.feeds import feed_extract
+
+        r = feed_extract(payload)
+        rec.update(doc_format=r["feed_format"] or "feed",
+                   doc_text=r["text"], doc_pages=r["n_items"],
+                   doc_title=r["title"], parse_error=r["parse_error"])
     elif m.startswith("application/epub"):
         r = OF.epub_extract(payload)
         rec.update(doc_format="epub", doc_text=r["text"],
@@ -290,19 +297,23 @@ def _docformat_one(payload, mime: str | None) -> dict:
                        "application/vnd.ms-powerpoint",
                        "application/x-ole-storage",
                        "application/x-tika-msoffice")):
-        from ..functions.docbinary import doc_text_from_streams, xls_text
+        from ..functions.docbinary import (
+            doc_text_from_streams, ppt_text, xls_text)
         from ..functions.ole2 import ole2_extract
 
         r = ole2_extract(payload, content_for=(
-            "WordDocument", "0Table", "1Table", "Workbook", "Book"))
+            "WordDocument", "0Table", "1Table", "Workbook", "Book",
+            "PowerPoint Document"))
         sb = r.get("stream_bytes") or {}
-        # real content when the container holds a parseable Word/Excel
-        # document; stream listing otherwise (the honest degrade)
+        # real content when the container holds a parseable Word/Excel/
+        # PowerPoint document; stream listing otherwise (honest degrade)
         text = doc_text_from_streams(sb)
         if text is None and "Workbook" in sb:
             text = xls_text(sb["Workbook"])
         if text is None and "Book" in sb:
             text = xls_text(sb["Book"])
+        if text is None and "PowerPoint Document" in sb:
+            text = ppt_text(sb["PowerPoint Document"])
         if text is None:
             text = "\n".join(r["streams"] or []) or None
         rec.update(doc_format="ole2", doc_text=text,
@@ -362,6 +373,97 @@ def extract_document_metadata(
         name = "doc_parse_error" if c == "parse_error" else c
         out = out.withColumn(name, F.col(f"_doc.{c}"))
     return out.drop("_doc")
+
+
+# ---------------------------------------------------------------------------
+# schema.org structured data (JSON-LD + microdata) from HTML
+# ---------------------------------------------------------------------------
+
+_LDJSON = re.compile(
+    r'<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>(.*?)'
+    r"</script>", re.S | re.I)
+_ITEMTYPE = re.compile(r'\bitemtype\s*=\s*["\']([^"\']+)["\']', re.I)
+
+
+def _structured_data_one(html: str) -> dict:
+    """JSON-LD ``@type`` values (nested objects walked; per-block errors
+    tolerated) and microdata ``itemtype`` URL leaf names, each
+    deduplicated + sorted + ``;``-joined."""
+    import json as _json
+
+    ld_types: set[str] = set()
+    n_blocks = 0
+    n_bad = 0
+    for m in _LDJSON.finditer(html):
+        n_blocks += 1
+
+        def walk(node) -> None:
+            if isinstance(node, dict):
+                t = node.get("@type")
+                if isinstance(t, str):
+                    ld_types.add(t)
+                elif isinstance(t, list):
+                    ld_types.update(x for x in t if isinstance(x, str))
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        try:
+            walk(_json.loads(m.group(1)))
+        except Exception:
+            n_bad += 1
+    micro = {u.rstrip("/").rsplit("/", 1)[-1]
+             for u in _ITEMTYPE.findall(html)}
+    return {
+        "ld_types": ";".join(sorted(ld_types)) or None,
+        "n_ld_blocks": n_blocks,
+        "n_ld_errors": n_bad,
+        "microdata_types": ";".join(sorted(micro)) or None,
+    }
+
+
+def extract_structured_data(
+    df: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """schema.org structured data out of HTML payloads: JSON-LD
+    ``<script type="application/ld+json">`` blocks (every nested
+    ``@type``, malformed blocks counted not fatal) and microdata
+    ``itemtype`` leaf names — the entity layer a search/analytics index
+    builds facets on.  ONE Arrow-batched struct kernel, same shape as the
+    other analysers; reference scope: the HTML analyser's element surface
+    (``HTMLAnalyser.java``) — structured data is the training-pipeline
+    addition."""
+    from pyspark.sql.types import IntegerType
+
+    struct = StructType([
+        StructField("ld_types", StringType()),
+        StructField("n_ld_blocks", IntegerType()),
+        StructField("n_ld_errors", IntegerType()),
+        StructField("microdata_types", StringType()),
+    ])
+
+    @F.pandas_udf(struct)
+    def kernel(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            try:
+                html = (bytes(p)[: 8 << 20].decode("utf-8", "replace")
+                        if p is not None else "")
+                rows.append(_structured_data_one(html))
+            except Exception:
+                rows.append({"ld_types": None, "n_ld_blocks": None,
+                             "n_ld_errors": None, "microdata_types": None})
+        return pd.DataFrame(
+            rows, columns=["ld_types", "n_ld_blocks", "n_ld_errors",
+                           "microdata_types"])
+
+    out = df.withColumn("_sd", kernel(F.col(payload_col)))
+    for c in ("ld_types", "n_ld_blocks", "n_ld_errors", "microdata_types"):
+        out = out.withColumn(c, F.col(f"_sd.{c}"))
+    return out.drop("_sd")
 
 
 def preflight_pdfa(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -6619,53 +6619,67 @@ def flac_metadata_extract(spark, sf_dir):
     SELECT doc_id,
            'ole2' AS doc_format,
            'Bin ' || CAST(doc_id AS VARCHAR) AS doc_title,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS INT)
+           CASE WHEN doc_id % 3 = 0 THEN CAST(3 AS INT)
                 ELSE CAST(2 AS INT) END AS doc_paragraphs,
-           CASE WHEN doc_id % 2 = 0
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0
                 THEN 'Alpha ' || CAST(doc_id AS VARCHAR) || '.' || chr(10)
                      || 'Ünicode ' || CAST(doc_id % 7 AS VARCHAR)
                      || '—tail.' || chr(10)
-                ELSE 'Item' || chr(9) || 'Qty' || chr(10)
+             WHEN 1
+                THEN 'Item' || chr(9) || 'Qty' || chr(10)
                      || 'thing-' || CAST(doc_id % 5 AS VARCHAR) || chr(9)
                      || CAST(doc_id % 9 AS VARCHAR) || chr(10)
-                     || 'ünï-' || CAST(doc_id % 3 AS VARCHAR) || chr(9)
+                     || 'ünï-' || CAST(doc_id % 4 AS VARCHAR) || chr(9)
                      || '2.5'
+             ELSE 'Slide one ' || CAST(doc_id AS VARCHAR) || chr(10)
+                  || 'Bullet — ü' || chr(10)
+                  || 'Slide two ' || CAST(doc_id % 4 AS VARCHAR)
            END AS doc_text
     FROM documents
     """,
 )
 def doc_binary_text_extract(spark, sf_dir):
     """REAL text out of legacy binary Office files, end-to-end through the
-    MIME dispatcher: even ids get a Word 97 .doc whose text lives in a
-    PIECE TABLE with one cp1252-compressed and one UTF-16 piece ([MS-DOC]
-    FIB → 1Table Clx → PlcPcd, the fc bit-30 compression encoding); odd
-    ids get an Excel 97 .xls whose cells go through a deduplicated BIFF8
-    SST with a high-byte unicode string ([MS-XLS] LABELSST + NUMBER).
-    Both ride inside real CFBF containers with a SummaryInformation title.
+    MIME dispatcher: ids ≡0 (mod 3) get a Word 97 .doc whose text lives in
+    a PIECE TABLE with one cp1252-compressed and one UTF-16 piece
+    ([MS-DOC] FIB → 1Table Clx → PlcPcd, the fc bit-30 compression
+    encoding); ≡1 an Excel 97 .xls whose cells go through a deduplicated
+    BIFF8 SST with a high-byte unicode string ([MS-XLS] LABELSST +
+    NUMBER); ≡2 a PowerPoint 97 .ppt whose slides are a recursive
+    [MS-PPT] record walk (TextCharsAtom/TextBytesAtom inside containers).
+    All ride inside real CFBF containers with a SummaryInformation title.
     The oracle restates the extracted text, title, and stream counts
     arithmetically.  Reference contract: Tika POI parsers behind
     ``TikaPayloadAnalyser.java:165-414``."""
     from pyspark.sql.types import BinaryType
 
-    from ..functions.docbinary import build_doc, build_xls
+    from ..functions.docbinary import build_doc, build_ppt, build_xls
     from ..functions.ole2 import build_cfbf, build_summary_information
     from ..operators.metadata import extract_document_metadata
 
     def _payload(k: int) -> bytes:
         si = build_summary_information(title=f"Bin {k}")
-        if k % 2 == 0:
+        if k % 3 == 0:
             w, t = build_doc([
                 (f"Alpha {k}.\r", True),
                 (f"Ünicode {k % 7}—tail.\r", False),
             ])
             return build_cfbf({"\x05SummaryInformation": si,
                                "WordDocument": w, "1Table": t})
-        xls = build_xls([
-            ["Item", "Qty"],
-            [f"thing-{k % 5}", float(k % 9)],
-            [f"ünï-{k % 3}", 2.5],
+        if k % 3 == 1:
+            xls = build_xls([
+                ["Item", "Qty"],
+                [f"thing-{k % 5}", float(k % 9)],
+                [f"ünï-{k % 4}", 2.5],
+            ])
+            return build_cfbf({"\x05SummaryInformation": si, "Workbook": xls})
+        ppt = build_ppt([
+            [f"Slide one {k}", "Bullet — ü"],
+            [f"Slide two {k % 4}"],
         ])
-        return build_cfbf({"\x05SummaryInformation": si, "Workbook": xls})
+        return build_cfbf({"\x05SummaryInformation": si,
+                           "PowerPoint Document": ppt})
 
     @F.pandas_udf(BinaryType())
     def construct(ids: pd.Series) -> pd.Series:
@@ -6674,12 +6688,148 @@ def doc_binary_text_extract(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         construct(F.col("doc_id")).alias("payload"),
-        F.when(F.col("doc_id") % 2 == 0, "application/msword")
-        .otherwise("application/vnd.ms-excel").alias("content_type"),
+        F.when(F.col("doc_id") % 3 == 0, "application/msword")
+        .when(F.col("doc_id") % 3 == 1, "application/vnd.ms-excel")
+        .otherwise("application/vnd.ms-powerpoint").alias("content_type"),
     )
     out = extract_document_metadata(docs)
     return out.select(
         "doc_id", "doc_format", "doc_title", "doc_paragraphs", "doc_text")
+
+
+# ===========================================================================
+# RSS/Atom feed tier
+# ===========================================================================
+
+@q(
+    "feed_extract",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS doc_format,
+           'Feed & ' || CAST(doc_id AS VARCHAR) AS doc_title,
+           CAST(doc_id % 4 + 1 AS INT) AS doc_pages,
+           'Post 0 of ' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 4 >= 1
+                THEN chr(10) || 'Post 1 of ' || CAST(doc_id AS VARCHAR)
+                ELSE '' END
+           || CASE WHEN doc_id % 4 >= 2
+                THEN chr(10) || 'Post 2 of ' || CAST(doc_id AS VARCHAR)
+                ELSE '' END
+           || CASE WHEN doc_id % 4 = 3
+                THEN chr(10) || 'Post 3 of ' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS doc_text
+    FROM documents
+    """,
+)
+def feed_extract(spark, sf_dir):
+    """RSS 2.0 / Atom 1.0 feeds through the MIME dispatcher: even ids get
+    an RSS channel (CDATA title, entity-escaped entry titles), odd ids an
+    Atom feed (namespaced root, ``<entry>`` elements); 1-4 entries per
+    feed.  The oracle restates format, channel title (entity decoded),
+    entry count and the newline-joined entry titles.  Reference contract:
+    Tika's FeedParser behind ``TikaPayloadAnalyser.java:165-414``."""
+    from pyspark.sql.types import BinaryType
+
+    from ..operators.metadata import extract_document_metadata
+
+    def _payload(k: int) -> bytes:
+        n = k % 4 + 1
+        if k % 2 == 0:
+            items = "".join(
+                f"<item><title>Post {i} of {k}</title>"
+                f"<link>http://e.org/{k}/{i}</link></item>"
+                for i in range(n))
+            doc = (f'<?xml version="1.0"?><rss version="2.0"><channel>'
+                   f"<title><![CDATA[Feed & {k}]]></title>{items}"
+                   f"</channel></rss>")
+        else:
+            entries = "".join(
+                f"<entry><title>Post {i} of {k}</title>"
+                f'<link href="http://e.org/{k}/{i}"/></entry>'
+                for i in range(n))
+            doc = (f'<feed xmlns="http://www.w3.org/2005/Atom">'
+                   f"<title>Feed &amp; {k}</title>{entries}</feed>")
+        return doc.encode()
+
+    @F.pandas_udf(BinaryType())
+    def construct(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda k: _payload(int(k)))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        construct(F.col("doc_id")).alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "application/rss+xml")
+        .otherwise("application/atom+xml").alias("content_type"),
+    )
+    out = extract_document_metadata(docs)
+    return out.select(
+        "doc_id", "doc_format", "doc_title", "doc_pages", "doc_text")
+
+
+# ===========================================================================
+# schema.org structured data (JSON-LD + microdata)
+# ===========================================================================
+
+@q(
+    "structured_data_extract",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'Article;Person'
+             WHEN 1 THEN 'Article;Person;Product'
+             ELSE 'Article;Event;Person;Product'
+           END AS ld_types,
+           CAST(doc_id % 3 + 1
+                + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_ld_blocks,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_ld_errors,
+           CASE WHEN doc_id % 2 = 0 THEN 'Offer;WebPage' END
+             AS microdata_types
+    FROM documents
+    """,
+)
+def structured_data_extract(spark, sf_dir):
+    """schema.org structured data out of constructed HTML: 1-3 JSON-LD
+    blocks (Article with a NESTED Person author, Product, Event — the
+    nested walk is what the Person in every row proves), a malformed
+    block on ids ≡0 (mod 5) (counted, not fatal), and microdata
+    ``itemtype`` attributes on even ids.  The oracle restates the sorted
+    deduplicated type sets and both counters."""
+    from pyspark.sql.types import BinaryType
+
+    from ..operators.metadata import extract_structured_data
+
+    def _payload(k: int) -> bytes:
+        blocks = ['<script type="application/ld+json">{"@context":'
+                  '"https://schema.org","@type":"Article","author":'
+                  '{"@type":"Person","name":"A"}}</script>']
+        if k % 3 >= 1:
+            blocks.append('<script type="application/ld+json">'
+                          '{"@type":"Product"}</script>')
+        if k % 3 == 2:
+            blocks.append('<script type="application/ld+json">'
+                          '[{"@type":"Event"}]</script>')
+        if k % 5 == 0:
+            blocks.append('<script type="application/ld+json">{broken'
+                          "</script>")
+        micro = ""
+        if k % 2 == 0:
+            micro = ('<div itemscope itemtype="https://schema.org/WebPage">'
+                     '<span itemtype="http://schema.org/Offer/"></span>'
+                     "</div>")
+        html = f"<html><head>{''.join(blocks)}</head><body>{micro}</body></html>"
+        return html.encode()
+
+    @F.pandas_udf(BinaryType())
+    def construct(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda k: _payload(int(k)))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", construct(F.col("doc_id")).alias("payload"))
+    out = extract_structured_data(docs)
+    return out.select("doc_id", "ld_types", "n_ld_blocks", "n_ld_errors",
+                      "microdata_types")
 
 
 # ===========================================================================
@@ -6700,6 +6850,8 @@ _DRIVER_PRIORITY = [
     "crawl_two_epochs",
     "legacy_formats_extract",
     "doc_binary_text_extract",
+    "feed_extract",
+    "structured_data_extract",
     "flac_metadata_extract",
     "checkpoint_time_travel",
     "streaming_host_counts",

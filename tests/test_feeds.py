@@ -50,3 +50,17 @@ def test_feed_malformed_total_and_dispatch():
 def test_feed_empty_channel():
     r = feed_extract(b"<rss><channel><title>Empty</title></channel></rss>")
     assert (r["title"], r["n_items"], r["text"]) == ("Empty", 0, None)
+
+
+def test_feed_scan_cost_guard():
+    # 50k unclosed <item> openers in ~8 MB would make the lazy block regex
+    # quadratic; the guard rejects it in one linear pass instead
+    import time
+
+    evil = (b"<rss><channel><title>T</title>"
+            + b"<item><title>x</title>" * 50_000
+            + b" " * 4_000_000)
+    t0 = time.time()
+    r = feed_extract(evil)
+    assert time.time() - t0 < 5
+    assert r["parse_error"] == "scan-cost budget exceeded (unclosed entries)"

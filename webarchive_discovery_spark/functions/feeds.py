@@ -46,6 +46,16 @@ def feed_extract(data: bytes | None, max_items: int = 10_000) -> dict:
         return out
     try:
         doc = bytes(data[:_MAX_INPUT]).decode("utf-8", "replace")
+        # predictive scan-cost guard (same contract as markup_scan_guard):
+        # every unclosed <item>/<entry> makes the lazy block regex scan to
+        # EOF, so openers x length bounds the worst case.  Benign feeds are
+        # orders of magnitude under; adversarial ones become parse_error.
+        low = doc.lower()
+        openers = low.count("<item") + low.count("<entry")
+        closers = low.count("</item>") + low.count("</entry>")
+        if (openers - closers) * len(doc) > 64_000_000:
+            out["parse_error"] = "scan-cost budget exceeded (unclosed entries)"
+            return out
         head = doc[:4096]
         if _RSS_ROOT.search(head):
             out["feed_format"] = "rss"

@@ -6833,6 +6833,91 @@ def structured_data_extract(spark, sf_dir):
 
 
 # ===========================================================================
+# DROID identification of the round-5 format tiers
+# ===========================================================================
+
+@q(
+    "droid_identify_r5",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'fmt/566' WHEN 1 THEN 'x-fmt/418'
+             WHEN 2 THEN 'fmt/111' WHEN 3 THEN 'fmt/279'
+             WHEN 4 THEN 'fmt/203' ELSE 'fmt/483' END AS puid,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'WebP'
+             WHEN 1 THEN 'Windows Icon'
+             WHEN 2 THEN 'OLE2 Compound Document Format'
+             WHEN 3 THEN 'FLAC (Free Lossless Audio Codec)'
+             WHEN 4 THEN 'Ogg Vorbis Audio'
+             ELSE 'Electronic Publication (EPUB)' END AS format_name,
+           CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN 'image/webp' WHEN 1 THEN 'image/x-icon'
+             WHEN 2 THEN 'application/x-ole-storage'
+             WHEN 3 THEN 'audio/flac' WHEN 4 THEN 'audio/ogg'
+             ELSE 'application/epub+zip' END AS mime,
+           CASE WHEN doc_id % 6 = 5 THEN 'container'
+                ELSE 'binary' END AS method
+    FROM documents
+    """,
+)
+def droid_identify_r5(spark, sf_dir):
+    """DROID identification of the formats whose PARSERS landed this
+    round, so signature and parser tiers stay in lockstep: WebP (VP8
+    lossy frame), Windows ICO, an OLE2 compound file built by the
+    in-repo CFBF writer, FLAC (stub encoder), Ogg, and an EPUB whose
+    identification must come from the ZIP CONTAINER refinement
+    (stored-first ``mimetype`` entry) beating the plain x-fmt/263 ZIP
+    match.  Companion of ``droid_identify`` (the original 16-format
+    cycle, untouched)."""
+    import io
+    import struct as _struct
+    import zipfile
+
+    from pyspark.sql.types import BinaryType
+
+    from ..functions.audio import encode_flac_stub
+    from ..functions.droid import identify_formats
+    from ..functions.ole2 import build_cfbf
+
+    def _payload(k: int) -> bytes:
+        v = k % 6
+        if v == 0:
+            return (b"RIFF\x1e\x00\x00\x00WEBPVP8 \x12\x00\x00\x00"
+                    + b"\x00\x00\x00\x9d\x01\x2a"
+                    + _struct.pack("<HH", 16 + k % 64, 16) + b"\x00" * 8)
+        if v == 1:
+            return (b"\x00\x00\x01\x00\x01\x00"
+                    + bytes([k % 255 + 1, 16]) + b"\x00" * 14)
+        if v == 2:
+            return build_cfbf({"Contents": b"c" * (10 + k % 50)})
+        if v == 3:
+            return encode_flac_stub(total_samples=k % 1000, title=f"t{k}")
+        if v == 4:
+            return b"OggS\x00\x02" + bytes([k % 256]) * 24
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(zipfile.ZipInfo("mimetype"), "application/epub+zip",
+                        compress_type=zipfile.ZIP_STORED)
+            zf.writestr(zipfile.ZipInfo("META-INF/container.xml"),
+                        f"<container><!-- {k} --></container>",
+                        compress_type=zipfile.ZIP_DEFLATED)
+        return buf.getvalue()
+
+    @F.pandas_udf(BinaryType())
+    def construct(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda k: _payload(int(k)))
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", construct(F.col("doc_id")).alias("payload"))
+    out = identify_formats(docs, "payload")
+    return out.select("doc_id", F.col("droid.puid").alias("puid"),
+                      F.col("droid.format_name").alias("format_name"),
+                      F.col("droid.mime").alias("mime"),
+                      F.col("droid.method").alias("method"))
+
+
+# ===========================================================================
 # Driver-sampling priority order
 # ===========================================================================
 # The round driver validates a 50-gate sample of this catalog, taken in dict
@@ -6852,6 +6937,7 @@ _DRIVER_PRIORITY = [
     "doc_binary_text_extract",
     "feed_extract",
     "structured_data_extract",
+    "droid_identify_r5",
     "flac_metadata_extract",
     "checkpoint_time_travel",
     "streaming_host_counts",

@@ -130,11 +130,17 @@ def test_ivf_train_matches_numpy_replica_bitwise(spark):
     for c in range(1, _IVF_TRAIN_LISTS):
         expr = expr.when(cid == c, arrs[c])
     train = spark.range(_IVF_TRAIN_N).repartition(8).select(expr.alias("embedding"))
+    audit: list[int] = []
     cents = similarity.ivf_train(
         train, dim=_IVF_TRAIN_DIM, n_lists=_IVF_TRAIN_LISTS,
         seed=_IVF_TRAIN_SEED, iters=_IVF_TRAIN_ITERS,
+        _collect_audit=audit,
     )
     np.testing.assert_array_equal(np.round(cents, 6), _ivf_train_replica())
+    # driver-traffic budget: each Lloyd iteration collects at most one
+    # (list_id, mean-array) row per list — never lists × dim rows
+    assert len(audit) == _IVF_TRAIN_ITERS
+    assert all(n <= _IVF_TRAIN_LISTS for n in audit), audit
 
 
 def test_ivf_untrained_deterministic_and_subset_of_probed(spark, emb):

@@ -164,6 +164,15 @@ def minhash_lsh_candidates(
     banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
+    # Explicit fixed-width repartition on the bucket key BEFORE the cap
+    # window and the self-join: the join explodes within buckets, and AQE
+    # would otherwise coalesce the (byte-wise tiny) exchange to one
+    # partition, serializing the whole candidate explosion onto one task
+    # (guide §2.5).  The window's required distribution and both join
+    # aliases all reuse this one user exchange.
+    banded = banded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "band_id", "band_hash"
+    )
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -345,41 +354,70 @@ def connected_components(
     Min-label propagation: each round every vertex takes the min of its own
     and its neighbors' labels; converges in O(graph diameter) rounds (near-
     dup graphs are shallow — clusters are dense blobs, not long chains).
-    Each round is one broadcast-free shuffle join + hash aggregate;
-    ``localCheckpoint`` truncates lineage per round so plans stay flat, and
-    the loop stops early on a converged round.  Deterministic at any
-    parallelism: labels are pure min() folds of data values."""
-    sym = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        neighbor = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), "component")
-        )
-        new = (
-            labels.unionByName(neighbor)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+
+    Round shape (r6 optimization — guide §2.4 / §1.2-1: this is a
+    scheduling-bound loop, so the job COUNT is the cost model):
+
+    - one materialization job + one limit-1 convergence scan per round.
+      Convergence is detected from a ``_chg`` column computed IN the
+      round's plan (did any neighbor improve the label?), replacing the
+      old per-round labels⋈labels comparison join (a full extra join +
+      count job every round).
+    - the edge list skips the old ``distinct`` (a full exchange+aggregate):
+      every producer in this repo emits each unordered pair once, and min()
+      label folds are duplicate-TOLERANT anyway — a repeated edge changes
+      nothing.
+    - AQE is switched OFF around the loop (restored after): each round is a
+      tiny fixed-shape plan, and under AQE every exchange materializes as
+      its own stage-job (~5 jobs/round measured vs 1 statically; the
+      adaptive re-planning buys nothing here).  Skew safety does not regress:
+      vertex degree is bounded by construction — every candidate producer
+      caps band buckets (``max_bucket_size``/block decomposition), so no
+      hot key can concentrate a round's join.  On a cluster the loop's
+      exchanges use ``spark.sql.shuffle.partitions`` as configured.
+
+    Deterministic at any parallelism: labels are pure min() folds of data
+    values."""
+    spark = vertices.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = (
+            pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .unionByName(
+                pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+            )
+            .repartition(n_parts, "src")
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("component", "_old"), "id")
-            .filter(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+        labels = vertices.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("component")
+        ).localCheckpoint()
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("_nc"))
+            )
+            new = (
+                labels.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.least("component", "_nc").alias("component"),
+                    # strictly-smaller neighbor label ⇒ this round changed
+                    # something; least() skips the null from label-less
+                    # vertices
+                    (F.col("_nc") < F.col("component")).alias("_chg"),
+                )
+                .localCheckpoint()
+            )
+            changed = new.filter(F.col("_chg")).limit(1).count()
+            labels = new.drop("_chg")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     return labels
 
 
@@ -450,8 +488,36 @@ def simhash_near_dup_pairs(
         ).alias("band"),
     ).select("doc", "h", F.col("band.band_id").alias("band_id"),
              F.col("band.band_value").alias("band_value"))
+    # Explicit fixed-width repartition on the join key: the band self-join
+    # EXPLODES (output ≫ input), and AQE sizes post-shuffle partitions by
+    # INPUT bytes — on a small band table it coalesces the exchange to one
+    # partition and the entire candidate explosion runs in ONE task (guide
+    # §2.5: synthetic keys / exploding joins).  A user repartition is never
+    # coalesced, and both aliases of the self-join reuse this single
+    # exchange (ReusedExchange), so the explosion spreads across the fleet.
+    banded = banded.repartition(
+        simhashes.sparkSession.sparkContext.defaultParallelism,
+        "band_id", "band_value",
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    # A pair colliding in several bands must appear once.  Emit it from its
+    # FIRST matching band only: both full hashes ride the join, so "no
+    # earlier band agrees" is a pure codegen bit-test on the xor — this
+    # replaces the old per-pair dedup aggregation (a shuffle of every
+    # band-duplicate candidate row) with a post-join filter (r6, guide
+    # §2.4).  Band b' agrees exactly when the xor's bits
+    # [b'·band_bits, (b'+1)·band_bits) are all zero.
+    xor = F.col("a.h").bitwiseXOR(F.col("b.h"))
+    first_band = F.lit(True)
+    for bb in range(1, bands):
+        any_earlier_agrees = None
+        for eb in range(bb):
+            seg = F.shiftright(xor, eb * band_bits).bitwiseAND(F.lit(mask)) == 0
+            any_earlier_agrees = seg if any_earlier_agrees is None else (any_earlier_agrees | seg)
+        first_band = F.when(
+            F.col("a.band_id") == bb, ~any_earlier_agrees
+        ).otherwise(first_band)
     return (
         a.join(
             b_,
@@ -459,10 +525,12 @@ def simhash_near_dup_pairs(
             & (F.col("a.band_value") == F.col("b.band_value"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .filter(hamming <= max_hamming)
-        # a pair colliding in several bands must appear once
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.first(hamming).alias("hamming"))
+        .filter((hamming <= max_hamming) & first_band)
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming.alias("hamming"),
+        )
     )
 
 

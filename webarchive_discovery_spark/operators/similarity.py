@@ -368,6 +368,7 @@ def ivf_train(
     iters: int = 5,
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    _collect_audit: list | None = None,
 ) -> "np.ndarray":
     """Distributed spherical k-means for the IVF coarse quantizer: each
     Lloyd iteration is ONE Spark pass — broadcast centroids → vectorized
@@ -402,21 +403,30 @@ def ivf_train(
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
 
-        sums = (
+        # Per-(list, pos) means exactly as before (bit-identical float
+        # arithmetic), then reassembled into ONE array row per list BEFORE
+        # the collect: driver traffic is ≤ n_lists rows per Lloyd iteration
+        # instead of n_lists × dim (the r5 verdict's scale-killer — at the
+        # 1e5-list × 768-dim design point that was ~10^8 driver rows/iter).
+        per_list = (
             vecs.select(assign(F.col("vec")).alias("list_id"),
                         F.posexplode(F.col("vec")).alias("pos", "x"))
             .groupBy("list_id", "pos")
             .agg(F.avg("x").alias("mean"))
-            .collect()
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
         )
+        rows = per_list.collect()
+        if _collect_audit is not None:  # test hook: driver-row budget audit
+            _collect_audit.append(len(rows))
         new = cents.copy()  # empty lists keep their seed position
-        acc = {}
-        for r in sums:
-            acc.setdefault(r["list_id"], np.zeros(dim))[r["pos"]] = r["mean"]
-        for lid, v in acc.items():
+        for r in rows:
+            v = np.zeros(dim)
+            for e in r["pm"]:
+                v[e["pos"]] = e["mean"]
             n = np.linalg.norm(v)
             if n > 0:
-                new[lid] = v / n
+                new[int(r["list_id"])] = v / n
         cents = new
         bc.unpersist()  # executors drop the superseded centroid copy
     vecs.unpersist()

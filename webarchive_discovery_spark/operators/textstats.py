@@ -169,29 +169,43 @@ def lang_id(
 
         return df.withColumn("lang_pred", _predict(F.col(text_col)))
     langs = langs or _LANG_MARKERS
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    # ONE select for all score columns: a withColumn chain re-analyzes the
-    # growing plan per language (quadratic — measured minutes when composed
-    # on top of an already-deep pipeline plan)
+    # r6: the whole ladder is built as SQL text and parsed in ONE JVM call.
+    # The previous Column-object construction issued ~1,300 py4j round trips
+    # and duplicated the greatest(56 scores) tree into every one of the 112
+    # argmax branches — 1.4-1.6 s of DRIVER time per plan build (measured),
+    # paid again each time a pipeline composes lang_id.  Arithmetic is
+    # bit-identical: same replace/length occurrence counts, same int/int
+    # double division, same first-language-wins tie order; ``_best`` is
+    # materialized once as a column instead of re-deriving greatest() per
+    # branch (same value, same codegen).
+    def lit_sql(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    p = f"concat(' ', lower(`{text_col}`), ' ')"
     score_exprs = []
-    score_cols = []
     for lang, words in langs.items():
-        score = None
+        terms = []
         for wd in words:
             needle = wd if lang in NO_BOUNDARY_LANGS else f" {wd} "
-            occ = _occurrences(padded, needle)
-            score = occ if score is None else score + occ
-        score_exprs.append(score.cast("double").alias(f"score_{lang}"))
-        score_cols.append(f"score_{lang}")
-    out = df.select("*", *score_exprs)
-    best = F.greatest(*[F.col(c) for c in score_cols])
-    lang_expr = F.lit("und")
-    # reversed so earlier languages win ties (stable argmax order)
-    for lang in reversed(list(langs)):
-        lang_expr = F.when(
-            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(lang_expr)
-    return out.withColumn("lang_pred", lang_expr)
+            terms.append(
+                f"(length({p}) - length(replace({p}, {lit_sql(needle)}, ''))) "
+                f"/ {len(needle)}"
+            )
+        score_exprs.append(
+            "CAST(" + " + ".join(terms) + f" AS DOUBLE) AS score_{lang}"
+        )
+    out = df.selectExpr("*", *score_exprs)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    # earlier languages win ties (stable argmax order: first WHEN that hits)
+    cases = " ".join(
+        f"WHEN score_{lang} = _best AND _best > 0 THEN {lit_sql(lang)}"
+        for lang in langs
+    )
+    return (
+        out.selectExpr("*", f"{best} AS _best")
+        .selectExpr("*", f"CASE {cases} ELSE 'und' END AS lang_pred")
+        .drop("_best")
+    )
 
 
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:

@@ -43,6 +43,24 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _ts(spark, sf_dir, name, *cols):
+    """Scan + optional projection + repartition(defaultParallelism).
+
+    The sandbox's tiny parquet tables arrive as ONE split, which would run
+    every downstream per-row kernel (Arrow passes, payload synthesis, regex
+    ladders) on a single core; a production 100 TB scan arrives in thousands
+    of splits.  Spreading the scan models that and adds no shuffle the big
+    job wouldn't have (same rationale as ``_frontier_urls``); only the
+    narrow projected columns cross the exchange — payloads are synthesized
+    AFTER (guide §8: move small rows, generate heavy bytes once).  Results
+    are identical: every consumer is a per-row map or an order-insensitive
+    aggregate/window keyed on data values."""
+    df = _t(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ===========================================================================
 # Core relational (scan → filter → join → agg → sort/limit)
 # ===========================================================================
@@ -240,7 +258,7 @@ def hosts_report(spark, sf_dir):
     are exact integer cents (long), divided once at the end."""
     from ..sources.crawllog import parse_crawl_log_lines
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _ts(spark, sf_dir, "events")
     err = F.col("event_type") == "error"
     line = F.concat_ws(
         " ",
@@ -372,7 +390,7 @@ def cdx_generate(spark, sf_dir):
         F.lit("http://u"), F.col("user_id").cast("string"),
         F.lit(".example.com/e/"), F.col("event_id").cast("string"),
     )
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _ts(spark, sf_dir, "events").select(
         F.concat(F.lit("f"), (F.col("user_id") % 8).cast("string")).alias("source_file"),
         F.col("event_id").alias("record_offset"),
         F.concat(
@@ -527,7 +545,7 @@ _SHINGLE_CTE = """
 
 
 def _dup_corpus(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text")
     copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     return docs.unionByName(copies)
 
@@ -599,7 +617,7 @@ def _simhash_oracle_sql() -> str:
 
 @q("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text")
     return dedup.simhash16(docs, "text", "doc_id")
 
 
@@ -624,7 +642,7 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk(emb, queries, k=5)
 
@@ -753,7 +771,7 @@ def _langid_oracle_sql() -> str:
 
 @q("lang_id_counts", _langid_oracle_sql())
 def lang_id_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     tagged = textstats.lang_id(docs, "text")
     return tagged.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -795,7 +813,7 @@ def lang_id_model_counts(spark, sf_dir):
     arr = F.array(*[F.lit(t) for t in flat])
     d = F.col("doc_id")
     idx = ((F.floor(d / 4) % len(langs)) * 4 + d % 4).cast("int")
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.element_at(arr, idx + 1).alias("txt")
     )
     tagged = textstats.lang_id(docs, "txt", model="default")
@@ -883,7 +901,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     full text (simulated benchmark leakage), so leaked train documents come
     out fraction 1.0 and the rest near 0 — the oracle recomputes instance
     counts and fractions over the identical shingle derivation."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text")
     eval_df = docs.filter(F.col("doc_id") % 25 == 0)
     return dedup.ngram_contamination(docs, eval_df, "text", "doc_id", n=8)
 
@@ -922,7 +940,7 @@ def bpe_token_stats(spark, sf_dir):
     varying tail word) through the REAL BPE tokenizer; the oracle recomputes
     counts arithmetically from reference tokenizations of the unit and
     tails (see the constants above)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     reps = (F.col("doc_id") % 7 + 1).cast("int")
     tail = (
         F.when(F.col("doc_id") % 3 == 0, _BPE_TAILS[0])
@@ -1374,7 +1392,7 @@ def links_extract(spark, sf_dir):
     run the real extraction kernel, and flatten the multi-valued fields; the oracle
     reconstructs every expected value by string arithmetic — the extractor is
     checked against independently constructed values, not against itself."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     sid = F.col("doc_id").cast("string")
     base = F.concat(
         F.lit("http://base"), (F.col("doc_id") % 10).cast("string"),
@@ -1444,7 +1462,7 @@ def url_type_counts(spark, sf_dir):
     """Derive a record stream from events, run the PACKAGED filter chain
     (record type → protocol → response code) and url_type classification;
     the oracle recomputes the chain arithmetically."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _ts(spark, sf_dir, "events").select(
         F.when(F.col("event_id") % 4 == 0, "response")
         .when(F.col("event_id") % 4 == 1, "request")
         .when(F.col("event_id") % 4 == 2, "revisit")
@@ -1560,7 +1578,7 @@ def boilerplate_extract(spark, sf_dir):
               'sufficient extra words.</p><footer>Copyright '), d,
         F.lit('</footer></body></html>'),
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", page.alias("payload"))
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", page.alias("payload"))
     out = extract_main_content(docs)
     return out.select("doc_id", "main_text", "blocks_total", "blocks_kept",
                       "words_total", "words_kept")
@@ -1595,7 +1613,7 @@ def url_quality_flags(spark, sf_dir):
     — the RefinedWeb/C4 first gate: blocklist fragments, media extensions,
     parameter count, digit-heavy paths): six deterministic URL forms per
     event, every flag and the digit ratio restated arithmetically."""
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _ts(spark, sf_dir, "events", "event_id")
     e = F.col("event_id")
     form = e % 6
     url = F.concat(
@@ -1700,7 +1718,7 @@ def solr_xml_docs(spark, sf_dir):
     multi-valued links field; DuckDB rebuilds the exact XML string."""
     from ..operators.sinks import solr_doc_xml
 
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _ts(spark, sf_dir, "events", "event_id")
     e = F.col("event_id")
     n = (e % 4).cast("int")
     links = F.when(
@@ -1913,7 +1931,7 @@ def memento_json_lines(spark, sf_dir):
     with explicit nulls (Jackson ``Include.ALWAYS``), verbatim-matched."""
     from ..operators.memento import memento_json_lines as mj
 
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _ts(spark, sf_dir, "events", "event_id")
     e = F.col("event_id")
     url = F.concat(F.lit("http://h"), (e % 7).cast("string"),
                    F.lit(".example.org/p/"), e.cast("string"))
@@ -2065,7 +2083,7 @@ def capture_facet_counts(spark, sf_dir):
     from .. import schema_capture
     from ..sources.warc import WARC_RECORD_SCHEMA
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _ts(spark, sf_dir, "events")
     idx = F.col("event_id") % len(_MIME_CASES)
     served = F.lit(None).cast("string")
     for i, (mime, _) in enumerate(_MIME_CASES):
@@ -2145,7 +2163,7 @@ def _sentiment_oracle_sql() -> str:
 def sentiment_buckets(spark, sf_dir):
     """Append deterministic sentiment-bearing words to each document, run the
     packaged sentiment analyser, count per bucket."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -2184,7 +2202,7 @@ def entity_extract(spark, sf_dir):
     entity reconstructed arithmetically by the oracle."""
     from ..operators import entities as ent
 
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _ts(spark, sf_dir, "events", "event_id")
     txt = F.concat(
         F.lit("Dr Alice"), (F.col("event_id") % 50).cast("string"),
         F.lit(" Turing"), (F.col("event_id") % 7).cast("string"),
@@ -2253,7 +2271,7 @@ def entity_extract_model(spark, sf_dir):
     texts = [" ".join(tok for tok, _ in s) for s in NER_SENTENCES]
     arr = F.array(*[F.lit(t) for t in texts])
     d = F.col("doc_id")
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.element_at(arr, (d % len(texts) + 1).cast("int")).alias("txt")
     )
     return ent.extract_entities(docs, "txt", "doc_id", model="default")
@@ -2280,7 +2298,7 @@ def entity_extract_model(spark, sf_dir):
 def postcode_extract(spark, sf_dir):
     """Embed deterministic UK postcodes in each document, run the packaged
     extractor (the reference's PostcodeAnalyser regex), flatten arrays."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -2334,7 +2352,7 @@ def annotations_apply(spark, sf_dir):
 
     from ..operators import annotations as ann_op
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _ts(spark, sf_dir, "events")
     hn = (F.col("user_id") % 20).cast("string")
     caps = ev.select(
         "event_id",
@@ -2404,7 +2422,7 @@ def html_metadata(spark, sf_dir):
         F.lit(' text.</p>Tail '), (F.col("doc_id") % 11).cast("string"),
         F.lit(".</body></html>"),
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("payload"))
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", html.alias("payload"))
     out = meta_op.extract_html_metadata(docs)
     return out.select(
         "doc_id", "title", "author",
@@ -2448,7 +2466,7 @@ def dedup_ssdeep(spark, sf_dir):
     lengths are the deterministic kernel outputs stated verbatim (the
     pii_redaction oracle pattern).  CTPH internals are further
     pytest-covered (test_ctph_fuzzy_hash_properties)."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         F.concat(
             F.lit("shared prefix text body "),
@@ -3211,7 +3229,7 @@ def gopher_quality(spark, sf_dir):
     stopword-free, and clean — pushed through the REAL rule expressions;
     the oracle states each archetype's expected per-rule verdicts.
     (Rules from the public Gopher paper's quality heuristics.)"""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     v = F.col("doc_id") % 4
     # 60 words of clean prose with stopwords
     clean = F.concat(
@@ -3369,7 +3387,7 @@ def repetition_stats(spark, sf_dir):
     through the real repetition kernels; the oracle recomputes all three
     fractions with its own line/word decomposition — not from a formula,
     so the operator's arithmetic is independently checked."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     d = F.col("doc_id")
     txt = (
         F.when(d % 3 == 0, F.concat(
@@ -3418,7 +3436,7 @@ def c4_line_filter(spark, sf_dir):
     """Deterministic three-line documents (keeper / unpunctuated /
     alternating good-vs-javascript) through the real line rules; the oracle
     states each archetype's surviving text verbatim."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     d = F.col("doc_id")
     txt = F.concat(
         F.lit("Keeper sentence number "), d.cast("string"), F.lit(".\n"),
@@ -3450,7 +3468,7 @@ def c4_line_filter(spark, sf_dir):
 def pii_redaction(spark, sf_dir):
     """Deterministic email+IP per document through the real scrub
     expressions; the oracle states counts and the redacted text verbatim."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     d = F.col("doc_id")
     txt = F.concat(
         F.lit("Contact user"), d.cast("string"), F.lit("@example.org or host 10.0."),
@@ -3590,7 +3608,7 @@ def doc_formats_extract(spark, sf_dir):
                          "content_type": mimes[k % 3]})
         return pd.DataFrame(rows, columns=["payload", "content_type"])
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", construct(F.col("doc_id")).alias("_p")
     ).select("doc_id", F.col("_p.payload").alias("payload"),
              F.col("_p.content_type").alias("content_type"))
@@ -3726,7 +3744,7 @@ def office_formats_extract(spark, sf_dir):
                          "content_type": mimes[k % 4]})
         return pd.DataFrame(rows, columns=["payload", "content_type"])
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", construct(F.col("doc_id")).alias("_p")
     ).select("doc_id", F.col("_p.payload").alias("payload"),
              F.col("_p.content_type").alias("content_type"))
@@ -4108,7 +4126,7 @@ def substring_dedup_spans(spark, sf_dir):
     oracle restates the identity over the gram STRINGS (no hash), so the
     production ``xxhash64`` shuffle key is conformance-checked for
     collision-freedom as a side effect."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text")
     return dedup.duplicated_substring_spans(
         docs, "text", min_length=_SUBSTR_L
     ).select(
@@ -4154,7 +4172,7 @@ def substring_dedup_stats(spark, sf_dir):
     """Per-document substring-dedup roll-up incl. the VERBATIM deduplicated
     text (codegen span-cut fold) — cutting every returned span provably
     keeps the corpus-wide first occurrence of each duplicated 40-gram."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text")
     out = dedup.substring_dedup_stats(docs, "text", min_length=_SUBSTR_L)
     return out.select(
         "doc_id",
@@ -4223,7 +4241,7 @@ def dsir_select(spark, sf_dir):
     TakeOrderedAndProject.  See :mod:`operators.dsir`."""
     from ..operators import dsir
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text", "lang")
     feats = dsir.hashed_ngram_buckets(
         docs, "text", "doc_id", _DSIR_B, keep_cols=["lang"]
     )
@@ -4292,7 +4310,7 @@ def quality_classifier_probs(spark, sf_dir):
     :func:`operators.dsir.train_quality_classifier`."""
     from ..operators import dsir
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text", "lang")
     x = dsir.doc_bucket_counts(
         docs, "text", "doc_id", F.col("lang") == "en", _DSIR_B
     )
@@ -4375,7 +4393,7 @@ def image_text_pairs(spark, sf_dir):
     ``FaceDetectionAnalyser``; the join is the training-data extension)."""
     from ..operators import imagetext
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     sid = F.col("doc_id").cast("string")
     s = (F.col("doc_id") % 10).cast("string")
     c = (F.col("doc_id") % 5).cast("string")
@@ -4497,7 +4515,7 @@ def perplexity_buckets_gate(spark, sf_dir):
     :mod:`operators.perplexity`."""
     from ..operators import perplexity
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id", "text", "lang")
     uni, bi = perplexity.train_bigram_lm(
         docs.filter(F.col("lang") == "en"), "text", "doc_id", _PPL_B
     )
@@ -5126,7 +5144,7 @@ def line_dedup_corpus(spark, sf_dir):
     gate proves), a blank line (never counted), and a letters-only unique
     line (survives).  The oracle states the expected rebuilt text and
     counters arithmetically per document."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     ds = F.col("doc_id").cast("string")
     tr = F.translate(ds, "0123456789", "abcdefghij")
     year = F.when(F.col("doc_id") % 2 == 0, "2019").otherwise("2024")
@@ -5431,7 +5449,7 @@ def video_frame_sample(spark, sf_dir):
             out.append(rows)
         return pd.Series(out)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return (
         docs.select("doc_id", F.explode(mux_demux(F.col("doc_id"))).alias("fr"))
         .select("doc_id", "fr.frame_index", "fr.frame_w", "fr.frame_h",
@@ -5508,7 +5526,7 @@ def mp4_metadata_extract(spark, sf_dir):
                 ("video_w", "video_h", "n_frames", "fps", "codec"), vals)))
         return pd.DataFrame(rows, columns=[f.name for f in meta_struct.fields])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     out = docs.select("doc_id", mux_probe(F.col("doc_id")).alias("_m"))
     return out.select("doc_id", "_m.video_w", "_m.video_h", "_m.n_frames",
                       "_m.fps", "_m.codec")
@@ -5593,7 +5611,7 @@ def audio_features_extract(spark, sf_dir):
                          "zero_crossings": f["zero_crossings"]})
         return pd.DataFrame(rows, columns=[f.name for f in feat_struct.fields])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     out = docs.select("doc_id", mux_decode(F.col("doc_id")).alias("_f"))
     return out.select("doc_id", "_f.n_samples", "_f.sample_rate",
                       "_f.duration_ms", "_f.peak_abs", "_f.energy",
@@ -5673,7 +5691,7 @@ def mp3_metadata_extract(spark, sf_dir):
                          "duration_ms": info["duration_ms"]})
         return pd.DataFrame(rows, columns=[f.name for f in meta_struct.fields])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     out = docs.select("doc_id", mux_probe(F.col("doc_id")).alias("_m"))
     return out.select("doc_id", "_m.mp3_title", "_m.mp3_artist",
                       "_m.mp3_album", "_m.bitrate_kbps", "_m.sample_rate",
@@ -5850,7 +5868,7 @@ def droid_identify(spark, sf_dir):
     def construct(ids: pd.Series) -> pd.Series:
         return ids.map(lambda k: builders[int(k) % 16](int(k)))
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", construct(F.col("doc_id")).alias("payload"))
     out = identify_formats(docs, "payload")
     return out.select("doc_id", F.col("droid.puid").alias("puid"),
@@ -5911,7 +5929,7 @@ def chem_entities_extract(spark, sf_dir):
 
     chems = ["acetone", "ethanol", "benzene", "methanol",
              "toluene", "phenol", "ammonia", "ethylene"]
-    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").withColumn(
         "text",
         F.concat(
             F.lit("Sample "), F.col("doc_id").cast("string"),
@@ -5993,7 +6011,7 @@ def pdfa_preflight(spark, sf_dir):
     def construct(ids: pd.Series) -> pd.Series:
         return ids.map(lambda k: _pdf(int(k)))
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", construct(F.col("doc_id")).alias("payload"))
     out = preflight_pdfa(docs, "payload")
     return out.select(
@@ -6502,7 +6520,7 @@ def legacy_formats_extract(spark, sf_dir):
     def construct(ids: pd.Series) -> pd.Series:
         return ids.map(lambda k: _payload(int(k)))
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         construct(F.col("doc_id")).alias("payload"),
         F.when(F.col("doc_id") % 2 == 0, "application/msword")
@@ -6604,7 +6622,7 @@ def flac_metadata_extract(spark, sf_dir):
             })
         return pd.DataFrame(rows)
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", mux_probe(F.col("doc_id")).alias("m"))
     return docs.select("doc_id", "m.*")
 
@@ -6685,7 +6703,7 @@ def doc_binary_text_extract(spark, sf_dir):
     def construct(ids: pd.Series) -> pd.Series:
         return ids.map(lambda k: _payload(int(k)))
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         construct(F.col("doc_id")).alias("payload"),
         F.when(F.col("doc_id") % 3 == 0, "application/msword")
@@ -6755,7 +6773,7 @@ def feed_extract(spark, sf_dir):
     def construct(ids: pd.Series) -> pd.Series:
         return ids.map(lambda k: _payload(int(k)))
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         construct(F.col("doc_id")).alias("payload"),
         F.when(F.col("doc_id") % 2 == 0, "application/rss+xml")
@@ -6825,7 +6843,7 @@ def structured_data_extract(spark, sf_dir):
     def construct(ids: pd.Series) -> pd.Series:
         return ids.map(lambda k: _payload(int(k)))
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", construct(F.col("doc_id")).alias("payload"))
     out = extract_structured_data(docs)
     return out.select("doc_id", "ld_types", "n_ld_blocks", "n_ld_errors",
@@ -6908,7 +6926,7 @@ def droid_identify_r5(spark, sf_dir):
     def construct(ids: pd.Series) -> pd.Series:
         return ids.map(lambda k: _payload(int(k)))
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", construct(F.col("doc_id")).alias("payload"))
     out = identify_formats(docs, "payload")
     return out.select("doc_id", F.col("droid.puid").alias("puid"),

@@ -1045,3 +1045,37 @@ def test_scaled_partitions_tracks_input_size(spark):
     small, large = staged_parts(5_000), staged_parts(200_000)
     assert small <= 2, small
     assert large > small, (small, large)
+
+
+def test_global_sequence_staging_conf_and_unlistable_fallback(spark, tmp_path):
+    """r6 / verdict item 4: the staging root is conf-driven
+    (``spark.wds.staging.dir``) for cluster-visible deployments, and when
+    the driver cannot list the staged files the offset map falls back to
+    the distributed pruned ``_mid`` scan with identical offsets."""
+    from webarchive_discovery_spark.operators.frontier import (
+        _EPHEMERAL_STAGING, _partition_offsets, global_sequence,
+        release_staging)
+
+    root = tmp_path / "staging-root"
+    spark.conf.set("spark.wds.staging.dir", str(root))
+    try:
+        df = spark.range(10_000).select(
+            F.format_string("k%06d", F.col("id")).alias("url_key"))
+        out = global_sequence(df, [F.col("url_key").asc()], seq_col="seq")
+        rows = {r.url_key: r.seq for r in out.collect()}
+        assert rows == {f"k{i:06d}": i + 1 for i in range(10_000)}
+        # staged under the configured root
+        staged = _EPHEMERAL_STAGING[-1]
+        assert staged.startswith(str(root))
+        local = spark.read.parquet(staged)
+        fast = _partition_offsets(spark, local, staged)
+        # driver-unlistable staging path (no part-* visible) must raise in
+        # the footer fast path and fall back to the Spark scan — offsets
+        # identical
+        fallback = _partition_offsets(
+            spark, local, str(tmp_path / "does-not-exist"))
+        assert fallback == fast
+        assert len(rows) == 10_000
+    finally:
+        spark.conf.unset("spark.wds.staging.dir")
+        release_staging()

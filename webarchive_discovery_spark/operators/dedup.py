@@ -378,11 +378,11 @@ def connected_components(
 
     Deterministic at any parallelism: labels are pure min() folds of data
     values."""
+    from ..session import static_plans
+
     spark = vertices.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    with static_plans(spark):
         sym = (
             pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
             .unionByName(
@@ -416,8 +416,6 @@ def connected_components(
             labels = new.drop("_chg")
             if changed == 0:
                 break
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     return labels
 
 

@@ -210,43 +210,43 @@ def train_quality_classifier(
     Returns the trained weight list (index = bucket).  ``w_b ← w_b -
     lr/N · Σ_docs c_db (σ(z_d) - y_d)`` with ``z_d = Σ_b c_db w_b``.
 
-    Iteration shape (r6 optimization — guide §2.4): the design matrix is
-    hash-partitioned by ``id`` and sorted within partitions ONCE before the
-    checkpoint (``localCheckpoint`` preserves partitioning AND ordering into
-    the LogicalRDD), so each iteration computes ``z_d`` as a WINDOW sum over
-    the doc partition — the broadcast weights join and the window add no
-    exchange and no sort — and the per-bucket gradient is the iteration's
-    only shuffle (map-side partials collapse it to ≤ ``buckets`` rows per
-    partition).  Previous shape per iteration: groupBy(id) exchange + an
-    id-keyed scores⋈matrix join + groupBy(bucket) exchange; now: one tiny
-    bucket exchange, one collect."""
+    Iteration shape (r6 optimization — guide §2.4 / §1.2-1): each iteration
+    computes ``z_d`` as a WINDOW sum over the doc partition directly on the
+    checkpointed design matrix — the broadcast weights join adds no
+    exchange, so one id exchange (for the window) plus the tiny per-bucket
+    gradient exchange (map-side partials collapse it to ≤ ``buckets`` rows
+    per partition) and ONE collect make up the whole iteration.  Previous
+    shape: groupBy(id) exchange + an id-keyed scores⋈matrix join +
+    groupBy(bucket) exchange.  The loop is planned statically
+    (:func:`..session.static_plans`): fixed-shape rounds with ≤ ``buckets``
+    aggregate keys gain nothing from AQE, and each AQE exchange would cost
+    its own stage-job."""
     from pyspark.sql import Window
 
+    from ..session import static_plans
+
     spark = x.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    x = (
-        x.repartition(n_parts, "id").sortWithinPartitions("id")
-        .localCheckpoint()  # reused every iteration; keep the plan flat
-    )
-    n_docs = x.select("id").distinct().count()
-    w = [0.0] * buckets
-    wid = Window.partitionBy("id")
-    for _ in range(iters):
-        wdf = spark.createDataFrame(
-            [(b, float(wb)) for b, wb in enumerate(w) if wb != 0.0] or [(0, 0.0)],
-            "bucket long, w double",
-        )
-        z = F.sum(F.col("c") * F.coalesce("w", F.lit(0.0))).over(wid)
-        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))) - F.col("y")
-        grad = (
-            x.join(F.broadcast(wdf), "bucket", "left")
-            .withColumn("_z", z)
-            .groupBy("bucket")
-            .agg(F.sum(F.col("c") * err).alias("g"))
-            .collect()
-        )
-        for r in grad:
-            w[int(r["bucket"])] -= lr * float(r["g"]) / n_docs
+    with static_plans(spark):
+        x = x.localCheckpoint()  # reused every iteration; keep the plan flat
+        n_docs = x.select("id").distinct().count()
+        w = [0.0] * buckets
+        wid = Window.partitionBy("id")
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                [(b, float(wb)) for b, wb in enumerate(w) if wb != 0.0] or [(0, 0.0)],
+                "bucket long, w double",
+            )
+            z = F.sum(F.col("c") * F.coalesce("w", F.lit(0.0))).over(wid)
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))) - F.col("y")
+            grad = (
+                x.join(F.broadcast(wdf), "bucket", "left")
+                .withColumn("_z", z)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("c") * err).alias("g"))
+                .collect()
+            )
+            for r in grad:
+                w[int(r["bucket"])] -= lr * float(r["g"]) / n_docs
     return w
 
 

@@ -387,6 +387,8 @@ def ivf_train(
     still covers every row."""
     from pyspark.sql.types import IntegerType
 
+    from ..session import static_plans
+
     spark = embeddings.sparkSession
     cents = ivf_centroids(dim, n_lists, seed)
     if sample_fraction is not None:
@@ -394,41 +396,42 @@ def ivf_train(
     # persist: every Lloyd iteration re-scans vecs; without this the source
     # scan + sample + cast re-execute once per iteration
     vecs = embeddings.select(_as_double(F.col(vec_col)).alias("vec")).persist()
-    for _ in range(iters):
-        bc = spark.sparkContext.broadcast(cents)
+    with static_plans(spark):  # fixed-shape Lloyd rounds: plan statically
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast(cents)
 
-        @F.pandas_udf(IntegerType())
-        def assign(v: pd.Series) -> pd.Series:
-            m = np.vstack(v.to_numpy())
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
+            @F.pandas_udf(IntegerType())
+            def assign(v: pd.Series) -> pd.Series:
+                m = np.vstack(v.to_numpy())
+                m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype(np.int32))
 
-        # Per-(list, pos) means exactly as before (bit-identical float
-        # arithmetic), then reassembled into ONE array row per list BEFORE
-        # the collect: driver traffic is ≤ n_lists rows per Lloyd iteration
-        # instead of n_lists × dim (the r5 verdict's scale-killer — at the
-        # 1e5-list × 768-dim design point that was ~10^8 driver rows/iter).
-        per_list = (
-            vecs.select(assign(F.col("vec")).alias("list_id"),
-                        F.posexplode(F.col("vec")).alias("pos", "x"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("mean"))
-            .groupBy("list_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
-        )
-        rows = per_list.collect()
-        if _collect_audit is not None:  # test hook: driver-row budget audit
-            _collect_audit.append(len(rows))
-        new = cents.copy()  # empty lists keep their seed position
-        for r in rows:
-            v = np.zeros(dim)
-            for e in r["pm"]:
-                v[e["pos"]] = e["mean"]
-            n = np.linalg.norm(v)
-            if n > 0:
-                new[int(r["list_id"])] = v / n
-        cents = new
-        bc.unpersist()  # executors drop the superseded centroid copy
+            # Per-(list, pos) means exactly as before (bit-identical float
+            # arithmetic), then reassembled into ONE array row per list BEFORE
+            # the collect: driver traffic is ≤ n_lists rows per Lloyd iteration
+            # instead of n_lists × dim (the r5 verdict's scale-killer — at the
+            # 1e5-list × 768-dim design point that was ~10^8 driver rows/iter).
+            per_list = (
+                vecs.select(assign(F.col("vec")).alias("list_id"),
+                            F.posexplode(F.col("vec")).alias("pos", "x"))
+                .groupBy("list_id", "pos")
+                .agg(F.avg("x").alias("mean"))
+                .groupBy("list_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            )
+            rows = per_list.collect()
+            if _collect_audit is not None:  # test hook: driver-row budget audit
+                _collect_audit.append(len(rows))
+            new = cents.copy()  # empty lists keep their seed position
+            for r in rows:
+                v = np.zeros(dim)
+                for e in r["pm"]:
+                    v[e["pos"]] = e["mean"]
+                n = np.linalg.norm(v)
+                if n > 0:
+                    new[int(r["list_id"])] = v / n
+            cents = new
+            bc.unpersist()  # executors drop the superseded centroid copy
     vecs.unpersist()
     return cents
 

@@ -6068,6 +6068,7 @@ def checkpoint_time_travel(spark, sf_dir):
     even ones).  Crash-atomicity, compaction, expiry, stats pruning and
     conflict retry of the same store are pytest-covered
     (test_checkpoint_metadata, test_crawl)."""
+    import os
     import shutil
     import tempfile
 
@@ -6079,7 +6080,12 @@ def checkpoint_time_travel(spark, sf_dir):
         .select(e.alias("url_hash"), (e % 3).cast("int").alias("first_epoch"))
     )
     h = F.col("url_hash")
-    root = tempfile.mkdtemp(prefix="wads_ckpt_gate_")
+    # gate-ephemeral store root on tmpfs when available: the snapshot
+    # commits/reads stand in for a distributed store whose bandwidth scales
+    # with executors; one shared /tmp disk would cap them (sandbox artifact,
+    # not plan property — same rationale as global_sequence staging)
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="wads_ckpt_gate_", dir=_shm)
     try:
         store = CheckpointStore(root)
         store.write(0, {"seen": base.filter(F.col("first_epoch") == 0)})
@@ -6143,6 +6149,7 @@ def streaming_host_counts(spark, sf_dir):
     is total and deterministic; the sentinel's own window stays open and
     never emits, which is itself part of the asserted semantics.  The
     oracle recomputes the closed windows as a batch aggregate."""
+    import os
     import shutil
     import tempfile
 
@@ -6165,7 +6172,11 @@ def streaming_host_counts(spark, sf_dir):
         F.lit("zz.sentinel.example.org").alias("host"),
         F.lit("2024-01-02 00:00:00").cast("timestamp").alias("discovered_at"),
     )
-    root = tempfile.mkdtemp(prefix="wads_stream_gate_")
+    # stream input/sink/state checkpoint on tmpfs when available (the
+    # micro-batch state store and the parquet sink commit per trigger; one
+    # shared /tmp disk would serialize that I/O — sandbox artifact)
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="wads_stream_gate_", dir=_shm)
     try:
         indir = root + "/in"
         fetches.unionByName(sentinel).write.mode("overwrite").parquet(indir)

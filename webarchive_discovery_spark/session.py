@@ -10,8 +10,29 @@ on a real cluster set ``spark.sql.shuffle.partitions`` ~ 2-3× total cores via
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def static_plans(spark: SparkSession):
+    """Temporarily disable AQE around an iterative loop and restore it after.
+
+    Under AQE every exchange materializes as its own stage-job; for tiny
+    fixed-shape per-round plans (connected components, GD/Lloyd iterations)
+    that scheduling overhead dominates — measured ~5 jobs/round vs 1 with
+    static planning, at identical results.  Use ONLY around loops whose
+    round shape is fixed and whose key distributions are bounded by
+    construction (capped band buckets, <=`buckets` model keys, n_lists x dim
+    aggregate keys); everything else keeps the session's adaptive planning,
+    including AQE skew-join handling."""
+    was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", was)
 
 
 def get_spark(

@@ -358,12 +358,20 @@ def connected_components(
     Round shape (r6 optimization — guide §2.4 / §1.2-1: this is a
     scheduling-bound loop, so the job COUNT is the cost model):
 
-    - one materialization job + one limit-1 convergence scan per round.
-      Convergence is detected from a ``_chg`` column computed IN the
-      round's plan (did any neighbor improve the label?), replacing the
-      old per-round labels⋈labels comparison join (a full extra join +
-      count job every round).
-    - the edge list skips the old ``distinct`` (a full exchange+aggregate):
+    - ONE job per round: the round's labels ``localCheckpoint`` (plan
+      truncation — checkpointing keeps every round's plan flat, so
+      driver-side analysis cost stays constant across rounds) carries an
+      ``observe()`` metric counting label improvements, so convergence
+      detection rides the materialization job instead of being a separate
+      limit-1 scan (2 jobs/round → 1).  A cache()-based variant that also
+      preserved partitioning was tried and rejected: nested
+      InMemoryRelation lineage made per-round planning cost GROW with the
+      round number (measured 3× slower end-to-end despite fewer
+      exchanges).
+    - the convergence metric is computed BELOW the final projection, so the
+      checkpointed rows stay ``(id, component)`` — the ``_nc`` comparison
+      column never materializes.
+    - the edge list skips a ``distinct`` (a full exchange+aggregate):
       every producer in this repo emits each unordered pair once, and min()
       label folds are duplicate-TOLERANT anyway — a repeated edge changes
       nothing.
@@ -378,6 +386,8 @@ def connected_components(
 
     Deterministic at any parallelism: labels are pure min() folds of data
     values."""
+    from pyspark.sql import Observation
+
     from ..session import static_plans
 
     spark = vertices.sparkSession
@@ -391,30 +401,32 @@ def connected_components(
             .repartition(n_parts, "src")
             .localCheckpoint()
         )
+        # the initial labels are NOT checkpointed: they are only read by
+        # round 1 (whose checkpoint replaces them), and their lineage is a
+        # projection of the caller's (usually already-pinned) vertex set —
+        # one job saved per call
         labels = vertices.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
-        ).localCheckpoint()
+        )
         for _ in range(max_iter):
             nbr = (
                 sym.join(labels, sym["src"] == labels["id"])
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("component").alias("_nc"))
             )
-            new = (
+            obs = Observation()
+            labels = (
                 labels.join(nbr, "id", "left")
-                .select(
-                    "id",
-                    F.least("component", "_nc").alias("component"),
-                    # strictly-smaller neighbor label ⇒ this round changed
-                    # something; least() skips the null from label-less
-                    # vertices
-                    (F.col("_nc") < F.col("component")).alias("_chg"),
-                )
+                # strictly-smaller neighbor label ⇒ this round changed
+                # something; count(when(...)) is null-safe for label-less
+                # vertices (left-join miss ⇒ _nc null ⇒ not counted)
+                .observe(obs, F.count(
+                    F.when(F.col("_nc") < F.col("component"), True)
+                ).alias("n_improved"))
+                .select("id", F.least("component", "_nc").alias("component"))
                 .localCheckpoint()
             )
-            changed = new.filter(F.col("_chg")).limit(1).count()
-            labels = new.drop("_chg")
-            if changed == 0:
+            if obs.get["n_improved"] == 0:
                 break
     return labels
 

@@ -212,12 +212,18 @@ def train_quality_classifier(
 
     Iteration shape (r6 optimization — guide §2.4 / §1.2-1): each iteration
     computes ``z_d`` as a WINDOW sum over the doc partition directly on the
-    checkpointed design matrix — the broadcast weights join adds no
-    exchange, so one id exchange (for the window) plus the tiny per-bucket
-    gradient exchange (map-side partials collapse it to ≤ ``buckets`` rows
-    per partition) and ONE collect make up the whole iteration.  Previous
-    shape: groupBy(id) exchange + an id-keyed scores⋈matrix join +
-    groupBy(bucket) exchange.  The loop is planned statically
+    cached design matrix — the broadcast weights join adds no exchange, and
+    the matrix is cached hash(id)-partitioned and (id, bucket)-sorted, a
+    layout ``cache()`` PRESERVES (``localCheckpoint``'s LogicalRDD reports
+    Unknown partitioning), so the window re-shuffles NOTHING: the iteration
+    is just the tiny per-bucket gradient exchange (map-side partials
+    collapse it to ≤ ``buckets`` rows per partition) and ONE collect.
+    Previous shapes: groupBy(id) exchange + an id-keyed scores⋈matrix join
+    + groupBy(bucket) exchange (r5); checkpoint + a per-iteration id
+    exchange for the window (early r6).  The (id, bucket) sort also FIXES
+    the float summation order of ``z_d`` — fully deterministic across runs,
+    not just across parallelism levels.  The distinct-id count doubles as
+    the cache-materialization action.  The loop is planned statically
     (:func:`..session.static_plans`): fixed-shape rounds with ≤ ``buckets``
     aggregate keys gain nothing from AQE, and each AQE exchange would cost
     its own stage-job."""
@@ -227,7 +233,11 @@ def train_quality_classifier(
 
     spark = x.sparkSession
     with static_plans(spark):
-        x = x.localCheckpoint()  # reused every iteration; keep the plan flat
+        x = (
+            x.repartition(spark.sparkContext.defaultParallelism, "id")
+            .sortWithinPartitions("id", "bucket")
+            .cache()
+        )
         n_docs = x.select("id").distinct().count()
         w = [0.0] * buckets
         wid = Window.partitionBy("id")
@@ -247,6 +257,7 @@ def train_quality_classifier(
             )
             for r in grad:
                 w[int(r["bucket"])] -= lr * float(r["g"]) / n_docs
+    x.unpersist()
     return w
 
 

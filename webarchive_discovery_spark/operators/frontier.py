@@ -297,12 +297,16 @@ def global_sequence(
     # via persist(MEMORY_AND_DISK)+count — one job instead of two — measured
     # ~2x SLOWER end-to-end here: the storage-level write path is badly
     # thread-contended at local[32], same finding as round 3.)
-    df = df.localCheckpoint()
     # Size the range exchange to the DATA, not defaultParallelism: a small
     # epoch stops paying 32 partitions of scheduling overhead while a
     # 10^10-row frontier still fans out to ~40k partitions (offset-join
-    # path).  The count is a cached-block scan on the pin, not a recompute.
-    n_rows = df.count()
+    # path).  The row count rides the pin's materialization job as an
+    # observe() metric — no separate count job (r6: 2 jobs → 1 here).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    n_rows = obs.get["n"]
     parts = num_partitions or scaled_partitions(
         n_rows, spark.sparkContext.defaultParallelism
     )

@@ -70,9 +70,17 @@ def train_bigram_lm(
     left side* and ``bi = (w1, w2, c2)`` counts bigram occurrences — exactly
     the statistics add-k bigram probability needs
     (``p(w2|w1) = (c2+k)/(c1+k·buckets)``).  Two hash aggregates over one
-    exploded stream; no driver traffic."""
+    exploded stream; no driver traffic.
+
+    The bigram table is materialized (``localCheckpoint``) before the
+    unigram rollup: both returned models are typically broadcast by
+    :func:`doc_perplexity`, and each broadcast build is its own job — an
+    unmaterialized ``bi`` would re-run the corpus scan + explode + count
+    shuffle TWICE (once per broadcast), while the pinned table is at most
+    ``buckets²`` rows (r6, guide §2.4: reuse one materialization)."""
     stream = _bigram_stream(df, text_col, id_col, buckets)
     bi = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bi = bi.localCheckpoint()
     uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
     return uni, bi
 

@@ -6078,6 +6078,10 @@ def checkpoint_time_travel(spark, sf_dir):
     base = (
         _t(spark, sf_dir, "events").select("event_id").distinct()
         .select(e.alias("url_hash"), (e % 3).cast("int").alias("first_epoch"))
+        # pin once: four epoch-filtered snapshot writes read this set, and
+        # each would otherwise re-run the scan+distinct shuffle (r6, guide
+        # §2.4 — reuse one materialization instead of four exchanges)
+        .localCheckpoint()
     )
     h = F.col("url_hash")
     # gate-ephemeral store root on tmpfs when available: the snapshot

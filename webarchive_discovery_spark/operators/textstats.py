@@ -470,9 +470,18 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     - ``dup_line_char_fraction`` — fraction of characters sitting in lines
       that are duplicates of an earlier identical line
     - ``top_word_char_fraction`` — characters of the single most frequent
-      word over all word characters (one explode + two hash aggregates,
-      ties to the lexicographically smallest word for determinism)
-    """
+      word over all word characters, ties to the lexicographically
+      smallest word for determinism
+
+    All three are PURE per-row array expressions — no shuffle, no join.
+    The top-word argmax folds a run-length scan over the sorted word array
+    (``array_sort`` + one ``aggregate``): identical counts to the previous
+    explode → groupBy(id, w) → groupBy(id) → join-back shape, which cost
+    three exchanges and re-executed the upstream pipeline on both join
+    sides (r6, guide §2.4).  Ascending word order + strictly-greater run
+    updates reproduce the old (count desc, word asc) tie rule exactly.
+    Input columns are preserved, so callers no longer need an id join to
+    recover carried fields."""
     text = F.col(text_col)
     lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
@@ -484,30 +493,57 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.transform(F.array_distinct(lines), lambda l: F.length(l)),
         F.lit(0), lambda s, v: s + v,
     )
-    base = df.select(
-        F.col(id_col),
-        text.alias("_txt"),
-        F.when(n_lines > 0, (n_lines - n_distinct) / n_lines)
-        .otherwise(F.lit(0.0)).alias("dup_line_fraction"),
-        F.when(line_chars > 0, (line_chars - distinct_chars) / line_chars)
-        .otherwise(F.lit(0.0)).alias("dup_line_char_fraction"),
+    ws = F.array_sort(
+        F.filter(F.split(F.trim(F.lower(text)), r"\s+"), lambda w: w != "")
     )
-    words = base.select(
-        id_col, F.explode(F.split(F.trim(F.lower(F.col("_txt"))), r"\s+")).alias("w")
-    ).filter(F.col("w") != "")
-    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
-    top = per_word.groupBy(id_col).agg(
-        # deterministic argmax: (count desc, word asc) = min of (-count, word)
-        F.min(F.struct((-F.col("c")).alias("nc"), F.col("w"))).alias("_top"),
-        F.sum(F.col("c") * F.length("w")).alias("_all_chars"),
-    ).select(
-        id_col,
-        ((-F.col("_top.nc")) * F.length(F.col("_top.w"))
-         / F.col("_all_chars")).alias("top_word_char_fraction"),
+    all_chars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda s, v: s + v
     )
-    return base.drop("_txt").join(top, id_col, "left").withColumn(
-        "top_word_char_fraction",
-        F.coalesce(F.round(F.col("top_word_char_fraction"), 6), F.lit(0.0)),
+    # run-length argmax over the sorted words: acc carries (previous word,
+    # current run length, best count, best word); equal runs do NOT replace
+    # the best, so the first (lexicographically smallest) max-count word wins
+    scan = F.aggregate(
+        ws,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best_c"),
+            F.lit(None).cast("string").alias("best_w"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best_c"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best_c"),
+            F.when(
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best_c"],
+                w,
+            ).otherwise(acc["best_w"]).alias("best_w"),
+        ),
+    )
+    top_fraction = F.when(
+        (all_chars > 0) & (F.col("_rs.best_c") > 0),
+        F.round(
+            F.col("_rs.best_c") * F.length(F.col("_rs.best_w")) / all_chars, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn(
+            "dup_line_fraction",
+            F.when(n_lines > 0, (n_lines - n_distinct) / n_lines)
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_line_char_fraction",
+            F.when(line_chars > 0, (line_chars - distinct_chars) / line_chars)
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("_rs", scan)
+        .withColumn("top_word_char_fraction", top_fraction)
+        .drop("_rs")
     )
 
 

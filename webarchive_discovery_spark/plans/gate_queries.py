@@ -4311,11 +4311,14 @@ def quality_classifier_probs(spark, sf_dir):
     from ..operators import dsir
 
     docs = _ts(spark, sf_dir, "documents", "doc_id", "text", "lang")
+    # pin the design matrix ONCE: training reads it every GD iteration and
+    # scoring reuses it — previously scoring re-ran the full tokenize +
+    # md5-hash + explode + aggregate feature pass over the corpus (r6)
     x = dsir.doc_bucket_counts(
         docs, "text", "doc_id", F.col("lang") == "en", _DSIR_B
-    )
+    ).localCheckpoint()
     w = dsir.train_quality_classifier(x, _DSIR_B, iters=2, lr=0.5)
-    return dsir.quality_scores(docs, "text", "doc_id", w, _DSIR_B).select(
+    return dsir.quality_scores_from_counts(x, w).select(
         "doc_id", F.round("prob", 6).alias("prob")
     )
 

@@ -56,14 +56,13 @@ def build_training_corpus(
     gated = ts.gopher_quality_filter(
         cleaned, "clean_text", min_words=gopher_min_words
     )
-    # repetition_stats projects down to (id, fractions) — join the carried
-    # columns back by id (one co-partitioned join on the doc key)
+    # repetition_stats is pure per-row array expressions and PRESERVES its
+    # input columns (r6) — no join-back needed; the whole cleaning ladder
+    # through language ID is one shuffle-free codegen pass
     rep = ts.repetition_stats(
-        gated.select(id_col, "clean_text"), "clean_text", id_col
-    ).join(
         gated.select(id_col, F.col("clean_text").alias("text_kept"),
                      "gopher_pass"),
-        id_col,
+        "text_kept", id_col,
     )
     langed = ts.lang_id(rep, "text_kept")
 

@@ -6961,81 +6961,90 @@ def droid_identify_r5(spark, sf_dir):
 # earned a driver CORRECTNESS row register first; long-green gates fill the
 # remaining sample slots.
 _DRIVER_PRIORITY = [
-    # r4 hash-mismatch rows (oracle HUGEINT, cast in r5) — must re-sample
-    "substring_dedup_stats",
-    "sequence_packing",
-    "sequence_manifest",
-    # rows-only-by-design composition: keep its driver row current
-    "training_corpus_build",
-    # new gates this round
-    "crawl_two_epochs",
-    "legacy_formats_extract",
-    "doc_binary_text_extract",
-    "feed_extract",
-    "structured_data_extract",
-    "droid_identify_r5",
-    "flac_metadata_extract",
-    "checkpoint_time_travel",
-    "streaming_host_counts",
-    "chem_entities_extract",
-    "pdfa_preflight",
-    "droid_identify",
-    "bloom_probe_1m",
-    "cuckoo_probe_1m",
-    "domain_politeness_budget",
-    "video_frame_sample",
-    "office_formats_extract",
-    "audio_features_extract",
-    "mp4_metadata_extract",
-    "mp3_metadata_extract",
-    # r5 behavior changed under these (partition scaling, skew routing,
-    # cuckoo remix) — re-sample the affected gates
-    "frontier_fetch_order",
-    "frontier_canonicalize",
-    "url_seen_antijoin",
-    "cdx_generate",
-    "semantic_dedup",
-    "cuckoo_shard_probe",
-    "bloom_shard_probe",
-    # oldest driver rows next (green only in r2, re-validated locally since)
-    "ann_ivf_cosine_topk",
-    "datasets_generate",
-    "dedup_clusters",
-    "dedup_simhash_pairs",
-    "dedup_ssdeep",
-    "gopher_quality",
-    "image_analysis",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "recrawl_schedule",
-    "repetition_stats",
-    "robots_parse",
-    "mdx_seq_merge",
-    "reservoir_sample_events",
-    "persist_sessions",
-    "outlink_graph",
-    "host_pagerank",
-    "postcode_extract",
-    "sentiment_buckets",
-    "memento_json_lines",
-    "wet_records",
-    "arcname_fields",
-    "solr_xml_docs",
+    # --- r6 rotation (VERDICT r5 item 8): the driver samples ~50 rows from
+    # the front of this list.  62 gates had no r5 driver row (the judge
+    # re-verified them via check_correctness); positions 1-42 are drawn from
+    # that set so CORRECTNESS_r06 ∩ r5-unsampled ≥ 40, leading with the
+    # gates whose PLANS changed in the r6 optimization waves (scan spread,
+    # connected-components observe-fusion, shuffle-free repetition stats,
+    # classifier matrix reuse, lang-id SQL build, LSH band repartition).
+    # Positions 43-50 re-sample the r5-SAMPLED gates whose plans also
+    # changed this round.
+    #
+    # changed plans this round, no r5 driver row:
+    "image_phash_clusters",
+    "quality_classifier_probs",
+    "perplexity_buckets",
+    "training_corpus_build_oracled",
+    "dsir_select",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "lang_id_counts",
+    "lang_id_model_counts",
+    "entity_extract",
+    "entity_extract_model",
+    "ann_ivf_trained_topk",
     "links_extract",
-    "html_metadata",
+    "capture_full_extract",
+    "substring_dedup_spans",
+    "hosts_report",
+    "annotations_apply",
     "capture_facet_counts",
+    "memento_json_lines",
+    "warc_parse_records",
+    "solr_xml_docs",
+    "multimodal_corpus_build",
+    "image_text_pairs",
+    "image_text_clip_scores",
+    "image_safety_scores",
+    "line_dedup_corpus",
+    "warc_write_records",
+    "sitemap_parse",
+    "decontaminate_ngram_overlap",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_cosine_topk",
+    "temperature_mixture_sample",
+    "url_quality_flags",
+    "warc_regex_freq",
+    "reduplicate_mdx",
+    "frequency_count_events",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "top20_parts_by_revenue",
+    # changed plans this round, r5-sampled (re-verify in the driver):
+    "training_corpus_build",
+    "repetition_stats",
+    "dedup_clusters",
+    "semantic_dedup",
+    "frontier_fetch_order",
+    "cdx_generate",
+    "checkpoint_time_travel",
+    "crawl_two_epochs",
+    # remaining r5-unsampled (judge-coverable; next in line if the sample
+    # is larger than 50):
     "wayback_dates",
     "parse_extensions",
     "mime_norm_counts",
+    "quality_scores",
+    "c4_line_filter",
+    "politeness_budget",
+    "pii_redaction",
+    "dedup_ngram_jaccard",
+    "token_stats",
+    "doc_fingerprint",
+    "bpe_token_stats",
+    "boilerplate_extract",
+    "aspect_bucket_assign",
+    "embedding_quantize_int8",
+    "wet_records",
+    "arcname_fields",
+    "html_metadata",
     "url_type_counts",
-    "annotations_apply",
-    "entity_extract",
-    "postcode_extract",
-    "reduplicate_mdx",
-    "warc_parse_records",
-    "warc_regex_freq",
-    "frequency_count_events",
-    "hosts_report",
+    "sitemap_frontier_scores",
+    "doc_formats_extract",
 ]
 
 

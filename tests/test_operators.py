@@ -596,6 +596,32 @@ def test_simhash_pairs_auto_band_minimum(spark):
         assert got_mh == expect
 
 
+def test_simhash_components_contraction_equivalence(spark):
+    """``simhash_components`` (distinct-hash contraction) must label every
+    row exactly as the uncontracted pairs→connected_components pipeline —
+    including shared-hash groups with no near neighbor, chains that connect
+    ACROSS hash groups, and singletons."""
+    from webarchive_discovery_spark.operators.dedup import (
+        connected_components, simhash_components, simhash_near_dup_pairs)
+
+    # groups: {0,1,2} share hash 7; {3,4} share 9 (hamming(7,9)=3 → chains
+    # with the first group); 5 is hamming-1 from 9; 6 is a far singleton
+    hashes = [7, 7, 7, 9, 9, 13, 0x5A00]
+    df = spark.createDataFrame(
+        [(i + 10, h) for i, h in enumerate(hashes)], "doc_id long, simhash long"
+    )
+    direct_pairs = simhash_near_dup_pairs(df, max_hamming=3)
+    direct = {(r.id, r.component) for r in connected_components(
+        df.select("doc_id"), direct_pairs.select("id_a", "id_b"),
+        id_col="doc_id").collect()}
+    contracted = {(r.id, r.component)
+                  for r in simhash_components(df, max_hamming=3).collect()}
+    assert contracted == direct
+    # sanity on the data's structure: one big chained component + singleton
+    comp_of = dict(contracted)
+    assert comp_of[16] == 16 and len({c for _, c in contracted}) == 2
+
+
 def test_gopher_quality_filter_rules(spark):
     """Per-rule audit flags + conjunction; bullet/ellipsis line rules."""
     from webarchive_discovery_spark.operators.textstats import gopher_quality_filter

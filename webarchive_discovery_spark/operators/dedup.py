@@ -393,11 +393,25 @@ def connected_components(
     spark = vertices.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     with static_plans(spark):
+        # BOTH edge directions from ONE pass over the pair producer: the old
+        # two-select union executed the (often expensive — banded self-join)
+        # pair lineage twice; explode(array(fwd, rev)) reads it once and
+        # emits the same rows (r6, guide §2.4 — the union's second subtree
+        # was an un-reused duplicate of the first)
         sym = (
-            pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-            .unionByName(
-                pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                        ),
+                        F.struct(
+                            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                        ),
+                    )
+                ).alias("_e")
             )
+            .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
             .repartition(n_parts, "src")
             .localCheckpoint()
         )
@@ -541,6 +555,46 @@ def simhash_near_dup_pairs(
             F.col("b.doc").alias("id_b"),
             hamming.alias("hamming"),
         )
+    )
+
+
+def simhash_components(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """``simhash_near_dup_pairs`` + ``connected_components`` with the pair
+    index and the label loop CONTRACTED to one representative per DISTINCT
+    hash value (guide §8: decide on a lightweight proxy, attach the decision
+    back).  Rows sharing a hash are Hamming-0 duplicates — always one
+    component — so the banded self-join and every propagation round run on
+    ``|distinct hashes|`` rows instead of ``|rows|``; with duplicate-heavy
+    corpora (the normal case for perceptual hashes) that removes the
+    quadratic blowup of equal-hash pairs from the candidate join entirely.
+
+    Bit-identical to the uncontracted pipeline: the representative carries
+    ``min(id)`` per hash, so propagated min-labels equal the min over the
+    member union, and members inherit exactly the label the full graph
+    would give them (asserted by test_dedup's contraction-equivalence
+    case).  Returns ``(id, component)`` for every input row."""
+    reps = hashes.groupBy(hash_col).agg(F.min(id_col).alias("_rep"))
+    rep_pairs = simhash_near_dup_pairs(
+        reps, max_hamming=max_hamming, id_col="_rep", hash_col=hash_col,
+        bits=bits, bands=bands,
+    )
+    comps = connected_components(
+        reps.select("_rep"), rep_pairs.select("id_a", "id_b"),
+        id_col="_rep", max_iter=max_iter,
+    )
+    rep_comp = reps.join(comps, reps["_rep"] == comps["id"]).select(
+        hash_col, "component"
+    )
+    return hashes.join(rep_comp, hash_col).select(
+        F.col(id_col).alias("id"), "component"
     )
 
 

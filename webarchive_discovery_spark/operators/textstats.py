@@ -169,6 +169,14 @@ def lang_id(
 
         return df.withColumn("lang_pred", _predict(F.col(text_col)))
     langs = langs or _LANG_MARKERS
+    # Projection barrier (always-true nondeterministic filter): the ladder
+    # below references the text column ~700 times; when that column is
+    # itself a computed expression (the c4-cleaning output in the training
+    # pipeline), CollapseProject would inline its whole tree into every
+    # reference — a ~100k-node plan whose Catalyst ANALYSIS alone measured
+    # 0.8 s per composition at sf0.1.  The barrier keeps the upstream
+    # projection separate, so the ladder sees a plain attribute.
+    df = df.filter(F.spark_partition_id() >= 0)
     # r6: the whole ladder is built as SQL text and parsed in ONE JVM call.
     # The previous Column-object construction issued ~1,300 py4j round trips
     # and duplicated the greatest(56 scores) tree into every one of the 112

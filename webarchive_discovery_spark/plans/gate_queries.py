@@ -1483,7 +1483,12 @@ def url_type_counts(spark, sf_dir):
         .when(F.col("event_id") % 4 == 2, 404)
         .otherwise(503).cast("string").alias("status_code"),
     )
-    kept = record_filters.default_filter_chain(ev)
+    # pin the filter chain ABOVE the spread exchange: the chain's predicates
+    # reference the synthesized url/record_type columns, and pushdown would
+    # re-derive all three per conjunct on the single-split scan side
+    # (spark_partition_id() >= 0 is an always-true nondeterministic guard —
+    # same idiom as parse_crawl_log_lines)
+    kept = record_filters.default_filter_chain(ev.filter(F.spark_partition_id() >= 0))
     typed = record_filters.with_url_type(kept)
     return typed.groupBy("url_type").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -4862,10 +4867,13 @@ def image_phash_clusters(spark, sf_dir):
         "doc_id",
         ((d % 50) * F.lit(1099511627777)).bitwiseXOR(variant).alias("phash"),
     )
-    pairs = dedup.simhash_near_dup_pairs(
-        hashes, max_hamming=3, id_col="doc_id", hash_col="phash", bits=64
+    # contracted pipeline (r6): band index + CC run per DISTINCT phash (the
+    # ~200 values here stand in for the fingerprint working set of a real
+    # image corpus), members inherit their hash's label — bit-identical to
+    # the per-doc graph, minus the quadratic equal-hash candidate blowup
+    out = dedup.simhash_components(
+        hashes, id_col="doc_id", hash_col="phash", max_hamming=3, bits=64
     )
-    out = dedup.connected_components(docs, pairs.select("id_a", "id_b"), id_col="doc_id")
     return out.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),

@@ -30,7 +30,18 @@ ROBOTS_DENIED_STATUS = "-9998"
 def parse_crawl_log_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse raw crawl.log lines into typed columns + derived accounting
     fields (host, num_bytes, robots_denied, dup_by_hash), dropping invalid
-    rows exactly like the reference mapper."""
+    rows exactly like the reference mapper.
+
+    The always-true nondeterministic guard below pins the validity filter
+    AT the parse: when ``value`` is itself a computed column (a synthesized
+    or transformed line), Catalyst would otherwise push the filter below
+    the producer's exchange — re-deriving the full line + split once per
+    conjunct on the PRE-exchange side (measured 2x the whole query at
+    sf0.1, and on a narrow scan it serializes the parse onto the scan's
+    task count).  ``spark_partition_id() >= 0`` keeps every row and costs
+    one int compare; for plain text scans the filter ran at the scan
+    anyway, so nothing is lost there."""
+    lines = lines.filter(F.spark_partition_id() >= 0)
     toks = F.split(F.trim(F.col(value_col)), r"\s+")
     parsed = lines.select(
         *[toks.getItem(i).alias(name) for i, name in enumerate(CRAWL_LOG_COLUMNS)],

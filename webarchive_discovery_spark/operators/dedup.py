@@ -20,6 +20,8 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -107,6 +109,31 @@ def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
     ]
 
 
+@lru_cache(maxsize=32)
+def _minhash_band_exprs(num_hashes: int, bands: int, hash_fn: str):
+    """Memoized signature-aggregate and band-explode Columns for
+    :func:`minhash_lsh_candidates` — ~300 py4j round trips per build
+    otherwise (see the expression-memo note in operators/textstats.py)."""
+    rows_per_band = num_hashes // bands
+    if hash_fn == "md5":
+        mh = lambda j: F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))  # noqa: E731
+    else:
+        mh = lambda j: F.xxhash64(F.lit(j), F.col("s"))  # noqa: E731
+    sig_cols = tuple(
+        F.min(mh(j)).alias(f"mh{j}") for j in range(num_hashes)
+    )
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = (
+            F.md5(F.concat_ws("|", *members)).alias("band_hash")
+            if hash_fn == "md5"
+            else F.xxhash64(*members).cast("string").alias("band_hash")
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), band_hash))
+    return sig_cols, F.explode(F.array(*band_cols)).alias("band")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -138,30 +165,13 @@ def minhash_lsh_candidates(
     are identical (pytest-asserted); only the hash family differs."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    rows_per_band = num_hashes // bands
     # explode shingles once (codegen explode-first path), then one
     # hash-aggregate computes all minhashes — avoids materializing (and
     # recomputing) the shingle array per hash index
     exploded = exploded_shingles(df, text_col, id_col, shingle_n)
-    if hash_fn == "md5":
-        mh = lambda j: F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))  # noqa: E731
-    else:
-        mh = lambda j: F.xxhash64(F.lit(j), F.col("s"))  # noqa: E731
-    sig = exploded.groupBy("doc").agg(
-        *[F.min(mh(j)).alias(f"mh{j}") for j in range(num_hashes)]
-    )
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_hash = (
-            F.md5(F.concat_ws("|", *members)).alias("band_hash")
-            if hash_fn == "md5"
-            else F.xxhash64(*members).cast("string").alias("band_hash")
-        )
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), band_hash)
-        )
-    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("band")).select(
+    sig_cols, band_explode = _minhash_band_exprs(num_hashes, bands, hash_fn)
+    sig = exploded.groupBy("doc").agg(*sig_cols)
+    banded = sig.select("doc", band_explode).select(
         "doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
     # Explicit fixed-width repartition on the bucket key BEFORE the cap
@@ -290,22 +300,30 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     value an external SQL oracle reproduces with md5 + strpos arithmetic.
     Vote positivity: ``sum(±1) > 0  ⇔  2·(set-bit count) > token count``.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
-    )
-    v = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
-    withv = toks.select(id_col, v.alias("v"))
-    bit_sums = [
+    tok_expr, v_expr, n_expr, bit_sums, total = _simhash16_exprs(text_col)
+    toks = df.select(F.col(id_col), tok_expr)
+    withv = toks.select(id_col, v_expr)
+    g = withv.groupBy(id_col).agg(n_expr, *bit_sums)
+    return g.select(F.col(id_col), total)
+
+
+@lru_cache(maxsize=64)
+def _simhash16_exprs(text_col: str):
+    # expression-tree memo (r6): ~400 py4j round trips per build otherwise —
+    # see the note in operators/textstats.py; unresolved Columns bind by name
+    tok_expr = F.explode(tokenize(text_col)).alias("tok")
+    v_expr = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long").alias("v")
+    bit_sums = tuple(
         F.sum(F.shiftright(F.col("v"), 15 - b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(16)
-    ]
-    g = withv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    )
+    n_expr = F.count(F.lit(1)).alias("n")
     total = F.lit(0)
     for b in range(16):
         total = total + F.when(
             F.col(f"s{b}") * 2 > F.col("n"), F.lit(2 ** (15 - b))
         ).otherwise(F.lit(0))
-    return g.select(F.col(id_col), total.cast("long").alias("simhash"))
+    return tok_expr, v_expr, n_expr, bit_sums, total.cast("long").alias("simhash")
 
 
 def ssdeep_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

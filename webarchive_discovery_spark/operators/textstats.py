@@ -12,9 +12,19 @@ optional ``model=`` path, which routes a registered real model (see
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Expression-tree memoization (r6): building a big Column ladder costs one
+# py4j round trip (~0.2 ms) per functions.* call — profiled at 0.3-0.6 s of
+# DRIVER time per composition for the larger operators here, paid again on
+# every query build.  Unresolved Column objects are immutable and bind to
+# attributes by NAME at analysis, so trees keyed by (column names, rule
+# parameters) are safely reusable across DataFrames and queries within one
+# JVM gateway; the caches below hold a handful of tiny JVM refs.
 
 __all__ = [
     "lang_id",
@@ -177,21 +187,32 @@ def lang_id(
     # 0.8 s per composition at sf0.1.  The barrier keeps the upstream
     # projection separate, so the ladder sees a plain attribute.
     df = df.filter(F.spark_partition_id() >= 0)
-    # r6: the whole ladder is built as SQL text and parsed in ONE JVM call.
-    # The previous Column-object construction issued ~1,300 py4j round trips
-    # and duplicated the greatest(56 scores) tree into every one of the 112
-    # argmax branches — 1.4-1.6 s of DRIVER time per plan build (measured),
-    # paid again each time a pipeline composes lang_id.  Arithmetic is
-    # bit-identical: same replace/length occurrence counts, same int/int
-    # double division, same first-language-wins tie order; ``_best`` is
-    # materialized once as a column instead of re-deriving greatest() per
-    # branch (same value, same codegen).
+    # r6: the whole ladder is built as SQL text, parsed once per
+    # (text_col, marker set) and MEMOIZED (see the module note) — the
+    # Column-object construction had cost ~1,300 py4j round trips per build,
+    # and even the one-shot SQL parse measured ~0.3 s per composition.
+    # Arithmetic is bit-identical: same replace/length occurrence counts,
+    # same int/int double division, same first-language-wins tie order;
+    # ``_best`` is materialized once as a column instead of re-deriving
+    # greatest() per branch (same value, same codegen).
+    key = tuple((k, tuple(v)) for k, v in langs.items())
+    score_cols, best_col, case_col = _langid_exprs(text_col, key)
+    return (
+        df.select("*", *score_cols)
+        .select("*", best_col)
+        .select("*", case_col)
+        .drop("_best")
+    )
+
+
+@lru_cache(maxsize=8)
+def _langid_exprs(text_col: str, langs_key):
     def lit_sql(s: str) -> str:
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     p = f"concat(' ', lower(`{text_col}`), ' ')"
-    score_exprs = []
-    for lang, words in langs.items():
+    score_cols = []
+    for lang, words in langs_key:
         terms = []
         for wd in words:
             needle = wd if lang in NO_BOUNDARY_LANGS else f" {wd} "
@@ -199,20 +220,19 @@ def lang_id(
                 f"(length({p}) - length(replace({p}, {lit_sql(needle)}, ''))) "
                 f"/ {len(needle)}"
             )
-        score_exprs.append(
+        score_cols.append(F.expr(
             "CAST(" + " + ".join(terms) + f" AS DOUBLE) AS score_{lang}"
-        )
-    out = df.selectExpr("*", *score_exprs)
-    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+        ))
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang, _ in langs_key) + ")"
     # earlier languages win ties (stable argmax order: first WHEN that hits)
     cases = " ".join(
         f"WHEN score_{lang} = _best AND _best > 0 THEN {lit_sql(lang)}"
-        for lang in langs
+        for lang, _ in langs_key
     )
     return (
-        out.selectExpr("*", f"{best} AS _best")
-        .selectExpr("*", f"CASE {cases} ELSE 'und' END AS lang_pred")
-        .drop("_best")
+        tuple(score_cols),
+        F.expr(f"{best} AS _best"),
+        F.expr(f"CASE {cases} ELSE 'und' END AS lang_pred"),
     )
 
 
@@ -318,13 +338,21 @@ def sentiment_bucket(df: DataFrame, text_col: str, head_chars: int = 10000) -> D
     over the first 10 000 chars; ``sentilog = sign(c)·ln(1+|c|)/40``;
     bucket index = ``int(7·(0.5+sentilog))`` clamped to [0,6].  Pure codegen
     when-ladder + occurrence counts — the oracle can mirror it exactly."""
+    # materialize the padded/lowered head ONCE behind a projection barrier:
+    # the 30-word lexicon references it 60 times (length+replace pairs), and
+    # CollapseProject would inline the full lower(substring(...)) tree — of
+    # an often-synthesized text column — into every reference (r6; measured
+    # 1.32 → 1.17 s on the sentiment gate at sf0.1, same values)
     head = F.substring(F.col(text_col), 1, head_chars)
     padded = F.concat(F.lit(" "), F.lower(head), F.lit(" "))
+    df = df.select(
+        "*", head.alias("_sent_head"), padded.alias("_sent_padded")
+    ).filter(F.spark_partition_id() >= 0)
     total = None
     for word, valence in SENTIMENT_LEXICON.items():
-        term = _occurrences(padded, f" {word} ") * valence
+        term = _occurrences(F.col("_sent_padded"), f" {word} ") * valence
         total = term if total is None else total + term
-    n_tok = F.size(F.split(F.trim(head), r"\s+"))
+    n_tok = F.size(F.split(F.trim(F.col("_sent_head")), r"\s+"))
     comparative = total.cast("double") / n_tok
     sentilog = F.signum(comparative) * F.log(1.0 + F.abs(comparative)) / 40.0
     idx = F.floor(len(SENTIMENTS) * (0.5 + sentilog)).cast("int")
@@ -332,8 +360,10 @@ def sentiment_bucket(df: DataFrame, text_col: str, head_chars: int = 10000) -> D
     bucket = F.lit(SENTIMENTS[-1])
     for i in range(len(SENTIMENTS) - 1):
         bucket = F.when(idx == i, F.lit(SENTIMENTS[i])).otherwise(bucket)
-    return df.withColumn("sentiment_score", comparative.cast("float")).withColumn(
-        "sentiment", bucket
+    return (
+        df.withColumn("sentiment_score", comparative.cast("float"))
+        .withColumn("sentiment", bucket)
+        .drop("_sent_head", "_sent_padded")
     )
 
 
@@ -424,6 +454,26 @@ def gopher_quality_filter(
     Adds one boolean per rule plus ``gopher_pass`` (the conjunction) — keep
     the flags rather than filtering so downstream can audit WHY a document
     dropped (the standard training-pipeline practice)."""
+    flag_cols, gate = _gopher_exprs(
+        text_col, min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_word_ratio, max_ellipsis_line_ratio, min_alpha_word_ratio,
+        required_stopwords,
+    )
+    return df.select("*", *flag_cols).withColumn("gopher_pass", gate)
+
+
+@lru_cache(maxsize=64)
+def _gopher_exprs(
+    text_col: str,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    max_ellipsis_line_ratio: float,
+    min_alpha_word_ratio: float,
+    required_stopwords: int,
+):
     text = F.col(text_col)
     words = F.split(F.trim(text), r"\s+")
     n_words = F.size(words)
@@ -447,8 +497,7 @@ def gopher_quality_filter(
     for wd in ["the", "be", "to", "of", "and", "that", "have", "with"]:
         hit = (_occurrences(padded, f" {wd} ") > 0).cast("int")
         stop_hits = hit if stop_hits is None else stop_hits + hit
-    out = df.select(
-        "*",
+    flag_cols = (
         (n_words >= min_words).alias("gq_min_words"),
         (n_words <= max_words).alias("gq_max_words"),
         ((mean_len >= min_mean_word_len)
@@ -462,11 +511,12 @@ def gopher_quality_filter(
          >= min_alpha_word_ratio).alias("gq_alpha_words"),
         (stop_hits >= required_stopwords).alias("gq_stopwords"),
     )
-    flags = [c for c in out.columns if c.startswith("gq_")]
     gate = F.lit(True)
-    for c in flags:
+    for c in ("gq_min_words", "gq_max_words", "gq_mean_word_len",
+              "gq_symbol_ratio", "gq_ellipsis_lines", "gq_bullet_lines",
+              "gq_alpha_words", "gq_stopwords"):
         gate = gate & F.col(c)
-    return out.withColumn("gopher_pass", gate)
+    return flag_cols, gate
 
 
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -490,6 +540,18 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     updates reproduce the old (count desc, word asc) tie rule exactly.
     Input columns are preserved, so callers no longer need an id join to
     recover carried fields."""
+    dup_line, dup_char, scan, top_fraction = _repetition_exprs(text_col)
+    return (
+        df.withColumn("dup_line_fraction", dup_line)
+        .withColumn("dup_line_char_fraction", dup_char)
+        .withColumn("_rs", scan)
+        .withColumn("top_word_char_fraction", top_fraction)
+        .drop("_rs")
+    )
+
+
+@lru_cache(maxsize=64)
+def _repetition_exprs(text_col: str):
     text = F.col(text_col)
     lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
@@ -538,21 +600,13 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.col("_rs.best_c") * F.length(F.col("_rs.best_w")) / all_chars, 6
         ),
     ).otherwise(F.lit(0.0))
-    return (
-        df.withColumn(
-            "dup_line_fraction",
-            F.when(n_lines > 0, (n_lines - n_distinct) / n_lines)
-            .otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "dup_line_char_fraction",
-            F.when(line_chars > 0, (line_chars - distinct_chars) / line_chars)
-            .otherwise(F.lit(0.0)),
-        )
-        .withColumn("_rs", scan)
-        .withColumn("top_word_char_fraction", top_fraction)
-        .drop("_rs")
+    dup_line = F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).otherwise(
+        F.lit(0.0)
     )
+    dup_char = F.when(
+        line_chars > 0, (line_chars - distinct_chars) / line_chars
+    ).otherwise(F.lit(0.0))
+    return dup_line, dup_char, scan, top_fraction
 
 
 def c4_line_filter(
@@ -569,6 +623,13 @@ def c4_line_filter(
     'javascript'-cookie wall pattern leaves nothing.  Adds ``out_col``
     (kept lines re-joined), ``c4_lines_kept``/``c4_lines_total`` counters
     for auditability."""
+    return df.select(
+        "*", *_c4_exprs(text_col, min_words_per_line, out_col)
+    )
+
+
+@lru_cache(maxsize=64)
+def _c4_exprs(text_col: str, min_words_per_line: int, out_col: str):
     text = F.col(text_col)
     lines = F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != "")
     trimmed = F.transform(lines, lambda l: F.trim(l))
@@ -585,8 +646,7 @@ def c4_line_filter(
         )
 
     kept = F.filter(trimmed, keep)
-    return df.select(
-        "*",
+    return (
         F.array_join(kept, "\n").alias(out_col),
         F.size(kept).alias("c4_lines_kept"),
         F.size(trimmed).alias("c4_lines_total"),

@@ -59,6 +59,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Generated-class cache: the default 100 entries cycle completely
+        # within one multi-job pipeline (a single composed query generates
+        # dozens of classes), so janino re-COMPILES every heavy projection on
+        # every execution — driver thread dumps during the r6 bench showed
+        # CodeGenerator.compile as the dominant driver-side cost (~0.5-0.9 s
+        # per run of the big expression ladders).  2000 entries cover the
+        # whole query catalog's footprint.  Scale-neutral: this is a
+        # driver-memory knob (cached bytecode), and any long-running driver
+        # executing a query library this size benefits identically;
+        # SPARK_CODEGEN_CACHE overrides for constrained drivers.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_CODEGEN_CACHE", "2000"))
         .config("spark.ui.enabled", "false")
     )
     # Shuffle/spill files: prefer tmpfs.  On a real cluster every executor

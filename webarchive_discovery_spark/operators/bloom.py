@@ -178,9 +178,18 @@ def build_bloom_shards(df: DataFrame, hash_col: str, params: BloomParams) -> Dat
             np.bitwise_or.at(bits, word[ki], mask[ki])
         return pd.DataFrame({"shard_id": [int(key[0])], "bits": [bits.tobytes()]})
 
+    # explicit shard-keyed repartition: the shuffled bytes are tiny (8 B/key)
+    # but each group runs a REAL per-shard build kernel — AQE would coalesce
+    # the exchange by byte size and serialize every shard onto one task
+    # (guide §2.5: exploding/compute-heavy groups; user repartitions are
+    # never coalesced, and the groupBy reuses this exchange)
     return (
         df.select(hash_col)
         .withColumn("_shard", F.pmod(F.col(hash_col), F.lit(params.num_shards)).cast("int"))
+        .repartition(
+            min(params.num_shards, df.sparkSession.sparkContext.defaultParallelism),
+            "_shard",
+        )
         .groupBy("_shard")
         .applyInPandas(build, "shard_id int, bits binary")
     )
@@ -216,10 +225,16 @@ def bloom_negative_filter_sharded(
         rows["maybe_seen"] = seen
         return rows
 
+    # shard-keyed repartition ahead of the cogroup — same AQE-coalescing
+    # guard as the sharded build (the probe kernel is the compute, not the
+    # shuffled bytes)
+    n_parts = min(
+        params.num_shards, spark_df.sparkSession.sparkContext.defaultParallelism
+    )
     left = spark_df.withColumn(
         "_shard", F.pmod(F.col(hash_col), F.lit(params.num_shards)).cast("int")
-    ).groupBy("_shard")
-    right = shards.groupBy("shard_id")
+    ).repartition(n_parts, "_shard").groupBy("_shard")
+    right = shards.repartition(n_parts, "shard_id").groupBy("shard_id")
     return left.cogroup(right).applyInPandas(probe, out_schema)
 
 

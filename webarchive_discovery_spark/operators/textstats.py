@@ -454,6 +454,10 @@ def gopher_quality_filter(
     Adds one boolean per rule plus ``gopher_pass`` (the conjunction) — keep
     the flags rather than filtering so downstream can audit WHY a document
     dropped (the standard training-pipeline practice)."""
+    # projection barrier: the rule flags reference the text column ~25×;
+    # when it is a computed expression (e.g. the c4 clean_text), collapse
+    # would inline its tree into every reference (same rationale as lang_id)
+    df = df.filter(F.spark_partition_id() >= 0)
     flag_cols, gate = _gopher_exprs(
         text_col, min_words, max_words, min_mean_word_len, max_mean_word_len,
         max_symbol_word_ratio, max_ellipsis_line_ratio, min_alpha_word_ratio,
@@ -540,6 +544,8 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     updates reproduce the old (count desc, word asc) tie rule exactly.
     Input columns are preserved, so callers no longer need an id join to
     recover carried fields."""
+    # projection barrier — same rationale as gopher_quality_filter/lang_id
+    df = df.filter(F.spark_partition_id() >= 0)
     dup_line, dup_char, scan, top_fraction = _repetition_exprs(text_col)
     return (
         df.withColumn("dup_line_fraction", dup_line)

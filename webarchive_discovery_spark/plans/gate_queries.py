@@ -4763,7 +4763,10 @@ def multimodal_corpus_build(spark, sf_dir):
     :mod:`plans.multimodal_corpus`."""
     from . import multimodal_corpus
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the single-split scan BEFORE the payload synthesis + markup
+    # kernel (same _ts rationale as the other per-row-kernel gates — the
+    # caption extraction ran on ONE task, 0.76 s of the query)
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     sid = F.col("doc_id").cast("string")
     s = (F.col("doc_id") % 10).cast("string")
     c = (F.col("doc_id") % 5).cast("string")

@@ -416,6 +416,7 @@ def connected_components(
         # pair lineage twice; explode(array(fwd, rev)) reads it once and
         # emits the same rows (r6, guide §2.4 — the union's second subtree
         # was an un-reused duplicate of the first)
+        eobs = Observation()
         sym = (
             pairs.select(
                 F.explode(
@@ -430,36 +431,59 @@ def connected_components(
                 ).alias("_e")
             )
             .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+            # the edge count rides the checkpoint job (observe) and sizes the
+            # LOOP's exchanges below — no separate count job
+            .observe(eobs, F.count(F.lit(1)).alias("n"))
             .repartition(n_parts, "src")
             .localCheckpoint()
         )
-        # the initial labels are NOT checkpointed: they are only read by
-        # round 1 (whose checkpoint replaces them), and their lineage is a
-        # projection of the caller's (usually already-pinned) vertex set —
-        # one job saved per call
-        labels = vertices.select(
-            F.col(id_col).alias("id"), F.col(id_col).alias("component")
-        )
-        for _ in range(max_iter):
-            nbr = (
-                sym.join(labels, sym["src"] == labels["id"])
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("component").alias("_nc"))
+        # Scale-adaptive loop width (r6): every round's exchanges use
+        # spark.sql.shuffle.partitions, a cluster-sized constant — for the
+        # frequent small-graph case (post-exact-dedup near-dup graphs) each
+        # round then schedules dozens of near-empty tasks per stage.  Derive
+        # the loop's partition count from the MEASURED edge count instead
+        # (ceil(n/32k) capped at the configured width, floor 1 — the same
+        # scaled_partitions policy as global_sequence); restore the conf
+        # after the loop.  Results are partitioning-independent min-folds.
+        from ..operators.frontier import scaled_partitions
+
+        n_edges = eobs.get["n"]
+        loop_parts = min(n_parts, scaled_partitions(n_edges, n_parts))
+        if loop_parts < n_parts:
+            sym = sym.coalesce(loop_parts)  # narrow — no job, no shuffle
+        conf_key = "spark.sql.shuffle.partitions"
+        was_parts = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, str(loop_parts))
+        try:
+            # the initial labels are NOT checkpointed: they are only read by
+            # round 1 (whose checkpoint replaces them), and their lineage is
+            # a projection of the caller's (usually already-pinned) vertex
+            # set — one job saved per call
+            labels = vertices.select(
+                F.col(id_col).alias("id"), F.col(id_col).alias("component")
             )
-            obs = Observation()
-            labels = (
-                labels.join(nbr, "id", "left")
-                # strictly-smaller neighbor label ⇒ this round changed
-                # something; count(when(...)) is null-safe for label-less
-                # vertices (left-join miss ⇒ _nc null ⇒ not counted)
-                .observe(obs, F.count(
-                    F.when(F.col("_nc") < F.col("component"), True)
-                ).alias("n_improved"))
-                .select("id", F.least("component", "_nc").alias("component"))
-                .localCheckpoint()
-            )
-            if obs.get["n_improved"] == 0:
-                break
+            for _ in range(max_iter):
+                nbr = (
+                    sym.join(labels, sym["src"] == labels["id"])
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("component").alias("_nc"))
+                )
+                obs = Observation()
+                labels = (
+                    labels.join(nbr, "id", "left")
+                    # strictly-smaller neighbor label ⇒ this round changed
+                    # something; count(when(...)) is null-safe for label-less
+                    # vertices (left-join miss ⇒ _nc null ⇒ not counted)
+                    .observe(obs, F.count(
+                        F.when(F.col("_nc") < F.col("component"), True)
+                    ).alias("n_improved"))
+                    .select("id", F.least("component", "_nc").alias("component"))
+                    .localCheckpoint()
+                )
+                if obs.get["n_improved"] == 0:
+                    break
+        finally:
+            spark.conf.set(conf_key, was_parts)
     return labels
 
 

@@ -396,8 +396,35 @@ def ivf_train(
     # persist: every Lloyd iteration re-scans vecs; without this the source
     # scan + sample + cast re-execute once per iteration
     vecs = embeddings.select(_as_double(F.col(vec_col)).alias("vec")).persist()
+    # the explicit count both materializes the cache BEFORE the first Lloyd
+    # round (instead of round 1 paying it) and sizes the loop's exchanges
+    # from the data: the per-round aggregates operate on n_vecs x dim
+    # posexploded rows, so a cluster-width shuffle constant schedules mostly
+    # empty tasks for small training sets (scale-adaptive width, same
+    # scaled_partitions policy as connected_components/global_sequence)
+    from ..operators.frontier import scaled_partitions
+
+    n_vecs = vecs.count()
+    parallelism = spark.sparkContext.defaultParallelism
+    loop_parts = min(parallelism, scaled_partitions(n_vecs * dim, parallelism))
+    conf_key = "spark.sql.shuffle.partitions"
+    was_parts = spark.conf.get(conf_key)
     with static_plans(spark):  # fixed-shape Lloyd rounds: plan statically
-        for _ in range(iters):
+        spark.conf.set(conf_key, str(loop_parts))
+        try:
+            cents = _lloyd_rounds(
+                spark, vecs, cents, dim, iters, _collect_audit
+            )
+        finally:
+            spark.conf.set(conf_key, was_parts)
+    vecs.unpersist()
+    return cents
+
+
+def _lloyd_rounds(spark, vecs, cents, dim, iters, _collect_audit):
+    from pyspark.sql.types import IntegerType
+
+    for _ in range(iters):
             bc = spark.sparkContext.broadcast(cents)
 
             @F.pandas_udf(IntegerType())
@@ -432,7 +459,6 @@ def ivf_train(
                     new[int(r["list_id"])] = v / n
             cents = new
             bc.unpersist()  # executors drop the superseded centroid copy
-    vecs.unpersist()
     return cents
 
 

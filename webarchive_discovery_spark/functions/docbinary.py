@@ -137,11 +137,33 @@ def _sst_strings(body: bytes) -> list[str]:
     return out
 
 
+def _num_str(num: float) -> str:
+    """Stored-value rendering shared by NUMBER/RK/MULRK: ``repr`` with a
+    trailing ``.0`` trimmed (the ``xlsx_extract`` convention)."""
+    s = repr(num)
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _rk_num(rk: int) -> float:
+    """[MS-XLS] RkNumber: bit0 = ×1/100 flag, bit1 = 30-bit signed int vs
+    truncated IEEE double (high 30 bits of the mantissa/exponent)."""
+    if rk & 2:  # fInt: signed 30-bit integer
+        v = rk >> 2
+        if v & (1 << 29):
+            v -= 1 << 30
+        num = float(v)
+    else:
+        num = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))[0]
+    return num / 100.0 if rk & 1 else num
+
+
 def xls_cells(workbook_stream: bytes) -> list[tuple[int, int, str]] | None:
     """(row, col, value) cells from a BIFF8 Workbook stream: LABELSST via
-    the SST, and NUMBER cells (trailing ``.0`` trimmed like
-    ``xlsx_extract``'s stored-value convention).  None when the stream has
-    no BIFF8 BOF."""
+    the SST, inline LABEL strings, and NUMBER / RK / MULRK numeric cells
+    (trailing ``.0`` trimmed like ``xlsx_extract``'s stored-value
+    convention — real Excel 97 writers store most numerics as RK/MULRK, so
+    handling only NUMBER silently lost those cells; ADVICE r5).  None when
+    the stream has no BIFF8 BOF."""
     try:
         d = bytes(workbook_stream)
         if len(d) < 4 or struct.unpack_from("<H", d, 0)[0] != 0x0809:
@@ -162,10 +184,25 @@ def xls_cells(workbook_stream: bytes) -> list[tuple[int, int, str]] | None:
             elif rid == 0x0203 and len(body) >= 14:  # NUMBER
                 rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
                 num = struct.unpack_from("<d", body, 6)[0]
-                s = repr(num)
-                if s.endswith(".0"):
-                    s = s[:-2]
-                cells.append((rw, col, s))
+                cells.append((rw, col, _num_str(num)))
+            elif rid == 0x027E and len(body) >= 10:  # RK
+                rw, col, _ixfe = struct.unpack_from("<HHH", body, 0)
+                rk = struct.unpack_from("<I", body, 6)[0]
+                cells.append((rw, col, _num_str(_rk_num(rk))))
+            elif rid == 0x00BD and len(body) >= 12:  # MULRK
+                rw, col0 = struct.unpack_from("<HH", body, 0)
+                n_cells = (len(body) - 6) // 6
+                for i in range(n_cells):
+                    rk = struct.unpack_from("<I", body, 4 + 6 * i + 2)[0]
+                    cells.append((rw, col0 + i, _num_str(_rk_num(rk))))
+            elif rid == 0x0204 and len(body) >= 9:  # inline LABEL
+                rw, col, _ixfe, cch, flags = struct.unpack_from("<HHHHB", body, 0)
+                if flags & 0x01:  # fHighByte: UTF-16LE
+                    raw = body[9: 9 + 2 * cch]
+                    cells.append((rw, col, raw.decode("utf-16-le", "replace")))
+                else:
+                    raw = body[9: 9 + cch]
+                    cells.append((rw, col, raw.decode("latin-1", "replace")))
             elif rid == 0x000A:  # EOF of this substream
                 continue
         return cells

@@ -275,8 +275,12 @@ PRONOM_REGISTRY: tuple[FormatSig, ...] = (
               bof="424D{12}28000000"),
     FormatSig("fmt/566", "WebP", "image/webp",
               bof="52494646{4}57454250"),
+    # beyond the 4 magic bytes, constrain the directory structure like real
+    # DROID: image-count high byte 00 (counts < 256) and the first entry's
+    # reserved byte 00 — the bare 00000100 misidentified any binary starting
+    # with those 4 bytes as an icon (ADVICE r5)
     FormatSig("x-fmt/418", "Windows Icon", "image/x-icon",
-              bof="00000100"),
+              bof="00000100{1}00{3}00"),
     FormatSig("fmt/111", "OLE2 Compound Document Format",
               "application/x-ole-storage",
               bof="D0CF11E0A1B11AE1"),

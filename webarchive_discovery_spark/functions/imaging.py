@@ -272,6 +272,8 @@ def _webp_dims(data: bytes) -> tuple[int, int] | None:
     VP8L (lossless bitstream), or VP8 (lossy key frame)."""
     tag = data[12:16]
     if tag == b"VP8X":
+        if len(data) < 30:  # truncated VP8X: int.from_bytes(b'') is 0, so a
+            return None     # corrupt file would report a bogus 1x1 (ADVICE r5)
         w = 1 + int.from_bytes(data[24:27], "little")
         h = 1 + int.from_bytes(data[27:30], "little")
         return w, h

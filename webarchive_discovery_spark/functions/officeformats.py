@@ -360,12 +360,15 @@ def zip_extract(data: bytes | None, max_entries: int = 10_000) -> dict:
 # EPUB (OCF container: META-INF/container.xml → OPF package → spine XHTML)
 # ---------------------------------------------------------------------------
 
-_ROOTFILE = re.compile(r'<rootfile[^>]*full-path="([^"]+)"')
+# attribute values accept either quote style — a spec-valid EPUB may use
+# single-quoted full-path/idref attributes (ADVICE r5), matching the
+# tolerance of the other regex parsers in this module
+_ROOTFILE = re.compile(r'<rootfile[^>]*full-path=["\']([^"\']+)["\']')
 _DC_LANG = re.compile(r"<dc:language[^>]*>(.*?)</dc:language>", re.S)
 _MANIFEST_ITEM = re.compile(r"<item\b[^>]*/?>", re.S)
-_ATTR_ID = re.compile(r'\bid="([^"]+)"')
-_ATTR_HREF = re.compile(r'\bhref="([^"]+)"')
-_ITEMREF = re.compile(r'<itemref[^>]*\bidref="([^"]+)"')
+_ATTR_ID = re.compile(r'\bid=["\']([^"\']+)["\']')
+_ATTR_HREF = re.compile(r'\bhref=["\']([^"\']+)["\']')
+_ITEMREF = re.compile(r'<itemref[^>]*\bidref=["\']([^"\']+)["\']')
 _BODY = re.compile(r"<body\b[^>]*>(.*?)</body>", re.S | re.I)
 
 

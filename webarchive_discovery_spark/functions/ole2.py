@@ -102,7 +102,18 @@ def _props_from_summary(data: bytes, out: dict) -> None:
         if vt == 30:  # VT_LPSTR
             n = _u32(data, off + 4)
             raw = data[off + 8: off + 8 + n].split(b"\0", 1)[0]
-            enc = "cp1252" if codepage != 1200 else "utf-16-le"
+            if codepage == 1200:
+                enc = "utf-16-le"
+            else:
+                # honor the declared codepage (932/1251/… in non-Western
+                # docs would otherwise decode as cp1252 mojibake; ADVICE r5)
+                import codecs
+
+                try:
+                    codecs.lookup(f"cp{codepage}")
+                    enc = f"cp{codepage}"
+                except LookupError:
+                    enc = "cp1252"
             return raw.decode(enc, "replace")
         if vt == 31:  # VT_LPWSTR (length in UTF-16 code units)
             n = _u32(data, off + 4)

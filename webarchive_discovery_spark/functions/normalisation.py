@@ -217,12 +217,21 @@ def canonicalise_url(
         m = _WWW_PREFIX.fullmatch(url)
         if m:
             url = m.group(1) + m.group(2)
-    url_bytes = _fix_escape_errors_and_unescape_high_order(url)
-    url = _escape_utf8(
-        url_bytes,
-        escape_high_order=not allow_high_order,
-        normalise_low_order=create_unambiguous,
-    )
+    # Identity fast path (r6): for a pure-ASCII URL containing no '%', space
+    # or backslash, the repair pass copies every byte unchanged (nothing to
+    # unescape) and the re-escape pass appends every byte unchanged (no
+    # must-escape characters, no escapes to normalize, '?'/space interaction
+    # impossible without spaces) — under EVERY flag combination.  That is
+    # the overwhelmingly common case, and it skips two per-byte Python
+    # walks; non-conforming URLs take the exact original path.
+    if not (url.isascii() and "%" not in url and " " not in url
+            and "\\" not in url):
+        url_bytes = _fix_escape_errors_and_unescape_high_order(url)
+        url = _escape_utf8(
+            url_bytes,
+            escape_high_order=not allow_high_order,
+            normalise_low_order=create_unambiguous,
+        )
     while url.endswith("/"):
         url = url[:-1]
     if _DOMAIN_ONLY.fullmatch(url):

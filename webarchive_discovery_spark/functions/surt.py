@@ -122,6 +122,56 @@ def surt_key(url: str) -> str:
 def surt_key_from_canonical(canon: str) -> str:
     """SURT key from an ALREADY-canonical URL (skips re-canonicalization —
     use when ``canonicalise_url`` output is already at hand)."""
+    # Fast path (r6): manual authority/path/query split for the canonical
+    # ``http://`` shape without userinfo/IPv6 — ~5 µs/url of urlsplit's lazy
+    # hostname/port properties were the UDF pass's second cost after
+    # canonicalise itself.  Semantics replicated exactly: fragment dropped,
+    # host lower-cased, port digits-only with 0..65535 range (out-of-range/
+    # non-digit ports return ``canon`` like the except-branch below), :80
+    # elided, empty path → "/".  Anything else falls through to urlsplit.
+    if canon.startswith("http://"):
+        rest = canon[7:]
+        end = len(rest)
+        for sep in "/?#":
+            j = rest.find(sep)
+            if j != -1 and j < end:
+                end = j
+        auth = rest[:end]
+        if auth and "@" not in auth and "[" not in auth and "]" not in auth:
+            # urlsplit's _hostinfo splits at the FIRST colon: everything
+            # after it must be a valid port or .port raises (→ canon).
+            # Only plain-ASCII digit ports take the fast path — exotic
+            # "numeric" strings (int underscores, unicode digits,
+            # superscripts) fall through to urlsplit so its exact accept/
+            # reject behavior decides.
+            host, sep, p = auth.partition(":")
+            port = ""
+            ok = True
+            if sep:
+                if p == "":
+                    port = ""
+                elif p.isascii() and p.isdigit():
+                    pn = int(p, 10)
+                    if pn > 65535:
+                        return canon  # urlsplit raises on range → canon
+                    if pn not in (80, 0):  # 0 is falsy in the slow branch
+                        port = f":{pn}"
+                else:
+                    ok = False
+            if ok and host:
+                tail = rest[end:]
+                h = tail.find("#")
+                if h != -1:
+                    tail = tail[:h]
+                qpos = tail.find("?")
+                if qpos == -1 or qpos == len(tail) - 1:
+                    # a bare trailing "?" yields an empty query — elided,
+                    # matching the urlsplit branch below
+                    path, query = (tail[:qpos] if qpos != -1 else tail) or "/", ""
+                else:
+                    path, query = (tail[:qpos] or "/"), "?" + tail[qpos + 1:]
+                return ("(" + ",".join(reversed(host.lower().split(".")))
+                        + "," + ")" + port + path + query)
     try:
         parts = urlsplit(canon)
         # .hostname/.port parse lazily and can raise on malformed

@@ -21,6 +21,8 @@ surface (faceting columns) is complete and stable.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -233,16 +235,19 @@ def extract_capture(
     ``pdf_pdfa_errors``; it also needs ``payload_bytes``.  Each adds
     exactly one more Arrow stage — the full WARCIndexer.extract() analog is then scan →
     vectorized kernels → one projection, still shuffle-free."""
-    canon = canonical_struct_udf(F.col("target_uri"))
-    crawl_ts = F.to_timestamp(F.col("warc_date"))
-    wayback = date_fns.wayback_date(crawl_ts)
-    url_path = F.parse_url(F.col("target_uri"), F.lit("PATH"))
-    host = F.parse_url(F.col("url_norm"), F.lit("HOST"))
-    status = F.col("http_status").cast("int")
-    text = adjusted(F.col("payload"), "content", is_text=True)
+    # expression-tree memo (r6): the ~90-field projection below costs
+    # ~2,500 py4j round trips to build (~0.5 s driver time per query build);
+    # every expression references input columns by NAME and depends only on
+    # the analyser flags + head-column presence, so the whole set is built
+    # once per flag combination (see the memo note in operators/textstats.py)
+    E = _capture_exprs(
+        with_links, with_metadata, with_images, with_preflight,
+        "payload_head" in records.columns,
+    )
+    served = E["served"]
 
-    base = records.withColumn("url_norm_struct", canon).withColumn(
-        "url_norm", adjusted(F.col("url_norm_struct.url_norm"), "url_norm")
+    base = records.withColumn("url_norm_struct", E["canon"]).withColumn(
+        "url_norm", E["url_norm_adj"]
     )
     # analyser dispatch mime (served Content-Type wins) and the reference's
     # HTMLAnalyser.shouldProcess gate (HTMLAnalyser.java:94-100: text* or
@@ -250,10 +255,8 @@ def extract_capture(
     # non-matching records, so binary payloads (the majority of a real
     # crawl) cost one null check per batch instead of a regex parse of
     # lossily-decoded garbage — and no fields get fabricated from it
-    served = F.coalesce(F.col("http_content_type"), F.col("content_type"))
-    texty = served.startswith("text") | served.startswith("application/xhtml+xml")
     if with_links or with_metadata:
-        base = base.withColumn("_texty_payload", F.when(texty, F.col("payload")))
+        base = base.withColumn("_texty_payload", E["texty_payload"])
     if with_links:
         from .operators.links import extract_html_links
 
@@ -276,9 +279,8 @@ def extract_capture(
 
         # MIME-gated like the text kernels: non-image rows ship a null into
         # the Arrow batch, not their payload bytes
-        imagey = F.when(served.startswith("image"), F.col("payload_bytes"))
         base = base.withColumn(
-            "_img", image_analysis_struct_udf()(imagey, served)
+            "_img", image_analysis_struct_udf()(E["imagey"], served)
         )
 
     if with_preflight:
@@ -293,11 +295,32 @@ def extract_capture(
         # config-keyed extractApachePreflightErrors): only application/pdf
         # records reach the validator; everything else ships a null and
         # keeps NULL fields
-        pdfy = F.when(served.startswith("application/pdf"),
-                      F.col("payload_bytes"))
-        base = base.withColumn("_pf", preflight_udf()(pdfy))
+        base = base.withColumn("_pf", preflight_udf()(E["pdfy"]))
 
-    _head_hex = _payload_head_hex(has_raw_head="payload_head" in records.columns)
+    return base.select(*E["cols"])
+
+
+@lru_cache(maxsize=32)
+def _capture_exprs(
+    with_links: bool,
+    with_metadata: bool,
+    with_images: bool,
+    with_preflight: bool,
+    has_raw_head: bool,
+) -> dict:
+    """Memoized capture-model Column set (see extract_capture) — pure
+    unresolved expressions keyed by the analyser flags and whether the scan
+    carries a raw payload head."""
+    canon = canonical_struct_udf(F.col("target_uri"))
+    crawl_ts = F.to_timestamp(F.col("warc_date"))
+    wayback = date_fns.wayback_date(crawl_ts)
+    url_path = F.parse_url(F.col("target_uri"), F.lit("PATH"))
+    host = F.parse_url(F.col("url_norm"), F.lit("HOST"))
+    status = F.col("http_status").cast("int")
+    text = adjusted(F.col("payload"), "content", is_text=True)
+    served = F.coalesce(F.col("http_content_type"), F.col("content_type"))
+    texty = served.startswith("text") | served.startswith("application/xhtml+xml")
+    _head_hex = _payload_head_hex(has_raw_head=has_raw_head)
 
     filled: dict[str, Column] = {
         # the id's date component is the RAW header-date digits — a
@@ -404,4 +427,13 @@ def extract_capture(
         filled[f.name].alias(f.name) if f.name in filled else _null(f)
         for f in CAPTURE_SCHEMA.fields
     ]
-    return base.select(*cols)
+    return {
+        "canon": canon,
+        "url_norm_adj": adjusted(F.col("url_norm_struct.url_norm"), "url_norm"),
+        "served": served,
+        "texty_payload": F.when(texty, F.col("payload")),
+        "imagey": F.when(served.startswith("image"), F.col("payload_bytes")),
+        "pdfy": F.when(served.startswith("application/pdf"),
+                       F.col("payload_bytes")),
+        "cols": tuple(cols),
+    }

@@ -43,6 +43,66 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _values_df(spark, rows, schema_ddl: str):
+    """Tiny config dimension as a TRUE LocalRelation (VALUES SQL).
+
+    PySpark's ``createDataFrame`` parallelizes local rows into a
+    defaultParallelism-partition Python RDD: every derivation over a 4-row
+    config table then runs 32-task stages and every broadcast build costs a
+    full job (measured 0.3-0.6 s each on the annotation scopes).  A VALUES
+    relation is driver-local — broadcast hash relations build without a
+    single task.  Supports str/int/float/bool/None/datetime/str-list cells;
+    column types are pinned by the DDL casts on the first row."""
+    import datetime as _dt
+
+    names_types = [c.strip().rsplit(" ", 1) for c in _split_ddl(schema_ddl)]
+
+    def cell(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(cell(x, "STRING") for x in v) + ")"
+        raise TypeError(f"unsupported VALUES cell {type(v)}")
+
+    rendered = []
+    for r in rows:
+        rendered.append(
+            "(" + ", ".join(
+                f"CAST({cell(v, t)} AS {t})"
+                for v, (_, t) in zip(r, names_types)
+            ) + ")"
+        )
+    alias = ", ".join(n for n, _ in names_types)
+    return spark.sql(
+        f"SELECT * FROM VALUES {', '.join(rendered)} AS t({alias})"
+    )
+
+
+def _split_ddl(ddl: str) -> list[str]:
+    """Split a DDL column list on top-level commas (array<...> safe)."""
+    out, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur)); cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _ts(spark, sf_dir, name, *cols):
     """Scan + optional projection + repartition(defaultParallelism).
 
@@ -1056,8 +1116,11 @@ def _robots_rules_df(spark):
             rows.append((host, "allow", "/", delay))
         else:
             rows.append((host, "allow", "/", delay))
-    return spark.createDataFrame(
-        rows, "host string, rule_type string, path_prefix string, crawl_delay_ms int"
+    # LocalRelation (see _values_df): the rule prep joins/aggregations and
+    # their broadcast builds run driver-local instead of 32-task jobs
+    return _values_df(
+        spark, rows,
+        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
     )
 
 
@@ -2370,7 +2433,10 @@ def annotations_apply(spark, sf_dir):
         F.concat(F.lit("(org,example,h"), hn, F.lit(",)/p/"),
                  F.col("event_id").cast("string")).alias("url_key"),
     )
-    anns = spark.createDataFrame(
+    # LocalRelation config dims (see _values_df): the scope derivations and
+    # broadcast builds over them run driver-local instead of 32-task jobs
+    anns = _values_df(
+        spark,
         [
             ("root", "http://h1.example.org/", "colRoot", None, None, None, None),
             ("root", "http://h2.example.org/", "colGated", None, None,
@@ -2381,7 +2447,7 @@ def annotations_apply(spark, sf_dir):
         "scope string, key string, collection string, collections array<string>, "
         "subjects array<string>, date_from timestamp, date_to timestamp",
     )
-    surts = spark.createDataFrame([("(org,example,h4,",)], "prefix string")
+    surts = _values_df(spark, [("(org,example,h4,",)], "prefix string")
     out = ann_op.apply_annotations(
         caps, anns, open_access_surts=surts, surt_col="url_key"
     )
@@ -6405,8 +6471,8 @@ def crawl_two_epochs(spark, sf_dir):
             robots_rows.append((host, "deny", "/img/", delay))
         else:
             robots_rows.append((host, "allow", "/", delay))
-    robots_rules = spark.createDataFrame(
-        robots_rows,
+    robots_rules = _values_df(
+        spark, robots_rows,
         "host string, rule_type string, path_prefix string, crawl_delay_ms int",
     )
 

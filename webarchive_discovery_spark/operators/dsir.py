@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import values_df
+
 __all__ = [
     "hashed_ngram_buckets",
     "dsir_bucket_model",
@@ -242,7 +244,10 @@ def train_quality_classifier(
         w = [0.0] * buckets
         wid = Window.partitionBy("id")
         for _ in range(iters):
-            wdf = spark.createDataFrame(
+            # LocalRelation weights (session.values_df): a parallelized
+            # weight RDD cost a 32-task broadcast-build job per GD iteration
+            wdf = values_df(
+                spark,
                 [(b, float(wb)) for b, wb in enumerate(w) if wb != 0.0] or [(0, 0.0)],
                 "bucket long, w double",
             )
@@ -274,8 +279,9 @@ def quality_scores_from_counts(
     :func:`quality_scores` computes the same sum occurrence-by-occurrence
     from raw text when no matrix exists."""
     spark = x.sparkSession
-    wdf = spark.createDataFrame(
-        [(b, float(wb)) for b, wb in enumerate(weights)], "bucket long, w double"
+    wdf = values_df(
+        spark, [(b, float(wb)) for b, wb in enumerate(weights)],
+        "bucket long, w double",
     )
     return (
         x.join(F.broadcast(wdf), "bucket")
@@ -299,8 +305,9 @@ def quality_scores(
     ``prob = σ(Σ_b c_db w_b)`` — broadcast weights join + one doc-keyed
     aggregate, no Python."""
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(b, float(wb)) for b, wb in enumerate(weights)], "bucket long, w double"
+    wdf = values_df(
+        spark, [(b, float(wb)) for b, wb in enumerate(weights)],
+        "bucket long, w double",
     )
     feats = hashed_ngram_buckets(df, text_col, id_col, buckets)
     return (

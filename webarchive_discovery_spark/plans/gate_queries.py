@@ -39,70 +39,11 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+from ..session import values_df as _values_df  # noqa: E402
+
+
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
-
-
-def _values_df(spark, rows, schema_ddl: str):
-    """Tiny config dimension as a TRUE LocalRelation (VALUES SQL).
-
-    PySpark's ``createDataFrame`` parallelizes local rows into a
-    defaultParallelism-partition Python RDD: every derivation over a 4-row
-    config table then runs 32-task stages and every broadcast build costs a
-    full job (measured 0.3-0.6 s each on the annotation scopes).  A VALUES
-    relation is driver-local — broadcast hash relations build without a
-    single task.  Supports str/int/float/bool/None/datetime/str-list cells;
-    column types are pinned by the DDL casts on the first row."""
-    import datetime as _dt
-
-    names_types = [c.strip().rsplit(" ", 1) for c in _split_ddl(schema_ddl)]
-
-    def cell(v, typ):
-        if v is None:
-            return f"CAST(NULL AS {typ})"
-        if isinstance(v, str):
-            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        if isinstance(v, (int, float)):
-            return repr(v)
-        if isinstance(v, _dt.datetime):
-            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
-        if isinstance(v, (list, tuple)):
-            return "array(" + ", ".join(cell(x, "STRING") for x in v) + ")"
-        raise TypeError(f"unsupported VALUES cell {type(v)}")
-
-    rendered = []
-    for r in rows:
-        rendered.append(
-            "(" + ", ".join(
-                f"CAST({cell(v, t)} AS {t})"
-                for v, (_, t) in zip(r, names_types)
-            ) + ")"
-        )
-    alias = ", ".join(n for n, _ in names_types)
-    return spark.sql(
-        f"SELECT * FROM VALUES {', '.join(rendered)} AS t({alias})"
-    )
-
-
-def _split_ddl(ddl: str) -> list[str]:
-    """Split a DDL column list on top-level commas (array<...> safe)."""
-    out, depth, cur = [], 0, []
-    for ch in ddl:
-        if ch == "<":
-            depth += 1
-        elif ch == ">":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(cur)); cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur))
-    return out
-
-
 def _ts(spark, sf_dir, name, *cols):
     """Scan + optional projection + repartition(defaultParallelism).
 
@@ -119,6 +60,7 @@ def _ts(spark, sf_dir, name, *cols):
     if cols:
         df = df.select(*cols)
     return df.repartition(spark.sparkContext.defaultParallelism)
+
 
 
 # ===========================================================================

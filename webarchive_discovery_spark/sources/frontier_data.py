@@ -239,6 +239,11 @@ def gen_robots_rules(spark: SparkSession, n_hosts: int = _N_HOSTS) -> DataFrame:
             rows.append((host, "allow", "/", delay))
         else:
             rows.append((host, "allow", "/", delay))
-    return spark.createDataFrame(
-        rows, "host string, rule_type string, path_prefix string, crawl_delay_ms int"
+    # LocalRelation (session.values_df): rule-prep joins and broadcast
+    # builds over this config dim run driver-local, no 32-task stages
+    from ..session import values_df
+
+    return values_df(
+        spark, rows,
+        "host string, rule_type string, path_prefix string, crawl_delay_ms int",
     )

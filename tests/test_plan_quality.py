@@ -86,7 +86,12 @@ def test_capture_facet_prunes_udfs(spark):
 
 def test_annotations_broadcast_only(spark):
     plan = plan_of(spark, "annotations_apply")
-    assert plan.count("BroadcastHashJoin") >= 3
+    # r6: the annotation scopes are true LocalRelations (session.values_df),
+    # so Catalyst EVALUATES the per-scope filters at optimize time and
+    # empty-relation propagation deletes joins for scopes with no rows
+    # (the gate has no resource-scope annotation) — strictly better than a
+    # broadcast.  The populated scopes must still join broadcast-only.
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 

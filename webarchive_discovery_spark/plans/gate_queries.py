@@ -7032,7 +7032,7 @@ _DRIVER_PRIORITY = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
-    "top20_parts_by_revenue",
+    "url_type_counts",
     # changed plans this round, r5-sampled (re-verify in the driver):
     "training_corpus_build",
     "repetition_stats",
@@ -7042,6 +7042,9 @@ _DRIVER_PRIORITY = [
     "cdx_generate",
     "checkpoint_time_travel",
     "crawl_two_epochs",
+    "sentiment_buckets",
+    "robots_parse",
+    "url_seen_antijoin",
     # remaining r5-unsampled (judge-coverable; next in line if the sample
     # is larger than 50):
     "wayback_dates",
@@ -7061,7 +7064,7 @@ _DRIVER_PRIORITY = [
     "wet_records",
     "arcname_fields",
     "html_metadata",
-    "url_type_counts",
+    "top20_parts_by_revenue",
     "sitemap_frontier_scores",
     "doc_formats_extract",
 ]
